@@ -1,0 +1,49 @@
+"""cuembed_tpu — a TPU-native embedding-lookup engine.
+
+A from-scratch JAX/Pallas framework with the full capability surface of the
+reference CUDA library (NVIDIA/cuEmbed): forward embedding-bag lookup
+(fixed-hotness and CSR, sum/mean/weighted-sum/concat, fp32/bf16/fp16 with
+an fp32-accumulation policy), deterministic sort-based COO backward with
+full and compressed gradients, index transforms, synthetic-workload
+generation, a benchmark harness — plus a multi-chip sharding layer
+(row/column table sharding over a ``jax.sharding.Mesh`` with all-to-all
+index routing) that the reference lists only as future work.
+"""
+
+from cuembed_tpu.types import CombineMode, CSRFormat, FixedFormat, accumulation_dtype
+from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
+from cuembed_tpu.ops.lookup_xla import (
+    CompressedGrad,
+    embedding_backward_compressed_xla,
+    embedding_backward_xla,
+    embedding_forward_xla,
+)
+from cuembed_tpu.ops.transforms import (
+    compact_sparse_indices,
+    compute_compressed_grad_indices,
+    extract_row_ids_for_concat,
+    extract_row_ids_from_csr,
+    extract_row_ids_from_fixed,
+    transpose,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CombineMode",
+    "FixedFormat",
+    "CSRFormat",
+    "accumulation_dtype",
+    "embedding_lookup",
+    "embedding_lookup_csr",
+    "embedding_forward_xla",
+    "embedding_backward_xla",
+    "embedding_backward_compressed_xla",
+    "CompressedGrad",
+    "transpose",
+    "extract_row_ids_from_fixed",
+    "extract_row_ids_from_csr",
+    "extract_row_ids_for_concat",
+    "compute_compressed_grad_indices",
+    "compact_sparse_indices",
+]

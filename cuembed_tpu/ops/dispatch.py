@@ -1,0 +1,121 @@
+"""Backend dispatch: Pallas kernels vs the XLA-composed path.
+
+The analog of the reference's launch heuristics
+(``embedding_lookup.cuh:160-208`` picks load widths and CTA shapes): here
+the decision is *which lowering to use* — the hand-written Pallas
+gather-reduce kernel (TPU only, shape-constrained) or the XLA-composed
+gather + segment-sum. Block-shape selection for the Pallas kernels lives
+with the kernels themselves (:mod:`cuembed_tpu.ops.pallas_forward`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cuembed_tpu.ops import lookup_xla
+from cuembed_tpu.types import CombineMode
+
+# Lane width of the TPU vector unit; Pallas kernels require the embedding
+# width padded to a multiple of this.
+LANES = 128
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def pallas_forward_supported(table, indices, offsets, weights, mode) -> bool:
+    """Whether the Pallas forward kernel covers this call."""
+    if mode == CombineMode.CONCAT:
+        # Concat is a pure gather; XLA's gather lowering handles it well.
+        return False
+    if offsets is not None:
+        # CSR densification pads every sample to the full nnz capacity
+        # (the only static bound) — gather amplification makes XLA's
+        # masked segment-sum the better default. A dedicated ragged CSR
+        # kernel can lift this.
+        return False
+    if table.shape[1] % LANES != 0:
+        return False
+    if table.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+        return False
+    return True
+
+
+def forward(
+    table: jax.Array,
+    indices: jax.Array,
+    offsets: Optional[jax.Array],
+    weights: Optional[jax.Array],
+    *,
+    mode: CombineMode,
+    low_precision_math: bool = False,
+    backend: str = "auto",
+) -> jax.Array:
+    """Route a forward lookup to the best available implementation."""
+    if backend not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown backend: {backend}")
+    use_pallas = backend == "pallas" or (
+        backend == "auto"
+        and _on_tpu()
+        and pallas_forward_supported(table, indices, offsets, weights, mode)
+    )
+    if use_pallas:
+        from cuembed_tpu.ops import pallas_forward
+
+        return pallas_forward.embedding_forward_pallas(
+            table,
+            indices,
+            offsets,
+            weights,
+            mode=mode,
+            low_precision_math=low_precision_math,
+        )
+    return lookup_xla.embedding_forward_xla(
+        table,
+        indices,
+        offsets,
+        weights,
+        mode=mode,
+        low_precision_math=low_precision_math,
+    )
+
+
+def backward(
+    grad_y: jax.Array,
+    num_categories: int,
+    transpose_indices: jax.Array,
+    transpose_sample_ids: jax.Array,
+    transpose_weights: Optional[jax.Array],
+    *,
+    nnz: Optional[jax.Array] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """Route the COO backward to the best available implementation."""
+    use_pallas = backend == "pallas" or (backend == "auto" and _on_tpu())
+    if use_pallas:
+        from cuembed_tpu.ops import pallas_backward
+
+        if pallas_backward.supported(grad_y, num_categories):
+            return pallas_backward.embedding_backward_pallas(
+                grad_y,
+                num_categories,
+                transpose_indices,
+                transpose_sample_ids,
+                transpose_weights,
+                nnz=nnz,
+            )
+    return lookup_xla.embedding_backward_xla(
+        grad_y,
+        num_categories,
+        transpose_indices,
+        transpose_sample_ids,
+        transpose_weights,
+        nnz=nnz,
+    )

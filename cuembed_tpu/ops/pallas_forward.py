@@ -1,0 +1,274 @@
+"""Pallas forward gather-reduce kernel (the hot path).
+
+The TPU-native re-design of the reference's ``EmbeddingLookUpKernel``
+(``cuembed/include/embedding_lookup_kernels.cuh:34-170``). The reference
+maximizes loads-in-flight with a 2D CTA shape, shared-memory index staging
+and an unrolled vector-load gather loop; the TPU equivalent is a DMA
+pipeline:
+
+* the grid walks batch blocks; each grid step owns ``block_samples``
+  output rows,
+* the block's lookup indices land in SMEM (pipelined like any other
+  blocked input) so scalar reads can drive DMA address computation — the
+  analog of the reference's shared-memory ``IndexLoader``
+  (``embedding_lookup_ops.cuh:412-495``),
+* the embedding table lives in HBM (``pl.ANY``), viewed as
+  ``[rows, width//128, 128]`` so a single-row slice is legal under the
+  (8, 128) tile constraint for any 128-multiple width,
+* each sample's ``hotness`` rows are fetched HBM→VMEM with one async copy
+  per row, double-buffered at sample granularity — while sample ``s`` is
+  being reduced (VPU), all of sample ``s+1``'s row DMAs are in flight.
+  With hotness 64 that is up to 128 outstanding copies: the
+  "maximize loads in flight" goal of the reference (``README.md:4``),
+* reduction is a vectorized ``sum`` over the ``[hotness, width]`` VMEM row
+  group in fp32 (or storage precision under ``low_precision_math``),
+  replacing the reference's register-resident ``Combiner``
+  (``embedding_lookup_ops.cuh:162-322``).
+
+Constraints (dispatch falls back to XLA outside them):
+* ``width % 128 == 0`` (lane alignment) — pad tables for odd widths,
+* fixed-hotness layout; CSR is densified to ``[batch, max_hotness]`` +
+  coefficient mask first (:func:`csr_to_fixed`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuembed_tpu.types import CombineMode, accumulation_dtype
+
+LANES = 128
+# Per-sample row-group double buffering.
+NBUF = 2
+
+
+def _make_fwd_kernel(
+    block_samples: int,
+    hotness: int,
+    wtiles: int,
+    acc_dtype,
+    has_coeff: bool,
+    post_scale: Optional[float],
+):
+    """Build the gather-reduce kernel body.
+
+    Ref layout: idx_ref SMEM [bs, hot]; (coeff_ref SMEM [bs, hot] if
+    has_coeff); table_ref ANY [rows, wtiles, 128]; out VMEM [bs, wtiles*128];
+    scratch buf VMEM [NBUF, hot, wtiles, 128] + DMA sems [NBUF, hot].
+
+    Coefficients are read as SMEM scalars and applied as scalar-broadcast
+    FMAs — Mosaic has no layout for a [hot, 1, 1] vector broadcast, and a
+    VMEM-resident coeff row would need exactly that.
+    """
+
+    def kernel(idx_ref, *rest):
+        if has_coeff:
+            coeff_ref, table_ref, out_ref, buf_ref, sem_ref = rest
+        else:
+            table_ref, out_ref, buf_ref, sem_ref = rest
+
+        def start_sample(s, slot):
+            def start_one(j, _):
+                idx = idx_ref[s, j]
+                pltpu.make_async_copy(
+                    table_ref.at[idx], buf_ref.at[slot, j], sem_ref.at[slot, j]
+                ).start()
+                return 0
+
+            jax.lax.fori_loop(0, hotness, start_one, 0, unroll=True)
+
+        def wait_sample(slot):
+            def wait_one(j, _):
+                pltpu.make_async_copy(
+                    table_ref.at[0], buf_ref.at[slot, j], sem_ref.at[slot, j]
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, hotness, wait_one, 0, unroll=True)
+
+        start_sample(0, 0)
+
+        def body(s, _):
+            slot = jax.lax.rem(s, NBUF)
+            next_slot = jax.lax.rem(s + 1, NBUF)
+
+            @pl.when(s + 1 < block_samples)
+            def _():
+                start_sample(s + 1, next_slot)
+
+            wait_sample(slot)
+            if has_coeff:
+                def accum(j, acc):
+                    c = coeff_ref[s, j]  # SMEM scalar
+                    return acc + buf_ref[slot, j].astype(acc_dtype) * c
+
+                acc = jax.lax.fori_loop(
+                    0,
+                    hotness,
+                    accum,
+                    jnp.zeros((wtiles, LANES), acc_dtype),
+                )
+            else:
+                rows = buf_ref[slot].astype(acc_dtype)  # [hot, wtiles, 128]
+                acc = jnp.sum(rows, axis=0)
+                if post_scale is not None:
+                    acc = acc * acc_dtype(post_scale)
+            out_ref[pl.ds(s, 1), :] = acc.reshape(1, wtiles * LANES).astype(
+                out_ref.dtype
+            )
+            return 0
+
+        jax.lax.fori_loop(0, block_samples, body, 0)
+
+    return kernel
+
+
+def _pick_block_samples(batch: int, hotness: int, width: int, itemsize: int) -> int:
+    """Block-shape heuristic, the analog of ``GetKernelLaunchParams``
+    (``embedding_lookup.cuh:186-208``): as many samples per grid step as fit
+    a VMEM budget alongside the double-buffered row groups."""
+    vmem_budget = 6 * 1024 * 1024
+    row_groups = NBUF * hotness * width * itemsize
+    per_sample_out = width * 4
+    avail = max(vmem_budget - row_groups, per_sample_out)
+    bs = max(1, avail // (2 * per_sample_out))
+    bs = min(bs, 256, batch)
+    return max(8, 1 << (bs.bit_length() - 1)) if bs >= 8 else bs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "low_precision_math", "interpret", "block_samples"),
+)
+def embedding_forward_pallas(
+    table: jax.Array,
+    indices: jax.Array,
+    offsets: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+    *,
+    mode: CombineMode = CombineMode.SUM,
+    low_precision_math: bool = False,
+    interpret: bool = False,
+    block_samples: Optional[int] = None,
+) -> jax.Array:
+    """Forward lookup on the Pallas gather-reduce kernel.
+
+    Same contract as :func:`cuembed_tpu.ops.lookup_xla.embedding_forward_xla`
+    minus CONCAT (a pure gather; XLA's native gather covers it).
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("CONCAT is served by the XLA gather path")
+    if table.shape[1] % LANES != 0:
+        raise ValueError(
+            f"pallas kernel requires width % {LANES} == 0, got {table.shape[1]}"
+        )
+
+    coeff = None
+    if offsets is not None:
+        indices, coeff = csr_to_fixed(indices, offsets, weights, mode=mode)
+    elif weights is not None:
+        coeff = weights
+    batch, hotness = indices.shape
+    width = table.shape[1]
+    wtiles = width // LANES
+    acc_dt = accumulation_dtype(table.dtype, low_precision_math)
+
+    bs = block_samples or _pick_block_samples(
+        batch, hotness, width, table.dtype.itemsize
+    )
+    padded_batch = pl.cdiv(batch, bs) * bs
+    idx = indices.astype(jnp.int32)
+    if padded_batch != batch:
+        idx = jnp.pad(idx, ((0, padded_batch - batch), (0, 0)))
+        if coeff is not None:
+            coeff = jnp.pad(coeff, ((0, padded_batch - batch), (0, 0)))
+    grid = (padded_batch // bs,)
+
+    post_scale = None
+    if mode == CombineMode.MEAN and coeff is None:
+        post_scale = 1.0 / hotness
+
+    kernel = _make_fwd_kernel(
+        bs, hotness, wtiles, acc_dt, coeff is not None, post_scale
+    )
+    # 3D view: single-row slices of a 2D (8,128)-tiled HBM array are illegal
+    # for width > 128; with the row dim untiled in 3D they are always legal.
+    table3 = table.reshape(table.shape[0], wtiles, LANES)
+
+    idx_spec = pl.BlockSpec((bs, hotness), lambda b: (b, 0), memory_space=pltpu.SMEM)
+    table_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_spec = pl.BlockSpec((bs, width), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((padded_batch, width), table.dtype)
+    scratch_shapes = [
+        pltpu.VMEM((NBUF, hotness, wtiles, LANES), table.dtype),
+        pltpu.SemaphoreType.DMA((NBUF, hotness)),
+    ]
+
+    if coeff is not None:
+        coeff_spec = pl.BlockSpec(
+            (bs, hotness), lambda b: (b, 0), memory_space=pltpu.SMEM
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[idx_spec, coeff_spec, table_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(idx, coeff.astype(acc_dt), table3)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[idx_spec, table_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(idx, table3)
+
+    return out[:batch] if padded_batch != batch else out
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def csr_to_fixed(indices, offsets, weights=None, *, mode=CombineMode.SUM):
+    """Densify a CSR problem into fixed layout + coefficient mask.
+
+    Returns ``(dense_indices [batch, capacity], coeff [batch, capacity])``.
+    Padded slots point at row 0 with coeff 0, contributing nothing. MEAN
+    semantics (1/h_s, zero-hotness -> 0) are folded into the coefficients.
+    """
+    batch = offsets.shape[0] - 1
+    cap = indices.shape[0]
+    counts = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
+    max_h = cap  # static worst-case bound
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    sample = (jnp.searchsorted(offsets, pos, side="right") - 1).clip(0, batch - 1)
+    rank = pos - jnp.take(offsets, sample).astype(jnp.int32)
+    live = pos < offsets[-1]
+
+    dense_idx = jnp.zeros((batch, max_h), jnp.int32)
+    dense_idx = dense_idx.at[sample, rank].set(
+        jnp.where(live, indices.astype(jnp.int32), 0), mode="drop"
+    )
+    w = (
+        weights.astype(jnp.float32)
+        if weights is not None
+        else jnp.ones((cap,), jnp.float32)
+    )
+    w = jnp.where(live, w, 0.0)
+    coeff = jnp.zeros((batch, max_h), jnp.float32)
+    coeff = coeff.at[sample, rank].set(w, mode="drop")
+    if mode == CombineMode.MEAN:
+        inv = jnp.where(
+            counts == 0, 0.0, 1.0 / jnp.maximum(counts, 1).astype(jnp.float32)
+        )
+        coeff = coeff * inv[:, None]
+    return dense_idx, coeff

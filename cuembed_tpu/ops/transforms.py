@@ -1,0 +1,111 @@
+"""Index transforms, as jitted JAX (no kernels needed).
+
+The reference implements these with CUB device-wide primitives
+(``cuembed/include/index_transforms.cuh``); on TPU each is one or two XLA
+ops that the compiler fuses and schedules:
+
+* row-id extraction (``index_transforms.cuh:45-93``) — iota/searchsorted,
+* COO transpose = sort by lookup index (``index_transforms.cuh:95-250``,
+  CUB radix sort) — ``jax.lax.sort`` with multiple operands,
+* compressed-gradient remapping (``index_transforms.cuh:252-323``,
+  adjacent-difference + inclusive scan) — ``jnp.cumsum`` of boundary flags,
+* ``compact_sparse_indices`` (``embedding_lookup_kernels.cuh:289-302``) —
+  first-occurrence scatter producing the inverse mapping.
+
+There is no two-call workspace-query protocol (``index_transforms.cuh:121-124``):
+XLA owns allocation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def extract_row_ids_from_fixed(batch: int, hotness: int, dtype=jnp.int32):
+    """``row_ids[i] = i // hotness`` (reference ``index_transforms.cuh:46-55``)."""
+    return (jnp.arange(batch * hotness, dtype=dtype) // hotness).astype(dtype)
+
+
+@jax.jit
+def extract_row_ids_from_csr(offsets: jax.Array, indices: jax.Array) -> jax.Array:
+    """Per-nonzero sample ids from CSR offsets.
+
+    For position p, the sample i with ``offsets[i] <= p < offsets[i+1]``
+    (reference ``index_transforms.cuh:67-74``). ``indices`` is only used for
+    its static length (the nnz capacity); positions past ``offsets[-1]`` get
+    clamped into the last sample and must be masked by callers.
+    """
+    nnz = indices.shape[0]
+    pos = jnp.arange(nnz, dtype=offsets.dtype)
+    return (
+        jnp.searchsorted(offsets, pos, side="right").astype(indices.dtype) - 1
+    ).clip(0, offsets.shape[0] - 2)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def extract_row_ids_for_concat(nnz: int, dtype=jnp.int32):
+    """Identity sequence (reference ``index_transforms.cuh:86-93``)."""
+    return jnp.arange(nnz, dtype=dtype)
+
+
+@jax.jit
+def transpose(
+    sample_ids: jax.Array,
+    indices: jax.Array,
+    weights: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """Sort the COO by lookup index.
+
+    The TPU replacement for ``cub::DeviceRadixSort``-based ``Transpose``
+    (``index_transforms.cuh:95-250``): one multi-operand ``lax.sort`` keyed
+    on (index, sample_id) — stable tie-breaking on sample_id matches the
+    CPU reference's tuple sort (``index_transforms_cpu.hpp:104-115``).
+
+    Returns ``(transpose_indices, transpose_sample_ids, transpose_weights)``.
+    """
+    if weights is None:
+        t_idx, t_sid = jax.lax.sort((indices, sample_ids), num_keys=2)
+        return t_idx, t_sid, None
+    t_idx, t_sid, t_w = jax.lax.sort((indices, sample_ids, weights), num_keys=2)
+    return t_idx, t_sid, t_w
+
+
+@jax.jit
+def compute_compressed_grad_indices(sorted_indices: jax.Array) -> jax.Array:
+    """Dense 0..num_unique-1 ids over a sorted index array.
+
+    ``remapped = inclusive_scan(adjacent_diff != 0)`` with ``remapped[0]=0``
+    (reference ``index_transforms.cuh:278-323``). ``num_unique`` is
+    ``remapped[-1] + 1``.
+    """
+    flags = jnp.concatenate(
+        [
+            jnp.zeros((1,), dtype=sorted_indices.dtype),
+            (sorted_indices[1:] != sorted_indices[:-1]).astype(sorted_indices.dtype),
+        ]
+    )
+    return jnp.cumsum(flags).astype(sorted_indices.dtype)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def compact_sparse_indices(
+    sorted_indices: jax.Array,
+    remapped_indices: jax.Array,
+    fill_value: Optional[int] = None,
+) -> jax.Array:
+    """Inverse mapping: original index for each remapped (dense) id.
+
+    ``inverse_mapping[remapped[i]] = sorted_indices[i]`` (reference
+    ``embedding_lookup_kernels.cuh:289-302``). All duplicates of a run write
+    the same value, so scatter order is immaterial. Returned array has the
+    full nnz capacity; entries at or beyond num_unique hold ``fill_value``
+    (default 0).
+    """
+    nnz = sorted_indices.shape[0]
+    init = jnp.full((nnz,), fill_value or 0, dtype=sorted_indices.dtype)
+    return init.at[remapped_indices].set(sorted_indices)

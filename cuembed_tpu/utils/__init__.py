@@ -1,0 +1,16 @@
+"""Host-side utilities: synthetic data generation, problem allocation,
+benchmark timing/bandwidth accounting.
+
+The TPU analog of the reference's ``utils/`` tree (allocation, datagen,
+CPU adapters) — implemented in numpy/JAX host code instead of thrust/CUDA.
+"""
+
+from cuembed_tpu.utils.datagen import PowerLawGenerator, power_law_indices
+from cuembed_tpu.utils.allocation import AllocationOptions, allocate
+
+__all__ = [
+    "PowerLawGenerator",
+    "power_law_indices",
+    "AllocationOptions",
+    "allocate",
+]
