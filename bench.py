@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Headline benchmark: forward lookup application bandwidth on one chip.
+
+Flagship configuration from the reference (``README.md:104``): 10M
+categories x width 256, batch 65536, hotness 64, alpha=1.15 power-law
+indices, fp16 table. Metric = application GB/s (the reference's forward
+bandwidth formula, ``manual_benchmark.cu:250-261``) over the best backend.
+
+``vs_baseline`` is achieved / (0.80 * HBM speed-of-light) — the BASELINE.md
+north-star target (>= 80% of per-chip HBM peak), since the reference
+publishes no measured numbers.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="small config (smoke)")
+    p.add_argument("--backend", default="best", choices=["best", "auto", "pallas", "xla"])
+    p.add_argument("--num-categories", type=int, default=None)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--hotness", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--alpha", type=float, default=None)
+    p.add_argument("--dtype", default=None, choices=[None, "float32", "float16", "bfloat16"])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuembed_tpu.ops.api import embedding_lookup
+    from cuembed_tpu.types import CombineMode
+    from cuembed_tpu.utils.benchmarking import (
+        chain_time,
+        detect_hbm_peak_gbps,
+        forward_app_bytes,
+        lookups_per_sec,
+    )
+    from cuembed_tpu.utils.datagen import PowerLawGenerator
+
+    if args.quick:
+        V, B, H, W, alpha, dtype = 1_000_000, 8192, 32, 256, 1.15, jnp.float32
+    else:
+        V, B, H, W, alpha, dtype = 10_000_000, 65_536, 64, 256, 1.15, jnp.float16
+    V = args.num_categories or V
+    B = args.batch or B
+    H = args.hotness or H
+    W = args.width or W
+    alpha = args.alpha if args.alpha is not None else alpha
+    if args.dtype:
+        dtype = jnp.dtype(args.dtype)
+
+    # Table materialized on device (host upload of GBs through a tunnel is
+    # not part of the measurement).
+    table = (
+        jax.random.uniform(jax.random.key(0), (V, W), jnp.float32, -1, 1)
+    ).astype(dtype)
+    table = jax.block_until_ready(table)
+
+    # Pre-stage K distinct realistic index sets; the chain steps cycle
+    # through them with a data dependency so no execution repeats.
+    K = 4
+    gen = PowerLawGenerator(V - 1, H, alpha, seed=7)
+    idx_sets = jnp.asarray(
+        np.stack([gen.sample(B) for _ in range(K)]).astype(np.int32)
+    )
+
+    elem = jnp.dtype(dtype).itemsize
+    app_bytes = forward_app_bytes(
+        batch=B, hotness=H, width=W, elem_bytes=elem, mode=CombineMode.SUM
+    )
+
+    def make_step(backend):
+        # table/idx_sets enter as jit arguments, NOT closure captures — a
+        # captured GB-scale array would be baked into the HLO as a constant.
+        @jax.jit
+        def step_impl(table, idx_sets, carry):
+            i, dep = carry
+            idx = jax.lax.dynamic_index_in_dim(
+                idx_sets, i % K, axis=0, keepdims=False
+            )
+            idx = idx + (dep * 0).astype(jnp.int32)
+            out = embedding_lookup(table, idx, mode=CombineMode.SUM, backend=backend)
+            return (i + 1, out[0, 0].astype(jnp.float32))
+
+        return lambda carry: step_impl(table, idx_sets, carry)
+
+    backends = (
+        ["auto", "xla"] if args.backend == "best" else [args.backend]
+    )
+    results = {}
+    for backend in backends:
+        try:
+            dt = chain_time(make_step(backend), (jnp.int32(0), jnp.float32(0)),
+                            k_lo=1, k_hi=4, repeats=2)
+            results[backend] = dt
+        except Exception as e:  # pragma: no cover
+            print(f"# backend {backend} failed: {str(e).splitlines()[0]}",
+                  file=sys.stderr)
+    if not results:
+        raise SystemExit("no backend produced a result")
+
+    best_backend = min(results, key=results.get)
+    dt = results[best_backend]
+    gbps = app_bytes / dt / 1e9
+    peak = detect_hbm_peak_gbps()
+    target = 0.80 * peak
+    record = {
+        "metric": "forward_lookup_app_bw",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / target, 4),
+        "config": {
+            "num_categories": V,
+            "batch": B,
+            "hotness": H,
+            "width": W,
+            "alpha": alpha,
+            "dtype": str(jnp.dtype(dtype)),
+            "backend": best_backend,
+        },
+        "time_ms": round(dt * 1e3, 3),
+        "lookups_per_sec": round(lookups_per_sec(B, H, dt)),
+        "hbm_peak_gbps": peak,
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

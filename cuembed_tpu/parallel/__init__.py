@@ -1,0 +1,28 @@
+"""Multi-chip sharding layer (beyond the reference's single-GPU scope).
+
+The reference defers multi-table/multi-device to "Future Release"
+(``README.md:110``); this package is the TPU-native design for that gap:
+tables sharded over a ``jax.sharding.Mesh`` (row-wise or column-wise),
+lookups routed with masked local gathers + ``psum`` or all-to-all index
+exchange over ICI, and the dense consumer data-parallel.
+"""
+
+from cuembed_tpu.parallel.sharding import (
+    make_mesh,
+    table_sharding,
+    batch_sharding,
+    pad_table_for_shards,
+)
+from cuembed_tpu.parallel.sharded_lookup import (
+    row_sharded_lookup,
+    column_sharded_lookup,
+)
+
+__all__ = [
+    "make_mesh",
+    "table_sharding",
+    "batch_sharding",
+    "pad_table_for_shards",
+    "row_sharded_lookup",
+    "column_sharded_lookup",
+]

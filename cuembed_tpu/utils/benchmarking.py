@@ -1,0 +1,158 @@
+"""Benchmark timing + application-bandwidth accounting.
+
+The analog of the reference's ``cudaEvent`` timing and bandwidth formulas
+(``benchmarks/manual_benchmark.cu:199-287, 340-354, 444-473``).
+
+Timing method: some TPU attachment runtimes (the axon tunnel used in dev)
+memoize (executable, input) pairs and complete asynchronously past
+``block_until_ready``. ``chain_time`` therefore times a *chained dependency
+loop whose state never repeats* and forces a scalar host readback, taking
+the slope between a short and a long chain — robust on both normal PJRT
+and memoizing tunnels, and the TPU analog of the reference's
+cache-cleared per-iteration events.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuembed_tpu.types import CombineMode
+
+# Peak HBM bandwidth per chip (GB/s) for roofline reporting.
+HBM_PEAK_GBPS = {
+    "v4": 1228.0,
+    "v5e": 819.0,
+    "v5 lite": 819.0,
+    "v5p": 2765.0,
+    "v6e": 1640.0,
+    "v6 lite": 1640.0,
+}
+
+
+def detect_hbm_peak_gbps(default: float = 819.0) -> float:
+    """Best-effort peak-HBM lookup from the attached device kind."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return default
+    for key, bw in HBM_PEAK_GBPS.items():
+        if key in kind:
+            return bw
+    return default
+
+
+def chain_time(
+    step: Callable,
+    x0,
+    *,
+    k_lo: int = 2,
+    k_hi: int = 10,
+    repeats: int = 3,
+) -> float:
+    """Median per-call seconds of ``step`` (a device fn x -> x).
+
+    State threads through every call and never resets, so no
+    (executable, input) pair repeats; a scalar readback fences each run.
+    """
+    state = [x0]
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state[0] = step(state[0])
+        leaf = jax.tree_util.tree_leaves(state[0])[0]
+        _ = float(jnp.sum(leaf) if getattr(leaf, "ndim", 0) else leaf)
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warm
+    t_lo = min(run(k_lo) for _ in range(repeats))
+    t_hi = min(run(k_hi) for _ in range(repeats))
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Application-bandwidth formulas (reference manual_benchmark.cu)
+# ---------------------------------------------------------------------------
+
+
+def forward_app_bytes(
+    *,
+    batch: int,
+    hotness: int,
+    width: int,
+    elem_bytes: int,
+    mode: CombineMode = CombineMode.SUM,
+    is_csr: bool = False,
+    nnz: Optional[int] = None,
+) -> int:
+    """Forward application bytes (``manual_benchmark.cu:250-261``).
+
+    fixed: elem * batch * (hotness + 1[sum/mean] or 2*hotness[concat]) * width
+    CSR:   elem * (nnz - 1 + batch) * width
+    """
+    if is_csr:
+        assert nnz is not None
+        return elem_bytes * (nnz - 1 + batch) * width
+    reads = batch * hotness * width
+    writes = (
+        batch * hotness * width
+        if mode == CombineMode.CONCAT
+        else batch * width
+    )
+    return elem_bytes * (reads + writes)
+
+
+def transpose_app_bytes(
+    *,
+    nnz: int,
+    index_bytes: int,
+    batch: int = 0,
+    is_csr: bool = False,
+    is_weighted: bool = False,
+    weight_bytes: int = 4,
+    compressed: bool = False,
+) -> int:
+    """Transpose application bytes (``manual_benchmark.cu:340-354``)."""
+    reads = nnz * index_bytes
+    if is_csr:
+        reads += (batch + 1) * index_bytes
+    if is_weighted:
+        reads += nnz * weight_bytes
+    writes = (3 if compressed else 2) * nnz * index_bytes
+    if is_weighted:
+        writes += nnz * weight_bytes
+    return reads + writes
+
+
+def backward_app_bytes(
+    *,
+    nnz: int,
+    batch: int,
+    width: int,
+    num_unique: int,
+    elem_bytes: int,
+    index_bytes: int,
+    mode: CombineMode = CombineMode.SUM,
+    is_weighted: bool = False,
+    l2_variant: bool = False,
+) -> int:
+    """Backward application bytes, DRAM or L2 variant
+    (``manual_benchmark.cu:444-473``)."""
+    writes = width * num_unique * elem_bytes
+    reads = 2 * nnz * index_bytes
+    if is_weighted:
+        reads += nnz * elem_bytes
+    if mode == CombineMode.CONCAT or l2_variant:
+        reads += width * nnz * elem_bytes
+    else:
+        reads += width * batch * elem_bytes
+    return writes + reads
+
+
+def lookups_per_sec(batch: int, hotness: int, seconds: float) -> float:
+    return batch * hotness / seconds
