@@ -18,6 +18,7 @@ from cuembed_tpu.ops.lookup_xla import (
     embedding_backward_xla,
     embedding_forward_xla,
 )
+from cuembed_tpu.ops.tiered import TieredConfig, tiered_forward
 from cuembed_tpu.ops.transforms import (
     compact_sparse_indices,
     compute_compressed_grad_indices,
@@ -36,6 +37,8 @@ __all__ = [
     "accumulation_dtype",
     "embedding_lookup",
     "embedding_lookup_csr",
+    "TieredConfig",
+    "tiered_forward",
     "embedding_forward_xla",
     "embedding_backward_xla",
     "embedding_backward_compressed_xla",

@@ -14,8 +14,12 @@ from cuembed_tpu.ops.lookup_xla import (
     embedding_backward_xla,
 )
 from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
+from cuembed_tpu.ops.tiered import TieredConfig, auto_config, tiered_forward
 
 __all__ = [
+    "TieredConfig",
+    "auto_config",
+    "tiered_forward",
     "extract_row_ids_from_fixed",
     "extract_row_ids_from_csr",
     "extract_row_ids_for_concat",

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from cuembed_tpu.ops import dispatch
+from cuembed_tpu.ops.tiered import TieredConfig
 from cuembed_tpu.ops.transforms import (
     extract_row_ids_from_csr,
     transpose,
@@ -42,7 +43,8 @@ class _LookupConfig:
 
     mode: CombineMode
     low_precision_math: bool
-    backend: str  # "auto" | "pallas" | "xla"
+    backend: str  # "auto" | "pallas" | "xla" | "tiered"
+    tiered_cfg: Optional[TieredConfig] = None
 
 
 def embedding_lookup(
@@ -53,6 +55,8 @@ def embedding_lookup(
     mode: CombineMode = CombineMode.SUM,
     low_precision_math: bool = False,
     backend: str = "auto",
+    tiered_cfg: Optional[TieredConfig] = None,
+    remap: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Differentiable fixed-hotness embedding lookup.
 
@@ -63,13 +67,21 @@ def embedding_lookup(
       mode: SUM / MEAN / CONCAT.
       low_precision_math: accumulate half tables in half precision
         (the reference's ``fp16_math=true``).
-      backend: "auto" (shape-based dispatch), "pallas", or "xla".
+      backend: "auto" (shape-based dispatch), "pallas", "xla", or
+        "tiered" (hot/cold split for HBM-resident tables; see
+        :mod:`cuembed_tpu.ops.tiered`).
+      tiered_cfg: explicit tiered configuration (None => auto-sized).
+      remap: optional ``[num_categories]`` int32 category->row translation
+        (frequency ordering, :mod:`cuembed_tpu.utils.frequency`); applied
+        to ``indices`` before the lookup.
 
     Returns:
       ``[batch, width]`` (SUM/MEAN) or ``[batch * hotness, width]`` (CONCAT).
     """
+    if remap is not None:
+        indices = jnp.take(remap, indices, axis=0)
     _validate(table, indices, None, weights, mode)
-    cfg = _LookupConfig(mode, low_precision_math, backend)
+    cfg = _LookupConfig(mode, low_precision_math, backend, tiered_cfg)
     return _lookup(cfg, table, indices, None, weights)
 
 
@@ -82,16 +94,21 @@ def embedding_lookup_csr(
     mode: CombineMode = CombineMode.SUM,
     low_precision_math: bool = False,
     backend: str = "auto",
+    tiered_cfg: Optional[TieredConfig] = None,
+    remap: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Differentiable CSR (variable-hotness) embedding lookup.
 
     ``indices`` is the flat value array (static capacity; entries at or
     beyond ``offsets[-1]`` are padding and ignored), ``offsets`` is
     ``[batch + 1]``. CONCAT is not supported with CSR (reference
-    ``embedding_lookup.cuh:261-267``).
+    ``embedding_lookup.cuh:261-267``). ``remap`` as in
+    :func:`embedding_lookup`.
     """
+    if remap is not None:
+        indices = jnp.take(remap, indices, axis=0)
     _validate(table, indices, offsets, weights, mode)
-    cfg = _LookupConfig(mode, low_precision_math, backend)
+    cfg = _LookupConfig(mode, low_precision_math, backend, tiered_cfg)
     return _lookup(cfg, table, indices, offsets, weights)
 
 
@@ -120,6 +137,7 @@ def _lookup(cfg, table, indices, offsets, weights):
         mode=cfg.mode,
         low_precision_math=cfg.low_precision_math,
         backend=cfg.backend,
+        tiered_cfg=cfg.tiered_cfg,
     )
 
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from cuembed_tpu.ops import lookup_xla
+from cuembed_tpu.ops.tiered import TieredConfig, auto_config, tiered_forward
 from cuembed_tpu.types import CombineMode
 
 # Lane width of the TPU vector unit; Pallas kernels require the embedding
@@ -48,6 +49,23 @@ def pallas_forward_supported(table, indices, offsets, weights, mode) -> bool:
     return True
 
 
+def tiered_auto_config(
+    table, indices, offsets, mode
+) -> Optional[TieredConfig]:
+    """Auto tiered config for this call, or None when tiering doesn't apply.
+
+    Tiering wins when the table exceeds what XLA serves from VMEM
+    (~90 MB measured on v5e) and loses otherwise; CONCAT is a pure gather
+    that tiering cannot accelerate.
+    """
+    if mode == CombineMode.CONCAT:
+        return None
+    hotness = indices.shape[1] if offsets is None else 1
+    return auto_config(
+        table.shape[0], table.shape[1], table.dtype.itemsize, hotness
+    )
+
+
 def forward(
     table: jax.Array,
     indices: jax.Array,
@@ -57,10 +75,30 @@ def forward(
     mode: CombineMode,
     low_precision_math: bool = False,
     backend: str = "auto",
+    tiered_cfg: Optional[TieredConfig] = None,
 ) -> jax.Array:
     """Route a forward lookup to the best available implementation."""
-    if backend not in ("auto", "pallas", "xla"):
+    if backend not in ("auto", "pallas", "xla", "tiered"):
         raise ValueError(f"unknown backend: {backend}")
+    if backend == "tiered" or (
+        backend == "auto" and _on_tpu() and mode != CombineMode.CONCAT
+    ):
+        cfg = tiered_cfg or tiered_auto_config(table, indices, offsets, mode)
+        if cfg is not None:
+            return tiered_forward(
+                table,
+                indices,
+                offsets,
+                weights,
+                mode=mode,
+                cfg=cfg,
+                low_precision_math=low_precision_math,
+            )
+        if backend == "tiered":
+            raise ValueError(
+                "backend='tiered' but the table fits the VMEM budget; "
+                "use backend='auto' (the plain gather is already fast)"
+            )
     use_pallas = backend == "pallas" or (
         backend == "auto"
         and _on_tpu()

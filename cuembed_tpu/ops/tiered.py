@@ -1,0 +1,292 @@
+"""Tiered (hot/cold) embedding lookup — the TPU bandwidth design.
+
+Why this exists
+===============
+
+The reference reaches speed-of-light HBM bandwidth on GPUs because its
+gather kernel keeps hundreds of 16-byte loads in flight and the L2 serves
+the power-law-hot rows (``README.md:4``; its application-bandwidth metric
+counts every logical row read, ``manual_benchmark.cu:250-261``). A TPU
+TensorCore has no hardware gather: every random row becomes a descriptor
+on the DMA engine. Measured on TPU v5e (see ``docs/PERF_NOTES.md``):
+
+* random row gather from HBM:            ~80 M rows/s (any row size)
+* random row gather from a <~100 MB operand: ~300-360 M rows/s
+  (XLA places it in the 128 MiB VMEM)
+* streaming:                              ~680 GB/s
+
+So the TPU-native equivalent of the GPU L2 is an explicit **VMEM-resident
+hot head**: the table is stored frequency-ordered (hottest categories get
+the lowest row ids — the framework's ``reorder`` utilities maintain the
+permutation), rows ``[0, hot_rows)`` are served by the fast in-VMEM
+gather, and the power-law tail is *compacted* and gathered from HBM at
+descriptor rate.
+
+The pipeline (all static shapes, one ``jit``):
+
+1. **Hot tier**: ``take(table[:hot_rows], idx)`` over the full dense
+   ``[batch, hotness]`` block with cold positions masked to coefficient 0
+   — XLA serves this at VMEM gather speed.
+2. **Cold compaction**: indices are viewed as ``[chunks, chunk_elems]``;
+   each chunk row is sorted by the 1-bit hot/cold key (a vectorized
+   row-wise bitonic sort across all chunks — ~0.8 ms for 4M elements),
+   moving the ~``cold_fraction`` cold entries of each chunk into a static
+   ``cold_slots`` prefix.
+3. **Cold gather**: one ``take`` of ``chunks * cold_slots`` rows from the
+   full HBM table (descriptor-rate bound, but 5-10x fewer descriptors
+   than the naive path).
+4. **Scatter-free combine**: cold rows are summed into their samples with
+   a tiny one-hot matmul per chunk (MXU), avoiding XLA's slow row
+   scatter.
+5. **Overflow safety**: if any chunk holds more cold entries than
+   ``cold_slots`` (capacity is sized at +6 sigma), a ``lax.cond`` falls
+   back to the exact naive path for that batch — always correct, just
+   slower on pathological batches.
+
+Measured on the reference flagship workload (10M x 256 table, batch 64K,
+hotness 64, alpha=1.15): 1.8x over the plain XLA path in bf16, 2.4x on
+the 1M-category fp32 sweep point.
+
+Numerics: accumulation is fp32 (or storage precision under
+``low_precision_math``). Within a sample, hot positions accumulate in
+index order and cold positions are added afterwards — a reassociation of
+the reference's strictly sequential per-sample loop
+(``embedding_lookup_cpu.hpp:35-94``), so parity tests use a small
+tolerance rather than bitwise equality on this path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from math import sqrt
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cuembed_tpu.types import CombineMode, accumulation_dtype
+
+# Default VMEM budget for the hot head. v5e/v5p have 128 MiB of VMEM; XLA
+# needs headroom for pipeline buffers, so keep the hot head well under.
+DEFAULT_HOT_BYTES = 84 * 1024 * 1024
+
+# Tables at or below this size are served entirely by the fast in-VMEM
+# gather — the tiered split would only add overhead.
+VMEM_TABLE_BYTES = 90 * 1024 * 1024
+
+
+@dataclass(frozen=True)
+class TieredConfig:
+    """Static configuration of the tiered lookup (hashable; jit-static).
+
+    Attributes:
+      hot_rows: rows ``[0, hot_rows)`` are the VMEM-resident hot head.
+      chunk_elems: compaction granularity (flattened index positions per
+        chunk); must be a multiple of the fixed hotness.
+      cold_slots: static per-chunk capacity for compacted cold entries.
+        Size at mean + 6 sigma of the expected per-chunk cold count; an
+        overflowing batch falls back to the exact path via ``lax.cond``.
+    """
+
+    hot_rows: int
+    chunk_elems: int = 1024
+    cold_slots: int = 256
+
+
+def auto_config(
+    num_categories: int,
+    width: int,
+    itemsize: int,
+    hotness: int = 1,
+    *,
+    cold_fraction: float = 0.25,
+    hot_bytes: int = DEFAULT_HOT_BYTES,
+) -> Optional[TieredConfig]:
+    """Pick a tiered config, or None when the whole table is VMEM-served.
+
+    ``cold_fraction`` is the expected fraction of lookups that miss the
+    hot head; it only sizes the static cold capacity (correctness never
+    depends on it thanks to the overflow fallback).
+    """
+    table_bytes = num_categories * width * itemsize
+    if table_bytes <= VMEM_TABLE_BYTES:
+        return None
+    row_bytes = width * itemsize
+    hot_rows = min(num_categories, max(8, hot_bytes // row_bytes))
+    if hot_rows >= num_categories:
+        return None
+    hotness = max(1, hotness)
+    group = max(1, 1024 // hotness)
+    chunk_elems = group * hotness
+    p = min(max(cold_fraction, 1e-3), 1.0)
+    mean = chunk_elems * p
+    slots = int(mean + 6.0 * sqrt(chunk_elems * p * (1.0 - p)) + 1)
+    slots = min(chunk_elems, max(8, -(-slots // 8) * 8))
+    return TieredConfig(
+        hot_rows=int(hot_rows), chunk_elems=chunk_elems, cold_slots=slots
+    )
+
+
+def _combine_coeff(indices, weights, offsets, mode, acc_dt):
+    """Per-position combine coefficient (weight, 1, or 1/hotness)."""
+    if weights is not None:
+        coeff = weights.astype(acc_dt)
+    else:
+        coeff = jnp.ones(indices.shape, acc_dt)
+    if mode == CombineMode.MEAN:
+        if offsets is None:
+            coeff = coeff / indices.shape[1]
+        else:
+            batch = offsets.shape[0] - 1
+            hot = (offsets[1:] - offsets[:-1]).astype(acc_dt)
+            inv = jnp.where(hot == 0, 0.0, 1.0 / jnp.maximum(hot, 1.0))
+            cap = indices.shape[0]
+            pos = jnp.arange(cap, dtype=offsets.dtype)
+            sm = (jnp.searchsorted(offsets, pos, side="right") - 1).clip(
+                0, batch - 1
+            )
+            coeff = coeff * jnp.take(inv, sm)
+    return coeff
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mode", "cfg", "low_precision_math"),
+)
+def tiered_forward(
+    table: jax.Array,
+    indices: jax.Array,
+    offsets: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+    *,
+    mode: CombineMode = CombineMode.SUM,
+    cfg: TieredConfig,
+    low_precision_math: bool = False,
+) -> jax.Array:
+    """Tiered forward lookup. Same contract as ``embedding_forward_xla``
+    minus CONCAT (a pure gather — tiering cannot help it).
+
+    Fixed-hotness: ``indices [batch, hotness]``. CSR: flat ``indices
+    [capacity]`` + ``offsets [batch+1]`` (positions >= offsets[-1] are
+    padding).
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("CONCAT is a pure gather; tiered path does not apply")
+    acc_dt = accumulation_dtype(table.dtype, low_precision_math)
+    coeff = _combine_coeff(indices, weights, offsets, mode, acc_dt)
+
+    if offsets is None:
+        batch, hotness = indices.shape
+        flat_idx = indices.reshape(-1).astype(jnp.int32)
+        flat_coeff = coeff.reshape(-1)
+        nmax = batch * hotness
+        sample_of_pos = None  # derived from position
+    else:
+        batch = offsets.shape[0] - 1
+        nmax = indices.shape[0]
+        hotness = None
+        pos = jnp.arange(nmax, dtype=jnp.int32)
+        live = pos < offsets[-1]
+        flat_idx = jnp.where(live, indices.astype(jnp.int32), 0)
+        flat_coeff = jnp.where(live, coeff, 0.0)
+        sample_of_pos = (
+            jnp.searchsorted(offsets, pos.astype(offsets.dtype), side="right")
+            - 1
+        ).clip(0, batch - 1).astype(jnp.int32)
+
+    C = cfg.hot_rows
+    E = cfg.chunk_elems
+    S = min(cfg.cold_slots, E)
+    width = table.shape[1]
+    if offsets is None and E % hotness != 0:
+        raise ValueError(
+            f"chunk_elems ({E}) must be a multiple of hotness ({hotness}); "
+            "use auto_config(..., hotness=...)"
+        )
+
+    # --- pad the flat stream to a whole number of chunks -----------------
+    padded = -(-nmax // E) * E
+    if padded != nmax:
+        pad = padded - nmax
+        flat_idx = jnp.pad(flat_idx, (0, pad))          # idx 0 => hot
+        flat_coeff = jnp.pad(flat_coeff, (0, pad))      # coeff 0 => inert
+        if sample_of_pos is not None:
+            sample_of_pos = jnp.pad(sample_of_pos, (0, pad))
+    G = padded // E
+
+    is_cold = flat_idx >= C
+
+    # --- hot tier: dense gather from the VMEM-resident head --------------
+    hot_idx = jnp.where(is_cold, 0, flat_idx)
+    hot_coeff = jnp.where(is_cold, 0.0, flat_coeff)
+    hot_head = table[:C]
+    hrows = jnp.take(hot_head, hot_idx, axis=0).astype(acc_dt)
+    hrows = hrows * hot_coeff[:, None]
+    if offsets is None:
+        out = jnp.sum(hrows[:nmax].reshape(batch, hotness, width), axis=1)
+    else:
+        out = jax.ops.segment_sum(
+            hrows[:nmax], sample_of_pos[:nmax], num_segments=batch
+        )
+
+    # --- cold tier: compact -> gather -> combine --------------------------
+    xi = flat_idx.reshape(G, E)
+    ci = is_cold.reshape(G, E)
+    wi = flat_coeff.reshape(G, E)
+    if offsets is None:
+        sm = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, E), 0) * (E // hotness)
+            + jax.lax.broadcasted_iota(jnp.int32, (G, E), 1) // hotness
+        )
+    else:
+        sm = sample_of_pos.reshape(G, E)
+
+    counts = jnp.sum(ci.astype(jnp.int32), axis=1)
+    overflow = jnp.any(counts > S)
+
+    key = jnp.where(ci, 0, 1).astype(jnp.int32)  # cold sorts first
+    _, x_s, w_s, s_s = jax.lax.sort([key, xi, wi, sm], dimension=1, num_keys=1)
+    slot_live = (
+        jax.lax.broadcasted_iota(jnp.int32, (G, S), 1) < counts[:, None]
+    )
+    cold_idx = jnp.where(slot_live, x_s[:, :S], 0)
+    cold_coeff = jnp.where(slot_live, w_s[:, :S], 0.0)
+    cold_sm = jnp.where(slot_live, s_s[:, :S], 0)
+
+    def cold_fast(_):
+        crows = jnp.take(table, cold_idx.reshape(-1), axis=0)
+        crows = crows.reshape(G, S, width).astype(acc_dt)
+        crows = crows * cold_coeff[..., None]
+        if offsets is None:
+            gs = E // hotness  # samples per chunk
+            onehot = (
+                cold_sm[..., None] % gs
+                == jnp.arange(gs, dtype=jnp.int32)
+            ).astype(acc_dt)
+            part = jnp.einsum(
+                "gsw,gst->gtw",
+                crows,
+                onehot,
+                preferred_element_type=acc_dt,
+            )
+            return part.reshape(G * gs, width)[:batch]
+        flat_rows = crows.reshape(G * S, width)
+        return jnp.zeros((batch, width), acc_dt).at[
+            cold_sm.reshape(-1)
+        ].add(flat_rows, mode="drop")
+
+    def cold_exact(_):
+        # Rare overflow path: serve every cold position straight from HBM.
+        c_idx = jnp.where(is_cold, flat_idx, 0)
+        c_coeff = jnp.where(is_cold, flat_coeff, 0.0)
+        rows = jnp.take(table, c_idx[:nmax], axis=0).astype(acc_dt)
+        rows = rows * c_coeff[:nmax, None]
+        if offsets is None:
+            return jnp.sum(rows.reshape(batch, hotness, width), axis=1)
+        return jax.ops.segment_sum(
+            rows, sample_of_pos[:nmax], num_segments=batch
+        )
+
+    out = out + jax.lax.cond(overflow, cold_exact, cold_fast, 0)
+    return out.astype(table.dtype)

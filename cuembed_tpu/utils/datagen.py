@@ -108,12 +108,25 @@ class PowerLawGenerator:
             k = max(2 * h, h + 8)
             while pending.size:
                 cand = self._draw(pending.size * k).reshape(pending.size, k)
-                cand.sort(axis=1)
-                # Stable-partition unique values to the front of each row.
-                dup = np.concatenate(
-                    [np.zeros((pending.size, 1), bool), cand[:, 1:] == cand[:, :-1]],
+                # Mark duplicate *draws* (a value already drawn earlier in
+                # the row). Selection must keep the first h distinct draws
+                # in draw order — the distribution of the reference's
+                # std::set insertion loop (datagen.cpp:87-104). Taking the
+                # h smallest uniques instead would badly over-concentrate
+                # the power law.
+                order_v = np.argsort(cand, axis=1, kind="stable")
+                sorted_c = np.take_along_axis(cand, order_v, axis=1)
+                dup_sorted = np.concatenate(
+                    [
+                        np.zeros((pending.size, 1), bool),
+                        sorted_c[:, 1:] == sorted_c[:, :-1],
+                    ],
                     axis=1,
                 )
+                dup = np.zeros_like(dup_sorted)
+                np.put_along_axis(dup, order_v, dup_sorted, axis=1)
+                # Stable-partition first-occurrence draws to the front,
+                # preserving draw order.
                 order = np.argsort(dup, axis=1, kind="stable")
                 cand = np.take_along_axis(cand, order, axis=1)
                 n_unique = (~dup).sum(axis=1)

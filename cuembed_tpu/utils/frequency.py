@@ -1,0 +1,79 @@
+"""Frequency ordering for the tiered (hot/cold) table layout.
+
+The tiered lookup (:mod:`cuembed_tpu.ops.tiered`) serves rows
+``[0, hot_rows)`` from VMEM, so it wants the table stored with the most
+frequently accessed categories first. Category ids in the wild are
+arbitrary (the reference's datagen even permutes them by default —
+``embedding_allocation.h:94``), so the framework maintains:
+
+* ``perm``  — ``new_row -> original_category`` (descending frequency),
+* ``remap`` — ``original_category -> new_row`` (its inverse), applied to
+  incoming indices as one extra ``take``. The remap vector is 4 bytes per
+  category, which XLA serves at VMEM gather speed for vocabularies up to
+  ~20M — measured ~4x cheaper than a table-row gather.
+
+This is the TPU-native analog of what the GPU gets implicitly from its
+L2: hot rows live close to compute. Production systems refresh the
+ordering from running frequency statistics (cheap host-side bincount on
+sampled batches); a stale ordering only degrades speed, never
+correctness (misplaced rows are simply served from HBM).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def count_frequencies(
+    indices: np.ndarray,
+    num_categories: int,
+    counts: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Accumulate category frequencies from a batch of lookup indices."""
+    new = np.bincount(
+        np.asarray(indices).reshape(-1), minlength=num_categories
+    )[:num_categories]
+    if counts is None:
+        return new.astype(np.int64)
+    return counts + new
+
+
+def frequency_order(counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Return ``(perm, remap)`` for a frequency-descending row layout.
+
+    ``perm[new_row] = original_category`` (stable sort, most frequent
+    first); ``remap[original_category] = new_row``.
+    """
+    counts = np.asarray(counts)
+    perm = np.argsort(-counts, kind="stable").astype(np.int32)
+    remap = np.empty_like(perm)
+    remap[perm] = np.arange(perm.shape[0], dtype=np.int32)
+    return perm, remap
+
+
+def reorder_table(table, perm):
+    """Rows of ``table`` in the new layout (``table[perm]``)."""
+    return table[np.asarray(perm)]
+
+
+def cold_fraction(
+    indices: np.ndarray,
+    remap: Optional[np.ndarray],
+    hot_rows: int,
+    *,
+    margin: float = 1.3,
+) -> float:
+    """Estimated fraction of lookups missing the hot head, with margin.
+
+    Feed this to :func:`cuembed_tpu.ops.tiered.auto_config` as
+    ``cold_fraction`` — it sizes the static cold capacity. The margin
+    absorbs batch-to-batch variance; an undersized capacity only triggers
+    the exact fallback (slow, never wrong).
+    """
+    flat = np.asarray(indices).reshape(-1)
+    if remap is not None:
+        flat = np.asarray(remap)[flat]
+    frac = float(np.mean(flat >= hot_rows))
+    return min(1.0, max(1e-3, frac * margin + 0.005))

@@ -54,6 +54,43 @@ def test_multi_hot_no_repetition_and_range():
         assert np.unique(row).size == row.size
 
 
+def test_multi_hot_marginal_distribution_unbiased():
+    """Multi-hot selection must keep the first h *distinct draws* (the
+    reference's std::set insertion, ``datagen.cpp:87-104``), not the h
+    smallest candidates — the latter over-concentrates the power law.
+
+    Oracle: a direct simulation of the reference's draw-until-h-distinct
+    loop using the same inverse-CDF transform. Marginal tail masses must
+    agree within sampling noise.
+    """
+    from cuembed_tpu.utils.datagen import translate_to_power_law
+
+    num_categories, h, alpha = 100_000, 8, 1.15
+    gen = PowerLawGenerator(num_categories, h, alpha, seed=123)
+    draws = gen.sample(20_000).reshape(-1).astype(np.float64)
+
+    rng = np.random.default_rng(321)
+    sim = []
+    for _ in range(5_000):
+        seen = set()
+        while len(seen) < h:
+            y = int(
+                np.floor(
+                    translate_to_power_law(
+                        1.0, float(num_categories + 1), alpha, rng.random()
+                    )
+                )
+            )
+            seen.add(min(max(y, 1), num_categories))
+        sim.extend(seen)
+    sim = np.asarray(sim, np.float64)
+
+    for q in (10.0, 100.0, 1000.0, 10_000.0):
+        got = np.mean(draws < q)
+        want = np.mean(sim < q)
+        assert abs(got - want) < 0.015, (q, got, want)
+
+
 def test_permute_and_shuffle():
     base = PowerLawGenerator(1000, 8, 1.15, seed=5).sample(2000)
     perm = PowerLawGenerator(1000, 8, 1.15, seed=5, permute=True).sample(2000)

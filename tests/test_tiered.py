@@ -1,0 +1,138 @@
+"""Parity tests for the tiered (hot/cold) forward path.
+
+The tiered path reassociates per-sample accumulation (hot positions in
+order, cold positions after), so parity vs the golden model uses a small
+tolerance instead of the bitwise discipline of the XLA path.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cuembed_tpu.ops.tiered import TieredConfig, auto_config, tiered_forward
+from cuembed_tpu.ref.forward import embedding_forward_ref
+from cuembed_tpu.types import CombineMode
+
+
+def _mixed_indices(rng, batch, hotness, hot_rows, num_categories, cold_p):
+    hot = rng.integers(0, hot_rows, (batch, hotness))
+    cold = rng.integers(hot_rows, num_categories, (batch, hotness))
+    take_cold = rng.random((batch, hotness)) < cold_p
+    return np.where(take_cold, cold, hot).astype(np.int32)
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+@pytest.mark.parametrize("weighted", [False, True])
+@pytest.mark.parametrize(
+    "batch,hotness,chunk_elems,cold_slots",
+    [
+        (64, 8, 64, 32),     # several chunks
+        (33, 7, 56, 24),     # batch*hotness not divisible by chunk_elems
+        (4, 16, 64, 64),     # one chunk, capacity == chunk
+    ],
+)
+def test_tiered_fixed_matches_golden(mode, weighted, batch, hotness,
+                                     chunk_elems, cold_slots):
+    if weighted and mode != CombineMode.SUM:
+        pytest.skip("weights only with SUM")
+    rng = np.random.default_rng(7)
+    V, W, C = 500, 48, 100
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    idx = _mixed_indices(rng, batch, hotness, C, V, cold_p=0.3)
+    w = rng.standard_normal((batch, hotness)).astype(np.float32) if weighted else None
+
+    ref = embedding_forward_ref(table, idx, weights=w, mode=mode)
+    cfg = TieredConfig(hot_rows=C, chunk_elems=chunk_elems, cold_slots=cold_slots)
+    out = tiered_forward(
+        jnp.asarray(table), jnp.asarray(idx),
+        weights=None if w is None else jnp.asarray(w),
+        mode=mode, cfg=cfg,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_tiered_csr_matches_golden(mode, weighted):
+    if weighted and mode != CombineMode.SUM:
+        pytest.skip("weights only with SUM")
+    rng = np.random.default_rng(11)
+    V, W, C, batch = 400, 32, 80, 37
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    hots = rng.integers(0, 9, batch)
+    hots[3] = 0  # zero-hotness sample (MEAN => exact zero)
+    offsets = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    nnz = int(offsets[-1])
+    cap = nnz + 13  # padding beyond offsets[-1]
+    flat = _mixed_indices(rng, 1, cap, C, V, cold_p=0.4).reshape(-1)
+    w = rng.standard_normal((cap,)).astype(np.float32) if weighted else None
+
+    ref = embedding_forward_ref(
+        table, flat[:nnz], offsets=offsets,
+        weights=None if w is None else w[:nnz], mode=mode,
+    )
+    cfg = TieredConfig(hot_rows=C, chunk_elems=64, cold_slots=40)
+    out = tiered_forward(
+        jnp.asarray(table), jnp.asarray(flat), jnp.asarray(offsets),
+        None if w is None else jnp.asarray(w),
+        mode=mode, cfg=cfg,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_tiered_overflow_falls_back_exactly():
+    """A batch whose cold count exceeds the static capacity must still be
+    correct (lax.cond routes it to the exact path)."""
+    rng = np.random.default_rng(3)
+    V, W, C, batch, hotness = 300, 16, 50, 16, 8
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    # every index cold -> every chunk overflows a capacity of 4
+    idx = rng.integers(C, V, (batch, hotness)).astype(np.int32)
+    cfg = TieredConfig(hot_rows=C, chunk_elems=32, cold_slots=4)
+    ref = embedding_forward_ref(table, idx, mode=CombineMode.SUM)
+    out = tiered_forward(jnp.asarray(table), jnp.asarray(idx),
+                         mode=CombineMode.SUM, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_tiered_all_hot_and_all_cold():
+    rng = np.random.default_rng(5)
+    V, W, C, batch, hotness = 200, 24, 64, 12, 4
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    cfg = TieredConfig(hot_rows=C, chunk_elems=16, cold_slots=16)
+    for lo, hi in [(0, C), (C, V)]:
+        idx = rng.integers(lo, hi, (batch, hotness)).astype(np.int32)
+        ref = embedding_forward_ref(table, idx, mode=CombineMode.SUM)
+        out = tiered_forward(jnp.asarray(table), jnp.asarray(idx),
+                             mode=CombineMode.SUM, cfg=cfg)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_tiered_bf16_storage_fp32_accum():
+    rng = np.random.default_rng(9)
+    V, W, C, batch, hotness = 256, 32, 64, 8, 8
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    tb = jnp.asarray(table).astype(jnp.bfloat16)
+    idx = _mixed_indices(rng, batch, hotness, C, V, cold_p=0.25)
+    cfg = TieredConfig(hot_rows=C, chunk_elems=64, cold_slots=32)
+    ref = embedding_forward_ref(
+        np.asarray(tb).astype(np.float32), idx, mode=CombineMode.SUM
+    ).astype(np.float32)
+    out = tiered_forward(tb, jnp.asarray(idx), mode=CombineMode.SUM, cfg=cfg)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), ref, rtol=2e-2, atol=2e-2
+    )
+
+
+def test_auto_config():
+    # small table: served whole from VMEM -> no tiering
+    assert auto_config(100_000, 32, 4, 8) is None
+    cfg = auto_config(10_000_000, 256, 2, 64, cold_fraction=0.08)
+    assert cfg is not None
+    assert cfg.hot_rows * 256 * 2 <= 84 * 1024 * 1024
+    assert cfg.chunk_elems % 64 == 0
+    assert cfg.cold_slots >= int(0.08 * cfg.chunk_elems)
+    # hotness larger than the nominal chunk width
+    cfg2 = auto_config(10_000_000, 256, 2, 4096, cold_fraction=0.1)
+    assert cfg2.chunk_elems == 4096
