@@ -1,0 +1,425 @@
+#!/usr/bin/env python
+"""Manual benchmark — the reference harness, TPU-native.
+
+Mirrors ``benchmarks/manual_benchmark.cu``: the same flags (``:44-83``),
+the same CSV schema (``:104-129``), the same application-bandwidth
+formulas (``:250-261, 340-354, 444-473``), and the same three stages
+(forward, transpose, backward) with optional CPU-reference validation.
+
+Differences forced by the hardware:
+* timing uses chained data-dependent steps + host readback instead of
+  cudaEvent (see ``cuembed_tpu/utils/benchmarking.py``); the chaining
+  also plays the role of ``--clear_caches`` (no repeated execution can
+  be served from a cache or a memoizing tunnel),
+* ``--backend`` selects the compute path (auto/tiered/xla/pallas) — the
+  reference has a single kernel; the TPU engine dispatches.
+
+Example (the reference README flagship, ``README.md:104``):
+  python benchmarks/manual_benchmark.py --num_categories=10000000 \
+    --embed_width=256 --batch_size=65536 --hotness=64 --alpha=1.15 \
+    --half_embedding_type --compressed_grad --iterations=8 --enable_csv
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+
+# The reference's flag set (manual_benchmark.cu:44-83).
+flags.DEFINE_integer("num_categories", 1048576, "Number of categories/rows")
+flags.DEFINE_integer("embed_width", 128, "Width of embedding vector")
+flags.DEFINE_integer("batch_size", 1024, "Batch size")
+flags.DEFINE_integer("hotness", 1, "Nonzero indices per sample")
+flags.DEFINE_integer("iterations", 8, "Timed iterations per stage")
+flags.DEFINE_float("alpha", 0.0, "Power-law alpha (0 => uniform)")
+flags.DEFINE_bool("use_int64_indices", False, "int64 lookup indices")
+flags.DEFINE_bool("check_result", False, "Validate against CPU reference")
+flags.DEFINE_bool("half_embedding_type", False,
+                  "Half-precision table (bf16 on TPU; same bytes as fp16)")
+flags.DEFINE_bool("csr_input", False, "CSR index format")
+flags.DEFINE_bool("weighted_sum", False, "Weighted summation")
+flags.DEFINE_bool("fp16_math", False,
+                  "Accumulate half tables in half precision")
+flags.DEFINE_bool("compressed_grad", True, "Sparse (compressed) gradient")
+flags.DEFINE_bool("skip_grad_init", True,
+                  "Skip gradient zero-init (accepted for parity; the "
+                  "functional backward always produces a fresh buffer)")
+flags.DEFINE_bool("forward_only", False, "Skip transpose and backward")
+flags.DEFINE_bool("enable_csv", False, "Append CSV to manual_benchmark_out.csv")
+flags.DEFINE_bool("enable_stderr", True, "Log progress to stderr")
+flags.DEFINE_bool("clear_caches", True,
+                  "Accepted for parity; chained data-dependent timing "
+                  "already prevents any cached re-execution")
+flags.DEFINE_string("combine_mode", "sum", "sum | mean | concat")
+# TPU-specific extensions.
+flags.DEFINE_string("backend", "auto", "auto | tiered | xla | pallas")
+flags.DEFINE_string("csv_path", "manual_benchmark_out.csv", "CSV output path")
+flags.DEFINE_bool("permute_indices", True,
+                  "Random category permutation (reference default)")
+flags.DEFINE_bool("shuffle_indices", True,
+                  "Shuffle within each sample (reference default)")
+
+CSV_HEADER = (
+    "num_categories,batch_size,hotness,alpha,embed_width,combine_mode,"
+    "is_csr,is_weighted,compressed_grad,skip_grad_init,name,"
+    "iterations,elapsed_time_ms,avg_time_ms,algo_bw_l2,algo_bw_dram"
+)
+
+
+def log(msg):
+    if FLAGS.enable_stderr:
+        print(msg, file=sys.stderr)
+
+
+def mode_str(mode):
+    from cuembed_tpu.types import CombineMode
+
+    return {
+        CombineMode.SUM: "kSum",
+        CombineMode.MEAN: "kMean",
+        CombineMode.CONCAT: "kConcat",
+    }[mode]
+
+
+def chain_stage(step, n_iter, state0):
+    """Per-``n_iter`` elapsed seconds of chained ``step`` executions.
+
+    Uses the slope between a short and a long chain (like
+    ``cuembed_tpu.utils.benchmarking.chain_time``) so fixed dispatch /
+    tunnel round-trip overhead cancels — the TPU analog of the
+    reference's per-iteration cudaEvent windows.
+    """
+    from cuembed_tpu.utils.benchmarking import chain_time
+
+    k_hi = max(2, n_iter)
+    k_lo = max(1, k_hi // 4)
+    per_step = chain_time(step, state0, k_lo=k_lo, k_hi=k_hi, repeats=2)
+    return per_step * n_iter
+
+
+def dump_csv(options, name, iterations, elapsed_ms, bw_l2, bw_dram):
+    import os
+
+    write_header = not os.path.exists(FLAGS.csv_path)
+    with open(FLAGS.csv_path, "a") as f:
+        if write_header:
+            f.write(CSV_HEADER + "\n")
+        f.write(
+            f"{options.num_categories},{options.batch_size},{options.hotness},"
+            f"{options.alpha},{options.embed_width},"
+            f"{mode_str(options.combine_mode)},"
+            f"{int(options.is_csr)},{int(options.is_weighted)},"
+            f"{int(options.compressed_grad)},{int(options.skip_grad_init)},"
+            f"{name},{iterations},{elapsed_ms:.2f},"
+            f"{elapsed_ms / iterations:.2f},{bw_l2:.2f},{bw_dram:.2f}\n"
+        )
+
+
+def main(argv):
+    del argv
+    import jax
+    import jax.numpy as jnp
+
+    from cuembed_tpu.ops import dispatch
+    from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
+    from cuembed_tpu.ops.lookup_xla import (
+        embedding_backward_compressed_xla,
+        embedding_backward_xla,
+    )
+    from cuembed_tpu.ops.transforms import (
+        extract_row_ids_for_concat,
+        extract_row_ids_from_csr,
+        extract_row_ids_from_fixed,
+        transpose as transpose_op,
+    )
+    from cuembed_tpu.ref.backward import embedding_backward_ref
+    from cuembed_tpu.ref.forward import embedding_forward_ref
+    from cuembed_tpu.types import CombineMode
+    from cuembed_tpu.utils.allocation import Allocation, AllocationOptions, allocate
+    from cuembed_tpu.utils.benchmarking import (
+        backward_app_bytes,
+        forward_app_bytes,
+        transpose_app_bytes,
+    )
+
+    mode = {
+        "sum": CombineMode.SUM,
+        "mean": CombineMode.MEAN,
+        "concat": CombineMode.CONCAT,
+    }[FLAGS.combine_mode]
+    embed_dtype = np.float16 if FLAGS.half_embedding_type else np.float32
+    dev_dtype = jnp.bfloat16 if FLAGS.half_embedding_type else jnp.float32
+    index_dtype = np.int64 if FLAGS.use_int64_indices else np.int32
+
+    options = AllocationOptions(
+        num_categories=FLAGS.num_categories,
+        batch_size=FLAGS.batch_size,
+        hotness=FLAGS.hotness,
+        alpha=FLAGS.alpha,
+        embed_width=FLAGS.embed_width,
+        combine_mode=mode,
+        is_csr=FLAGS.csr_input,
+        is_weighted=FLAGS.weighted_sum,
+        compressed_grad=FLAGS.compressed_grad,
+        skip_grad_init=FLAGS.skip_grad_init,
+        permute_indices=FLAGS.permute_indices,
+        shuffle_indices=FLAGS.shuffle_indices,
+        embed_dtype=np.dtype(embed_dtype),
+        index_dtype=np.dtype(index_dtype),
+    )
+    log(f"allocating: {options}")
+    # CPU-side golden arrays are only materialized when validating; the
+    # timed problem is allocated forward-only and the table is generated
+    # on-device (a 10M x 256 table upload through the tunnel is not part
+    # of any measurement).
+    alloc = allocate(options, forward_only=FLAGS.forward_only)
+
+    elem = np.dtype(embed_dtype).itemsize
+    n_iter = FLAGS.iterations
+    batch, width = options.batch_size, options.embed_width
+    nnz = alloc.nnz
+
+    @jax.jit
+    def make_table():
+        parts = 8
+        v = FLAGS.num_categories // parts
+        cols = [
+            jax.random.uniform(
+                jax.random.key(i), (v, width), jnp.float32, -1, 1
+            ).astype(dev_dtype)
+            for i in range(parts)
+        ]
+        rest = FLAGS.num_categories - parts * v
+        if rest:
+            cols.append(
+                jax.random.uniform(
+                    jax.random.key(parts), (rest, width), jnp.float32, -1, 1
+                ).astype(dev_dtype)
+            )
+        return jnp.concatenate(cols, axis=0)
+
+    if FLAGS.check_result:
+        table_dev = jnp.asarray(alloc.table).astype(dev_dtype)
+    else:
+        table_dev = make_table()
+    table_dev = jax.block_until_ready(table_dev)
+
+    # backend="tiered" engages the full engine: frequency-order the ids
+    # (host remap, the input-pipeline step of the tiered design) and size
+    # the cold capacity from calibration draws.
+    tiered_cfg = None
+    indices_host = alloc.indices.astype(np.int32)
+    if FLAGS.backend == "tiered":
+        from cuembed_tpu import native as ce_native
+        from cuembed_tpu.ops.tiered import auto_config as tiered_auto
+        from cuembed_tpu.utils.datagen import PowerLawGenerator
+        from cuembed_tpu.utils.frequency import (
+            cold_fraction, count_frequencies, frequency_order,
+        )
+
+        cfg0 = tiered_auto(FLAGS.num_categories, width, elem,
+                           1 if options.is_csr else options.hotness)
+        if cfg0 is None:
+            log("table fits VMEM; tiered falls back to auto dispatch")
+            FLAGS.backend = "auto"
+        else:
+            # Calibrate on subsequent draws of the *same* id stream the
+            # workload uses (same seed => same category permutation);
+            # the first draw reproduces the measured batch and is skipped.
+            from cuembed_tpu.utils.allocation import EMBEDDING_SEED
+            gen = PowerLawGenerator(
+                FLAGS.num_categories - 1, options.hotness, FLAGS.alpha,
+                seed=EMBEDDING_SEED, permute=FLAGS.permute_indices,
+                shuffle=FLAGS.shuffle_indices,
+            )
+            gen.sample(batch)  # == the measured batch; not used for stats
+            counts = None
+            for _ in range(4):
+                counts = count_frequencies(gen.sample(batch), FLAGS.num_categories, counts)
+            _, remap = frequency_order(counts)
+            frac = cold_fraction(gen.sample(batch), remap, cfg0.hot_rows)
+            tiered_cfg = tiered_auto(
+                FLAGS.num_categories, width, elem,
+                1 if options.is_csr else options.hotness, cold_fraction=frac,
+            )
+            indices_host = ce_native.remap_indices(indices_host, remap)
+            log(f"tiered: {tiered_cfg}, est cold fraction {frac:.3f}, "
+                f"native host remap: {ce_native.AVAILABLE}")
+
+    idx_dev = jnp.asarray(indices_host)
+    off_dev = (
+        jnp.asarray(alloc.offsets.astype(np.int32)) if options.is_csr else None
+    )
+    w_dev = (
+        jnp.asarray(alloc.weights.astype(np.float32))
+        if options.is_weighted
+        else None
+    )
+
+    # ------------------------------------------------------------- forward
+    # NB: device arrays enter every jitted step as ARGUMENTS, never as
+    # closure captures — a captured GB-scale array would be baked into
+    # the HLO as a constant and stall the remote compiler.
+    @jax.jit
+    def fwd_step_impl(table, idx0, off, w, carry):
+        i, dep = carry
+        idx = idx0 + (dep * 0).astype(jnp.int32)
+        if options.is_csr:
+            out = embedding_lookup_csr(
+                table, idx, off, w, mode=mode,
+                low_precision_math=FLAGS.fp16_math, backend=FLAGS.backend,
+                tiered_cfg=tiered_cfg,
+            )
+        else:
+            out = embedding_lookup(
+                table, idx, w, mode=mode,
+                low_precision_math=FLAGS.fp16_math, backend=FLAGS.backend,
+                tiered_cfg=tiered_cfg,
+            )
+        return (i + 1, out[0, 0].astype(jnp.float32))
+
+    def fwd_step(carry):
+        return fwd_step_impl(table_dev, idx_dev, off_dev, w_dev, carry)
+    elapsed = chain_stage(fwd_step, n_iter, (jnp.int32(0), jnp.float32(0)))
+    fwd_bytes = forward_app_bytes(
+        batch=batch, hotness=options.hotness, width=width, elem_bytes=elem,
+        mode=mode, is_csr=options.is_csr, nnz=nnz if options.is_csr else None,
+    )
+    bw = fwd_bytes * n_iter / elapsed / 1e9
+    log(f"forward: {elapsed*1e3/n_iter:.3f} ms/iter, app BW {bw:.1f} GB/s")
+    if FLAGS.enable_csv:
+        dump_csv(options, "forward", n_iter, elapsed * 1e3, bw, bw)
+
+    if FLAGS.check_result:
+        if options.is_csr:
+            dev = embedding_lookup_csr(
+                table_dev, idx_dev, off_dev, w_dev, mode=mode,
+                low_precision_math=FLAGS.fp16_math, backend=FLAGS.backend)
+        else:
+            dev = embedding_lookup(
+                table_dev, idx_dev, w_dev, mode=mode,
+                low_precision_math=FLAGS.fp16_math, backend=FLAGS.backend)
+        ref = embedding_forward_ref(
+            np.asarray(table_dev.astype(jnp.float32)),
+            alloc.indices,
+            offsets=alloc.offsets,
+            weights=alloc.weights.astype(np.float32) if alloc.weights is not None else None,
+            mode=mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dev.astype(jnp.float32)), ref.astype(np.float32),
+            rtol=5e-2 if FLAGS.half_embedding_type else 1e-4,
+            atol=5e-2 if FLAGS.half_embedding_type else 1e-4,
+        )
+        log("forward matches CPU reference")
+
+    if FLAGS.forward_only:
+        return
+
+    # ----------------------------------------------------------- transpose
+    flat_idx_dev = (
+        idx_dev if options.is_csr else idx_dev.reshape(-1)
+    )
+    flat_w_dev = w_dev.reshape(-1) if w_dev is not None else None
+
+    @jax.jit
+    def transpose_step_impl(flat_idx, off, flat_w, carry):
+        i, dep = carry
+        fi = flat_idx + (dep * 0).astype(jnp.int32)
+        if mode == CombineMode.CONCAT:
+            sids = extract_row_ids_for_concat(fi.shape[0])
+        elif options.is_csr:
+            sids = extract_row_ids_from_csr(off, fi)
+        else:
+            sids = extract_row_ids_from_fixed(batch, options.hotness)
+        t_idx, t_sid, t_w = transpose_op(sids.astype(jnp.int32), fi, flat_w)
+        dep = t_idx[0] + t_sid[0] + (t_w[0].astype(jnp.int32) if t_w is not None else 0)
+        return (i + 1, dep.astype(jnp.float32))
+
+    def transpose_step(carry):
+        return transpose_step_impl(flat_idx_dev, off_dev, flat_w_dev, carry)
+    elapsed = chain_stage(transpose_step, n_iter, (jnp.int32(0), jnp.float32(0)))
+    t_bytes = transpose_app_bytes(
+        nnz=nnz, index_bytes=np.dtype(index_dtype).itemsize, batch=batch,
+        is_csr=options.is_csr, is_weighted=options.is_weighted,
+        compressed=options.compressed_grad,
+    )
+    bw = t_bytes * n_iter / elapsed / 1e9
+    log(f"transpose: {elapsed*1e3/n_iter:.3f} ms/iter, app BW {bw:.1f} GB/s")
+    if FLAGS.enable_csv:
+        dump_csv(options, "transpose", n_iter, elapsed * 1e3, bw, bw)
+
+    # ------------------------------------------------------------ backward
+    t_idx_dev = jnp.asarray(alloc.transpose_indices.astype(np.int32))
+    t_sid_dev = jnp.asarray(alloc.transpose_sample_ids.astype(np.int32))
+    t_w_dev = (
+        jnp.asarray(alloc.transpose_weights.astype(np.float32))
+        if alloc.transpose_weights is not None
+        else None
+    )
+    grad_y_dev = jnp.asarray(alloc.grad_y.astype(np.float32)).astype(dev_dtype)
+
+    @jax.jit
+    def bwd_step_impl(grad_y, t_idx, t_sid, t_w, carry):
+        i, dep = carry
+        gy = grad_y + dep.astype(grad_y.dtype) * 0
+        if options.compressed_grad:
+            out = embedding_backward_compressed_xla(
+                gy.astype(jnp.float32), t_idx, t_sid, t_w
+            )
+            dep = out.rows[0, 0] + out.num_unique.astype(jnp.float32)
+        else:
+            grad = embedding_backward_xla(
+                gy.astype(jnp.float32), FLAGS.num_categories,
+                t_idx, t_sid, t_w,
+            )
+            dep = grad[0, 0]
+        return (i + 1, dep.astype(jnp.float32))
+
+    def bwd_step(carry):
+        return bwd_step_impl(grad_y_dev, t_idx_dev, t_sid_dev, t_w_dev, carry)
+    elapsed = chain_stage(bwd_step, n_iter, (jnp.int32(0), jnp.float32(0)))
+    nu = alloc.num_unique if options.compressed_grad else FLAGS.num_categories
+    b_dram = backward_app_bytes(
+        nnz=nnz, batch=batch, width=width, num_unique=nu, elem_bytes=elem,
+        index_bytes=np.dtype(index_dtype).itemsize, mode=mode,
+        is_weighted=options.is_weighted, l2_variant=False,
+    )
+    b_l2 = backward_app_bytes(
+        nnz=nnz, batch=batch, width=width, num_unique=nu, elem_bytes=elem,
+        index_bytes=np.dtype(index_dtype).itemsize, mode=mode,
+        is_weighted=options.is_weighted, l2_variant=True,
+    )
+    bw_dram = b_dram * n_iter / elapsed / 1e9
+    bw_l2 = b_l2 * n_iter / elapsed / 1e9
+    log(f"backward: {elapsed*1e3/n_iter:.3f} ms/iter, "
+        f"app BW dram {bw_dram:.1f} / l2 {bw_l2:.1f} GB/s")
+    if FLAGS.enable_csv:
+        dump_csv(options, "backward", n_iter, elapsed * 1e3, bw_l2, bw_dram)
+
+    if FLAGS.check_result:
+        grad = embedding_backward_xla(
+            jnp.asarray(alloc.grad_y.astype(np.float32)),
+            FLAGS.num_categories, t_idx_dev, t_sid_dev, t_w_dev,
+        )
+        ref, _ = embedding_backward_ref(
+            alloc.grad_y.astype(np.float32),
+            FLAGS.num_categories,
+            alloc.transpose_indices,
+            alloc.transpose_sample_ids,
+            transpose_weights=alloc.transpose_weights,
+        )
+        np.testing.assert_allclose(np.asarray(grad), ref, rtol=1e-4, atol=1e-4)
+        log("backward matches CPU reference")
+
+
+if __name__ == "__main__":
+    app.run(main)

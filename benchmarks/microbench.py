@@ -11,7 +11,11 @@ costs. Run on a real chip when porting to new TPU generations:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -1,0 +1,212 @@
+"""ctypes bindings for the native host pipeline (native/cuembed_host.cpp).
+
+The C++ library accelerates the host side of the engine — index
+generation, id->row remapping for the tiered layout, CSR transforms,
+frequency statistics — so the input pipeline outruns the device. Every
+function has a numpy fallback with identical semantics; ``AVAILABLE``
+tells you which implementation is serving.
+
+Build the library once per machine:  ``make -C native``
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libcuembed_host.so",
+    ),
+    "libcuembed_host.so",
+]
+
+_lib = None
+for _p in _LIB_PATHS:
+    try:
+        _lib = ctypes.CDLL(_p)
+        break
+    except OSError:
+        continue
+
+AVAILABLE = _lib is not None
+
+if AVAILABLE:
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    _f32p = ctypes.POINTER(ctypes.c_float)
+
+    _lib.cuembed_powerlaw_indices.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_double, ctypes.c_int64,
+        ctypes.c_uint64, _i32p, ctypes.c_int32, _i32p,
+    ]
+    _lib.cuembed_remap_indices.argtypes = [_i32p, ctypes.c_int64, _i32p, _i32p]
+    _lib.cuembed_count_frequencies.argtypes = [
+        _i32p, ctypes.c_int64, _i64p, ctypes.c_int64,
+    ]
+    _lib.cuembed_extract_row_ids_from_csr.argtypes = [
+        _i32p, ctypes.c_int64, _i32p,
+    ]
+    _lib.cuembed_transpose.argtypes = [
+        _i32p, _i32p, _f32p, ctypes.c_int64, ctypes.c_int64, _i64p,
+        _i32p, _i32p, _f32p,
+    ]
+    _lib.cuembed_cold_counts.argtypes = [
+        _i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        _i32p, ctypes.c_int64,
+    ]
+    _lib.cuembed_native_abi_version.restype = ctypes.c_int32
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def powerlaw_indices(
+    num_categories: int,
+    hotness: int,
+    alpha: float,
+    batch: int,
+    *,
+    seed: int = 0,
+    permutation: Optional[np.ndarray] = None,
+    shuffle: bool = False,
+) -> np.ndarray:
+    """[batch, hotness] per-sample-distinct power-law indices.
+
+    Native path: deterministic per (seed, sample) regardless of thread
+    count. NOTE: the native generator is its own deterministic stream —
+    it matches the *distribution* of
+    :class:`cuembed_tpu.utils.datagen.PowerLawGenerator`, not its exact
+    draws.
+    """
+    if not AVAILABLE:
+        from cuembed_tpu.utils.datagen import PowerLawGenerator
+
+        gen = PowerLawGenerator(
+            num_categories, hotness, alpha, seed=seed, shuffle=shuffle
+        )
+        out = gen.sample(batch)
+        if permutation is not None:
+            out = permutation[out]
+        return out.astype(np.int32)
+    out = np.empty((batch, hotness), np.int32)
+    perm = None
+    perm_ptr = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+    if permutation is not None:
+        perm = np.ascontiguousarray(permutation, np.int32)
+        perm_ptr = _ptr(perm, ctypes.c_int32)
+    _lib.cuembed_powerlaw_indices(
+        num_categories, hotness, float(alpha), batch,
+        ctypes.c_uint64(seed), perm_ptr, int(shuffle),
+        _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def remap_indices(indices: np.ndarray, remap: np.ndarray) -> np.ndarray:
+    """``remap[indices]`` — the tiered-layout id->row translation."""
+    indices = np.ascontiguousarray(indices, np.int32)
+    if not AVAILABLE:
+        return np.asarray(remap, np.int32)[indices]
+    remap = np.ascontiguousarray(remap, np.int32)
+    out = np.empty_like(indices)
+    _lib.cuembed_remap_indices(
+        _ptr(indices, ctypes.c_int32), indices.size,
+        _ptr(remap, ctypes.c_int32), _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def count_frequencies(
+    indices: np.ndarray, num_categories: int, counts: Optional[np.ndarray] = None
+) -> np.ndarray:
+    if counts is None:
+        counts = np.zeros((num_categories,), np.int64)
+    indices = np.ascontiguousarray(indices, np.int32).reshape(-1)
+    if not AVAILABLE:
+        add = np.bincount(indices, minlength=num_categories)[:num_categories]
+        counts += add
+        return counts
+    counts = np.ascontiguousarray(counts, np.int64)
+    _lib.cuembed_count_frequencies(
+        _ptr(indices, ctypes.c_int32), indices.size,
+        _ptr(counts, ctypes.c_int64), num_categories,
+    )
+    return counts
+
+
+def extract_row_ids_from_csr(offsets: np.ndarray) -> np.ndarray:
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    nnz = int(offsets[-1])
+    if not AVAILABLE:
+        return np.repeat(
+            np.arange(offsets.size - 1, dtype=np.int32), np.diff(offsets)
+        )
+    out = np.empty((nnz,), np.int32)
+    _lib.cuembed_extract_row_ids_from_csr(
+        _ptr(offsets, ctypes.c_int32), offsets.size - 1,
+        _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def transpose(
+    indices: np.ndarray,
+    sample_ids: np.ndarray,
+    weights: Optional[np.ndarray],
+    num_categories: int,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Stable sort of the COO by lookup index (host-side)."""
+    indices = np.ascontiguousarray(indices, np.int32)
+    sample_ids = np.ascontiguousarray(sample_ids, np.int32)
+    if not AVAILABLE:
+        order = np.argsort(indices, kind="stable")
+        w = None if weights is None else np.asarray(weights, np.float32)[order]
+        return indices[order], sample_ids[order], w
+    nnz = indices.size
+    work = np.zeros((num_categories + 1,), np.int64)
+    out_i = np.empty((nnz,), np.int32)
+    out_s = np.empty((nnz,), np.int32)
+    out_w = None
+    w_ptr = ctypes.cast(None, ctypes.POINTER(ctypes.c_float))
+    ow_ptr = ctypes.cast(None, ctypes.POINTER(ctypes.c_float))
+    if weights is not None:
+        weights = np.ascontiguousarray(weights, np.float32)
+        out_w = np.empty((nnz,), np.float32)
+        w_ptr = _ptr(weights, ctypes.c_float)
+        ow_ptr = _ptr(out_w, ctypes.c_float)
+    _lib.cuembed_transpose(
+        _ptr(indices, ctypes.c_int32), _ptr(sample_ids, ctypes.c_int32),
+        w_ptr, nnz, num_categories, _ptr(work, ctypes.c_int64),
+        _ptr(out_i, ctypes.c_int32), _ptr(out_s, ctypes.c_int32), ow_ptr,
+    )
+    return out_i, out_s, out_w
+
+
+def cold_counts(
+    indices: np.ndarray, hot_rows: int, chunk_elems: int
+) -> np.ndarray:
+    """Per-chunk count of indices >= hot_rows (tiered capacity planning)."""
+    indices = np.ascontiguousarray(indices, np.int32).reshape(-1)
+    n = indices.size
+    num_chunks = -(-n // chunk_elems)
+    if not AVAILABLE:
+        pad = num_chunks * chunk_elems - n
+        flat = np.pad(indices, (0, pad))
+        return (
+            (flat.reshape(num_chunks, chunk_elems) >= hot_rows)
+            .sum(axis=1)
+            .astype(np.int32)
+        )
+    out = np.empty((num_chunks,), np.int32)
+    _lib.cuembed_cold_counts(
+        _ptr(indices, ctypes.c_int32), n, hot_rows, chunk_elems,
+        _ptr(out, ctypes.c_int32), num_chunks,
+    )
+    return out

@@ -77,11 +77,21 @@ def forward(
     backend: str = "auto",
     tiered_cfg: Optional[TieredConfig] = None,
 ) -> jax.Array:
-    """Route a forward lookup to the best available implementation."""
+    """Route a forward lookup to the best available implementation.
+
+    The tiered path requires the table to be stored frequency-ordered
+    (hot categories in the lowest rows — :mod:`cuembed_tpu.utils.frequency`),
+    which the dispatcher cannot verify; it therefore only engages when
+    the caller opts in, either with ``backend="tiered"`` or by passing an
+    explicit ``tiered_cfg`` under ``backend="auto"``.
+    """
     if backend not in ("auto", "pallas", "xla", "tiered"):
         raise ValueError(f"unknown backend: {backend}")
     if backend == "tiered" or (
-        backend == "auto" and _on_tpu() and mode != CombineMode.CONCAT
+        backend == "auto"
+        and tiered_cfg is not None
+        and _on_tpu()
+        and mode != CombineMode.CONCAT
     ):
         cfg = tiered_cfg or tiered_auto_config(table, indices, offsets, mode)
         if cfg is not None:
