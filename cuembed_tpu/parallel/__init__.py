@@ -17,8 +17,10 @@ from cuembed_tpu.parallel.sharded_lookup import (
     row_sharded_lookup,
     column_sharded_lookup,
 )
+from cuembed_tpu.parallel.alltoall_lookup import alltoall_row_sharded_lookup
 
 __all__ = [
+    "alltoall_row_sharded_lookup",
     "make_mesh",
     "table_sharding",
     "batch_sharding",

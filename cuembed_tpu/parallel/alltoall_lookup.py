@@ -1,0 +1,187 @@
+"""All-to-all routed lookup against a row-sharded table.
+
+The production multi-chip embedding pattern (the reference's "future
+work", ``README.md:110``), designed TPU-first over ``shard_map`` + XLA
+collectives riding ICI:
+
+1. **Bucket**: each shard owns a contiguous row range (``rows_per`` =
+   ``num_categories / n_shards``) and a slice of the batch. Local lookup
+   indices are bucketed by owner shard into a dest-major ``[n, cap]``
+   request block (one local sort by owner + a gather — no scatter).
+2. **Route**: one ``lax.all_to_all`` exchanges request blocks.
+3. **Serve**: each shard gathers the requested rows from its local table
+   slice — this local gather goes through the engine's dispatch, so a
+   frequency-ordered local slice can use the tiered path.
+4. **Return**: a second ``all_to_all`` ships ``[n, cap, width]`` row
+   responses back to the requesters.
+5. **Combine**: every original index position knows its (owner, slot)
+   coordinate; responses are gathered back per position, scaled by the
+   combine coefficient (weights / mean / CSR liveness), and segment-summed
+   into ``[local_batch, width]``.
+
+Communication per shard: ``cap * n`` index words out, the same back, and
+``cap * n * width`` payload words — proportional to the *lookups actually
+routed*, unlike the masked+psum fallback (``row_sharded_lookup``) whose
+compute replicates the full batch on every shard.
+
+Capacity: ``cap`` is a static per-destination slot count. With balanced
+power-law traffic ``nnz_local / n`` slots (+ margin) suffice; a batch
+that overflows any bucket falls back via ``lax.cond`` to the exact
+masked+psum path — always correct, slower on pathological skew. Hot-row
+skew is better served by combining this with the tiered layout
+(replicate the hot head, route only the cold tail) — see
+``docs/PERF_NOTES.md``.
+
+Differentiability: built from ``all_to_all``/gather/segment-sum, all of
+which JAX transposes; table gradients flow to the owning shard's slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cuembed_tpu.parallel.sharding import MODEL_AXIS
+from cuembed_tpu.types import CombineMode
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def alltoall_row_sharded_lookup(
+    table: jax.Array,
+    indices: jax.Array,
+    weights: Optional[jax.Array] = None,
+    *,
+    mesh: Mesh,
+    mode: CombineMode = CombineMode.SUM,
+    capacity_factor: float = 2.0,
+    axis: str = MODEL_AXIS,
+) -> jax.Array:
+    """Pooled lookup with all-to-all index routing.
+
+    Args:
+      table: ``[num_categories, width]``, rows divisible by the axis size,
+        sharded ``P(axis, None)`` (row-wise).
+      indices: ``[batch, hotness]`` int32 global category ids, sharded
+        ``P(axis, None)`` (the batch and the tables live on the same axis).
+      weights: optional ``[batch, hotness]`` (SUM only).
+      mode: SUM or MEAN (CONCAT has no pooled combine; use the masked path).
+      capacity_factor: static per-destination capacity as a multiple of
+        the balanced share ``nnz_local / n``.
+      axis: mesh axis name to route over.
+
+    Returns:
+      ``[batch, width]`` pooled output, sharded ``P(axis, None)``.
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("all-to-all routing pools rows; CONCAT unsupported")
+    n = mesh.shape[axis]
+    num_rows, width = table.shape
+    if num_rows % n != 0:
+        raise ValueError("pad table rows to a multiple of the axis size")
+    rows_per = num_rows // n
+    batch, hotness = indices.shape
+    if batch % n != 0:
+        raise ValueError("batch must divide evenly across the axis")
+    nnz_l = (batch // n) * hotness
+    cap = int(nnz_l / n * capacity_factor) + 1
+    cap = min(-(-cap // 8) * 8, nnz_l)
+
+    in_specs = [P(axis, None), P(axis, None)]
+    args = [table, indices.astype(jnp.int32)]
+    if weights is not None:
+        in_specs.append(P(axis, None))
+        args.append(weights)
+
+    def local(table_l, idx_l, *rest):
+        w_l = rest[0] if rest else None
+        b_l = idx_l.shape[0]
+        flat = idx_l.reshape(-1)  # [nnz_l]
+        coeff = (
+            w_l.reshape(-1).astype(jnp.float32)
+            if w_l is not None
+            else jnp.ones((nnz_l,), jnp.float32)
+        )
+        if mode == CombineMode.MEAN:
+            coeff = coeff / hotness
+
+        owner = jnp.clip(flat // rows_per, 0, n - 1)
+
+        # --- bucket by owner: sort positions by owner, then place each
+        # destination's run into its static slot range via one gather.
+        owner_s, pos_s = jax.lax.sort(
+            [owner, jnp.arange(nnz_l, dtype=jnp.int32)], num_keys=1
+        )
+        counts = jnp.sum(
+            owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None], axis=1
+        )  # [n]
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+        )
+        overflow = jnp.any(counts > cap)
+
+        # Each original position's (owner, slot-rank) coordinate, for the
+        # combine gather after the response returns.
+        rank_s = jnp.arange(nnz_l, dtype=jnp.int32) - jnp.take(starts, owner_s)
+        rank = jnp.zeros((nnz_l,), jnp.int32).at[pos_s].set(rank_s)
+
+        def route(c):
+            # slot (t, s) <- sorted position starts[t]+s (garbage if s>=count)
+            slot_src = starts[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+            slot_live = (
+                jnp.arange(c, dtype=jnp.int32)[None, :] < counts[:, None]
+            )
+            slot_pos = jnp.take(pos_s, jnp.clip(slot_src, 0, nnz_l - 1))
+            send_idx = jnp.where(slot_live, jnp.take(flat, slot_pos), -1)
+
+            recv_idx = jax.lax.all_to_all(
+                send_idx, axis, split_axis=0, concat_axis=0, tiled=True
+            )  # [n, c]: what each peer asked of me
+            shard = jax.lax.axis_index(axis)
+            local_rows = jnp.clip(
+                recv_idx.reshape(-1) - shard * rows_per, 0, rows_per - 1
+            )
+            served = jnp.take(table_l, local_rows, axis=0)  # [n*c, W]
+            served = jnp.where(
+                (recv_idx.reshape(-1) >= 0)[:, None], served, 0
+            )
+            resp = jax.lax.all_to_all(
+                served.reshape(n, c, width),
+                axis, split_axis=0, concat_axis=0, tiled=True,
+            ).reshape(n * c, width)  # my requests, answered, dest-major
+
+            # combine: position p's response sits at owner[p] * c + rank[p]
+            slot_of_pos = owner * c + jnp.clip(rank, 0, c - 1)
+            rows = jnp.take(resp, slot_of_pos, axis=0).astype(jnp.float32)
+            rows = rows * coeff[:, None]
+            return jnp.sum(rows.reshape(b_l, hotness, width), axis=1)
+
+        if cap >= nnz_l:
+            return route(nnz_l).astype(table.dtype)
+
+        # Overflow fallback: identical routing at full capacity
+        # (cap = nnz_l can never overflow — a destination holds at most
+        # nnz_l requests). Every shard must take the same cond branch
+        # (collectives inside), so the predicate is made global.
+        overflow_any = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+        out = jax.lax.cond(
+            overflow_any,
+            lambda _: route(nnz_l),
+            lambda _: route(cap),
+            0,
+        )
+        return out.astype(table.dtype)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(*args)
