@@ -34,7 +34,11 @@ from cuembed_tpu.ops.transforms import (
     extract_row_ids_from_csr,
     transpose,
 )
-from cuembed_tpu.types import CombineMode, accumulation_dtype
+from cuembed_tpu.types import (
+    CombineMode,
+    accumulation_dtype,
+    canonical_index_dtype,
+)
 
 
 @dataclass(frozen=True)
@@ -78,6 +82,7 @@ def embedding_lookup(
     Returns:
       ``[batch, width]`` (SUM/MEAN) or ``[batch * hotness, width]`` (CONCAT).
     """
+    indices = _canonicalize_indices(indices, table.shape[0])
     if remap is not None:
         indices = jnp.take(remap, indices, axis=0)
     _validate(table, indices, None, weights, mode)
@@ -105,11 +110,26 @@ def embedding_lookup_csr(
     ``embedding_lookup.cuh:261-267``). ``remap`` as in
     :func:`embedding_lookup`.
     """
+    indices = _canonicalize_indices(indices, table.shape[0])
     if remap is not None:
         indices = jnp.take(remap, indices, axis=0)
     _validate(table, indices, offsets, weights, mode)
     cfg = _LookupConfig(mode, low_precision_math, backend, tiered_cfg)
     return _lookup(cfg, table, indices, offsets, weights)
+
+
+def _canonicalize_indices(indices, num_categories):
+    """Accept int32/int64 indices; run int64 through int32 when lossless.
+
+    The reference instantiates the full int64 surface
+    (``embedding_gpu_forward.cu:61-77``); TPUs are 32-bit-native, so int64
+    is narrowed whenever ``num_categories < 2**31`` (always, in practice).
+    """
+    target = canonical_index_dtype(
+        getattr(indices, "dtype", jnp.int32), num_categories
+    )
+    indices = jnp.asarray(indices)
+    return indices if indices.dtype == target else indices.astype(target)
 
 
 def _validate(table, indices, offsets, weights, mode):

@@ -133,6 +133,7 @@ def embedding_backward_xla(
     transpose_weights: Optional[jax.Array] = None,
     *,
     nnz: Optional[jax.Array] = None,
+    initial_grad: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full (dense-table-shaped) gradient from index-sorted COO.
 
@@ -146,6 +147,11 @@ def embedding_backward_xla(
       transpose_indices/sample_ids/weights: index-sorted COO ``[capacity]``.
       nnz: live prefix length (positions >= nnz are padding); defaults to
         the full capacity.
+      initial_grad: optional ``[num_categories, width]`` buffer to
+        accumulate into — the functional analog of the reference's
+        ``skip_grad_init=true`` calling convention
+        (``embedding_lookup.cuh:455-461``: caller owns a pre-initialized
+        gradient and the kernel only adds).
 
     Returns:
       ``[num_categories, width]`` gradient.
@@ -167,7 +173,10 @@ def embedding_backward_xla(
     # Padded entries carry an out-of-range index (callers pad with an
     # int32-max sentinel before the sort) — mode="drop" discards them; if
     # a caller passed in-range padding, coeff zero already neutralizes it.
-    grad = jnp.zeros((num_categories, grad_y.shape[1]), dtype=grad_y.dtype)
+    if initial_grad is None:
+        grad = jnp.zeros((num_categories, grad_y.shape[1]), dtype=grad_y.dtype)
+    else:
+        grad = initial_grad.astype(grad_y.dtype)
     return grad.at[transpose_indices].add(
         g, mode="drop", indices_are_sorted=True
     )

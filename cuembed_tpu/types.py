@@ -79,7 +79,10 @@ def canonical_index_dtype(indices, num_categories: Optional[int] = None):
     TPUs are 32-bit-native, so int64 indices are routed through int32
     whenever the table is small enough for that to be lossless.
     """
-    dt = np.dtype(getattr(indices, "dtype", indices))
+    try:
+        dt = np.dtype(indices)  # dtype-like (np.int32, "int64", jnp.int32)
+    except TypeError:
+        dt = np.dtype(indices.dtype)  # array-like
     if dt == np.int32:
         return jnp.int32
     if dt == np.int64:
