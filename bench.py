@@ -61,9 +61,9 @@ def main():
     )
     from cuembed_tpu.utils.datagen import PowerLawGenerator
     from cuembed_tpu.utils.frequency import (
-        cold_fraction,
         count_frequencies,
         frequency_order,
+        tier_fractions,
     )
 
     if args.quick:
@@ -118,9 +118,25 @@ def main():
         for _ in range(8):
             counts = count_frequencies(gen.sample(B), V, counts)
         _, remap = frequency_order(counts)
-        frac = cold_fraction(gen.sample(B), remap, cfg.hot_rows)
-        cfg = auto_config(V, W, elem, H, cold_fraction=frac)
-        idx_tiered = jnp.asarray(remap[idx_np])  # host-side remap (pipeline)
+        head_f, cold_f = tier_fractions(
+            gen.sample(B), remap, cfg.mxu_head_rows, cfg.hot_rows
+        )
+        cfg = auto_config(
+            V, W, elem, H, cold_fraction=cold_f, head_fraction=head_f
+        )
+        idx_rm = remap[idx_np]
+        idx_tiered = jnp.asarray(idx_rm)  # host-side remap (pipeline)
+        # capacity diagnostics (drives the lax.cond fallback if violated)
+        E = cfg.chunk_elems
+        flat = idx_rm.reshape(K, -1)
+        pad = (-flat.shape[1]) % E
+        flat = np.pad(flat, ((0, 0), (0, pad)))
+        ch = flat.reshape(K, -1, E)
+        mid_max = int((((ch >= cfg.mxu_head_rows) & (ch < cfg.hot_rows)).sum(-1)).max())
+        cold_max = int(((ch >= cfg.hot_rows).sum(-1)).max())
+        print(f"# tiered diag: head_f={head_f:.3f} cold_f={cold_f:.3f} "
+              f"mid max/slots {mid_max}/{cfg.mid_slots} "
+              f"cold max/slots {cold_max}/{cfg.cold_slots}", file=sys.stderr)
 
     app_bytes = forward_app_bytes(
         batch=B, hotness=H, width=W, elem_bytes=elem, mode=CombineMode.SUM

@@ -92,6 +92,22 @@ class TieredConfig:
     hot_rows: int
     chunk_elems: int = 1024
     cold_slots: int = 256
+    # Rows [0, mxu_head_rows) — the extreme power-law head (~60% of all
+    # draws at alpha=1.15) — are combined on the MXU via a one-hot matmul
+    # instead of per-row gathers, sidestepping the per-row descriptor
+    # bound entirely. Fixed-hotness only; 0 disables (2-tier path).
+    mxu_head_rows: int = 128
+    # Static per-chunk capacity for compacted mid-tier (hot-but-not-head)
+    # entries; only used by the 3-tier fixed-hotness path.
+    mid_slots: int = 640
+
+
+def _capacity(chunk_elems: int, p: float) -> int:
+    """Static slot count for a binomial(chunk_elems, p) load, mean + 6σ."""
+    p = min(max(p, 1e-3), 1.0)
+    mean = chunk_elems * p
+    slots = int(mean + 6.0 * sqrt(chunk_elems * p * (1.0 - p)) + 1)
+    return min(chunk_elems, max(8, -(-slots // 8) * 8))
 
 
 def auto_config(
@@ -101,13 +117,16 @@ def auto_config(
     hotness: int = 1,
     *,
     cold_fraction: float = 0.25,
+    head_fraction: float = 0.45,
     hot_bytes: int = DEFAULT_HOT_BYTES,
 ) -> Optional[TieredConfig]:
     """Pick a tiered config, or None when the whole table is VMEM-served.
 
-    ``cold_fraction`` is the expected fraction of lookups that miss the
-    hot head; it only sizes the static cold capacity (correctness never
-    depends on it thanks to the overflow fallback).
+    ``cold_fraction`` / ``head_fraction`` are the expected fractions of
+    lookups missing the hot head / hitting the MXU head rows; they only
+    size the static capacities (correctness never depends on them thanks
+    to the overflow fallback). Calibrate with
+    :func:`cuembed_tpu.utils.frequency.tier_fractions`.
     """
     table_bytes = num_categories * width * itemsize
     if table_bytes <= VMEM_TABLE_BYTES:
@@ -119,12 +138,13 @@ def auto_config(
     hotness = max(1, hotness)
     group = max(1, 1024 // hotness)
     chunk_elems = group * hotness
-    p = min(max(cold_fraction, 1e-3), 1.0)
-    mean = chunk_elems * p
-    slots = int(mean + 6.0 * sqrt(chunk_elems * p * (1.0 - p)) + 1)
-    slots = min(chunk_elems, max(8, -(-slots // 8) * 8))
+    mid_fraction = max(0.02, 1.0 - cold_fraction - head_fraction)
     return TieredConfig(
-        hot_rows=int(hot_rows), chunk_elems=chunk_elems, cold_slots=slots
+        hot_rows=int(hot_rows),
+        chunk_elems=chunk_elems,
+        cold_slots=_capacity(chunk_elems, cold_fraction),
+        mxu_head_rows=min(128, int(hot_rows)),
+        mid_slots=_capacity(chunk_elems, mid_fraction),
     )
 
 
@@ -167,14 +187,135 @@ def tiered_forward(
     """Tiered forward lookup. Same contract as ``embedding_forward_xla``
     minus CONCAT (a pure gather — tiering cannot help it).
 
-    Fixed-hotness: ``indices [batch, hotness]``. CSR: flat ``indices
-    [capacity]`` + ``offsets [batch+1]`` (positions >= offsets[-1] are
-    padding).
+    Fixed-hotness: ``indices [batch, hotness]``; served by the 3-tier
+    pipeline (MXU head / compacted VMEM mid / compacted HBM cold) when
+    ``cfg.mxu_head_rows > 0``, else by the 2-tier path. CSR: flat
+    ``indices [capacity]`` + ``offsets [batch+1]`` (positions >=
+    ``offsets[-1]`` are padding); always 2-tier — its scatter-based
+    combine would cancel the mid-tier win.
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("CONCAT is a pure gather; tiered path does not apply")
     acc_dt = accumulation_dtype(table.dtype, low_precision_math)
     coeff = _combine_coeff(indices, weights, offsets, mode, acc_dt)
+    if offsets is None and cfg.mxu_head_rows > 0:
+        return _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt)
+    return _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt)
+
+
+def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt):
+    """Fixed-hotness forward over three tiers, one sort, no full-N gather.
+
+    Positions are classed head (``idx < HEAD``), mid (``HEAD <= idx <
+    hot_rows``) or cold. One row-wise sort per chunk orders them
+    mid | head | cold, so the mid block is a static front slice and the
+    cold block a static back slice — the only per-row gathers are over
+    the *compacted* mid (VMEM rate) and cold (HBM rate) slots. The head —
+    the bulk of power-law traffic — never gathers at all: a one-hot
+    matmul combines it on the MXU. Coefficients ride the small one-hot
+    operands, so gathered rows stream in storage precision.
+    """
+    batch, hotness = indices.shape
+    width = table.shape[1]
+    C = cfg.hot_rows
+    HEAD = min(cfg.mxu_head_rows, C)
+    E = cfg.chunk_elems
+    if E % hotness != 0:
+        raise ValueError(
+            f"chunk_elems ({E}) must be a multiple of hotness ({hotness}); "
+            "use auto_config(..., hotness=...)"
+        )
+    GS = E // hotness  # samples per chunk
+    S_c = min(cfg.cold_slots, E)
+    S_m = min(cfg.mid_slots, E)
+
+    nmax = batch * hotness
+    flat = indices.reshape(-1).astype(jnp.int32)
+    cf = coeff.reshape(-1)
+    padded = -(-nmax // E) * E
+    if padded != nmax:
+        # Padding targets row 0 (head) with coefficient 0 — inert.
+        flat = jnp.pad(flat, (0, padded - nmax))
+        cf = jnp.pad(cf, (0, padded - nmax))
+    G = padded // E
+
+    xi = flat.reshape(G, E)
+    wi = cf.reshape(G, E)
+    sm = jax.lax.broadcasted_iota(jnp.int32, (G, E), 1) // hotness
+    key = jnp.where(xi < HEAD, 1, jnp.where(xi < C, 0, 2))
+
+    cnt_mid = jnp.sum((key == 0).astype(jnp.int32), axis=1)
+    cnt_cold = jnp.sum((key == 2).astype(jnp.int32), axis=1)
+    overflow = jnp.any(cnt_mid > S_m) | jnp.any(cnt_cold > S_c)
+
+    _, x_s, w_s, s_s = jax.lax.sort([key, xi, wi, sm], dimension=1, num_keys=1)
+
+    def combine(rows, samples, live_coeff):
+        """[G, S, W] rows + [G, S] sample-in-chunk -> [G*GS, W] via MXU."""
+        onehot = (
+            samples[..., None] == jnp.arange(GS, dtype=jnp.int32)
+        ).astype(acc_dt) * live_coeff[..., None]
+        part = jnp.einsum(
+            "gsw,gst->gtw", rows.astype(acc_dt) if rows.dtype != acc_dt
+            else rows, onehot, preferred_element_type=acc_dt,
+        )
+        return part.reshape(G * GS, width)
+
+    def fast(_):
+        # mid tier: static front slice, gather from the VMEM hot head.
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (G, S_m), 1)
+        m_live = iota_m < cnt_mid[:, None]
+        m_idx = jnp.where(m_live, x_s[:, :S_m], 0)
+        m_cf = jnp.where(m_live, w_s[:, :S_m], 0.0)
+        m_rows = jnp.take(table[:C], m_idx.reshape(-1), axis=0)
+        out = combine(m_rows.reshape(G, S_m, width), s_s[:, :S_m], m_cf)
+
+        # cold tier: static back slice, gather from the full HBM table.
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (G, S_c), 1)
+        c_live = iota_c >= (S_c - cnt_cold)[:, None]
+        c_idx = jnp.where(c_live, x_s[:, E - S_c:], 0)
+        c_cf = jnp.where(c_live, w_s[:, E - S_c:], 0.0)
+        c_rows = jnp.take(table, c_idx.reshape(-1), axis=0)
+        out = out + combine(
+            c_rows.reshape(G, S_c, width), s_s[:, E - S_c:], c_cf
+        )
+        return out[:batch]
+
+    def exact(_):
+        # Rare capacity overflow: plain full gather (slow, always right).
+        # Head positions are excluded — the MXU head matmul below the
+        # cond serves them on both branches.
+        cfe = jnp.where(flat[:nmax] < HEAD, 0.0, cf[:nmax])
+        rows = jnp.take(table, flat[:nmax], axis=0).astype(acc_dt)
+        rows = rows * cfe[:, None]
+        return jnp.sum(rows.reshape(batch, hotness, width), axis=1)
+
+    out = jax.lax.cond(overflow, exact, fast, 0)
+
+    # head tier: M[b, c] = sum of coefficients hitting row c < HEAD,
+    # built as one fused compare-reduce (never materializing [N, HEAD]),
+    # then one MXU matmul against the head slice.
+    idx2 = indices.astype(jnp.int32)
+    cols = jnp.arange(HEAD, dtype=jnp.int32)
+    m = jnp.sum(
+        jnp.where(idx2[:, :, None] == cols[None, None, :], coeff[:, :, None], 0),
+        axis=1,
+        dtype=acc_dt,
+    )
+    out = out + jnp.dot(
+        m, table[:HEAD].astype(acc_dt), preferred_element_type=acc_dt
+    )
+    return out.astype(table.dtype)
+
+
+def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt):
+    """Hot/cold forward: full-batch gather from the VMEM hot head plus a
+    per-chunk compacted cold gather. Serves CSR (scatter combine) and
+    fixed-hotness with the MXU head disabled."""
+    width = table.shape[1]
+    C = cfg.hot_rows
+    E = cfg.chunk_elems
+    S = min(cfg.cold_slots, E)
 
     if offsets is None:
         batch, hotness = indices.shape
@@ -182,6 +323,11 @@ def tiered_forward(
         flat_coeff = coeff.reshape(-1)
         nmax = batch * hotness
         sample_of_pos = None  # derived from position
+        if E % hotness != 0:
+            raise ValueError(
+                f"chunk_elems ({E}) must be a multiple of hotness "
+                f"({hotness}); use auto_config(..., hotness=...)"
+            )
     else:
         batch = offsets.shape[0] - 1
         nmax = indices.shape[0]
@@ -194,16 +340,6 @@ def tiered_forward(
             jnp.searchsorted(offsets, pos.astype(offsets.dtype), side="right")
             - 1
         ).clip(0, batch - 1).astype(jnp.int32)
-
-    C = cfg.hot_rows
-    E = cfg.chunk_elems
-    S = min(cfg.cold_slots, E)
-    width = table.shape[1]
-    if offsets is None and E % hotness != 0:
-        raise ValueError(
-            f"chunk_elems ({E}) must be a multiple of hotness ({hotness}); "
-            "use auto_config(..., hotness=...)"
-        )
 
     # --- pad the flat stream to a whole number of chunks -----------------
     padded = -(-nmax // E) * E
@@ -220,8 +356,7 @@ def tiered_forward(
     # --- hot tier: dense gather from the VMEM-resident head --------------
     hot_idx = jnp.where(is_cold, 0, flat_idx)
     hot_coeff = jnp.where(is_cold, 0.0, flat_coeff)
-    hot_head = table[:C]
-    hrows = jnp.take(hot_head, hot_idx, axis=0).astype(acc_dt)
+    hrows = jnp.take(table[:C], hot_idx, axis=0).astype(acc_dt)
     hrows = hrows * hot_coeff[:, None]
     if offsets is None:
         out = jnp.sum(hrows[:nmax].reshape(batch, hotness, width), axis=1)
@@ -257,13 +392,12 @@ def tiered_forward(
     def cold_fast(_):
         crows = jnp.take(table, cold_idx.reshape(-1), axis=0)
         crows = crows.reshape(G, S, width).astype(acc_dt)
-        crows = crows * cold_coeff[..., None]
         if offsets is None:
             gs = E // hotness  # samples per chunk
             onehot = (
                 cold_sm[..., None] % gs
                 == jnp.arange(gs, dtype=jnp.int32)
-            ).astype(acc_dt)
+            ).astype(acc_dt) * cold_coeff[..., None]
             part = jnp.einsum(
                 "gsw,gst->gtw",
                 crows,
@@ -271,6 +405,7 @@ def tiered_forward(
                 preferred_element_type=acc_dt,
             )
             return part.reshape(G * gs, width)[:batch]
+        crows = crows * cold_coeff[..., None]
         flat_rows = crows.reshape(G * S, width)
         return jnp.zeros((batch, width), acc_dt).at[
             cold_sm.reshape(-1)

@@ -58,6 +58,31 @@ def reorder_table(table, perm):
     return table[np.asarray(perm)]
 
 
+def tier_fractions(
+    indices: np.ndarray,
+    remap: Optional[np.ndarray],
+    head_rows: int,
+    hot_rows: int,
+    *,
+    margin: float = 1.3,
+) -> Tuple[float, float]:
+    """``(head_fraction, cold_fraction)`` estimates for auto_config.
+
+    ``head_fraction`` is reported with a *negative* margin (understating
+    the head overstates the mid tier, which is the safe direction for
+    capacity sizing); ``cold_fraction`` with a positive one.
+    """
+    flat = np.asarray(indices).reshape(-1)
+    if remap is not None:
+        flat = np.asarray(remap)[flat]
+    head = float(np.mean(flat < head_rows))
+    cold = float(np.mean(flat >= hot_rows))
+    return (
+        max(0.0, head / margin - 0.005),
+        min(1.0, max(1e-3, cold * margin + 0.005)),
+    )
+
+
 def cold_fraction(
     indices: np.ndarray,
     remap: Optional[np.ndarray],

@@ -133,6 +133,38 @@ def test_auto_config():
     assert cfg.hot_rows * 256 * 2 <= 84 * 1024 * 1024
     assert cfg.chunk_elems % 64 == 0
     assert cfg.cold_slots >= int(0.08 * cfg.chunk_elems)
+    assert 0 < cfg.mxu_head_rows <= 128
+    assert cfg.mid_slots >= int((1 - 0.08 - 0.45) * cfg.chunk_elems)
     # hotness larger than the nominal chunk width
     cfg2 = auto_config(10_000_000, 256, 2, 4096, cold_fraction=0.1)
     assert cfg2.chunk_elems == 4096
+
+
+def test_tier_fractions():
+    from cuembed_tpu.utils.frequency import tier_fractions
+
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 1000, (128, 16))
+    head, cold = tier_fractions(idx, None, head_rows=100, hot_rows=500)
+    assert 0 <= head <= np.mean(idx < 100)
+    assert cold >= np.mean(idx >= 500)
+
+
+def test_tiered_3tier_mid_overflow_falls_back():
+    """Mid-tier capacity overflow must route to the exact path without
+    double-counting the MXU head contribution."""
+    rng = np.random.default_rng(13)
+    V, W, C, batch, hotness = 400, 16, 200, 16, 8
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    # everything in the mid tier [HEAD, C) with tiny mid capacity
+    idx = rng.integers(64, C, (batch, hotness)).astype(np.int32)
+    idx[0, 0] = 3    # a head hit
+    idx[1, 0] = 300  # a cold hit
+    cfg = TieredConfig(
+        hot_rows=C, chunk_elems=32, cold_slots=8,
+        mxu_head_rows=64, mid_slots=8,
+    )
+    ref = embedding_forward_ref(table, idx, mode=CombineMode.SUM)
+    out = tiered_forward(jnp.asarray(table), jnp.asarray(idx),
+                         mode=CombineMode.SUM, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
