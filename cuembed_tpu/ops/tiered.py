@@ -256,8 +256,11 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt):
             samples[..., None] == jnp.arange(GS, dtype=jnp.int32)
         ).astype(acc_dt) * live_coeff[..., None]
         part = jnp.einsum(
-            "gsw,gst->gtw", rows.astype(acc_dt) if rows.dtype != acc_dt
-            else rows, onehot, preferred_element_type=acc_dt,
+            "gsw,gst->gtw",
+            rows.astype(acc_dt) if rows.dtype != acc_dt else rows,
+            onehot,
+            preferred_element_type=acc_dt,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return part.reshape(G * GS, width)
 
@@ -303,7 +306,10 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt):
         dtype=acc_dt,
     )
     out = out + jnp.dot(
-        m, table[:HEAD].astype(acc_dt), preferred_element_type=acc_dt
+        m,
+        table[:HEAD].astype(acc_dt),
+        preferred_element_type=acc_dt,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.astype(table.dtype)
 
@@ -403,6 +409,7 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt):
                 crows,
                 onehot,
                 preferred_element_type=acc_dt,
+                precision=jax.lax.Precision.HIGHEST,
             )
             return part.reshape(G * gs, width)[:batch]
         crows = crows * cold_coeff[..., None]
