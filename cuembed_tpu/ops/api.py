@@ -212,17 +212,81 @@ def _lookup_bwd(cfg, residuals, grad_y):
     if live is not None:
         coeff = coeff * live.astype(acc_dt)
 
-    # --- Transpose (sort by index) + deterministic segment backward ------
-    t_idx, t_sid, t_coeff = transpose(sample_ids, flat_idx, coeff)
-    grad_table = dispatch.backward(
-        grad_rows_in.astype(acc_dt),
-        num_categories,
-        t_idx,
-        t_sid,
-        t_coeff,
-        nnz=nnz,
-        backend=cfg.backend,
-    ).astype(table.dtype)
+    # --- Tiered backward (fixed-hotness with a tiered config) ------------
+    # The MXU head absorbs the scatter-hottest rows exactly
+    # (grad[:HEAD] = M^T @ grad_y), and the remaining positions sort to a
+    # static capacity so the scatter-add issues ~(1 - head_fraction) * nnz
+    # descriptors instead of nnz. Overflow falls back to the full-width
+    # scatter via lax.cond.
+    tiered = cfg.tiered_cfg
+    head_rows = (
+        tiered.mxu_head_rows
+        if (
+            tiered is not None
+            and offsets is None
+            and cfg.mode != CombineMode.CONCAT
+        )
+        else 0
+    )
+    if head_rows > 0:
+        gy = grad_rows_in.astype(acc_dt)
+        idx2 = indices.astype(jnp.int32)
+        cols = jnp.arange(head_rows, dtype=jnp.int32)
+        coeff2 = coeff.reshape(idx2.shape)
+        m = jnp.sum(
+            jnp.where(
+                idx2[:, :, None] == cols[None, None, :],
+                coeff2[:, :, None],
+                0,
+            ),
+            axis=1,
+            dtype=acc_dt,
+        )  # [batch, HEAD]
+        grad_head = jnp.dot(
+            m.T, gy, preferred_element_type=acc_dt,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [HEAD, width]
+
+        sentinel = jnp.iinfo(jnp.int32).max
+        rest_idx = jnp.where(flat_idx < head_rows, sentinel, flat_idx)
+        rest_count = jnp.sum((rest_idx != sentinel).astype(jnp.int32))
+        t_idx, t_sid, t_coeff = transpose(sample_ids, rest_idx, coeff)
+        e = tiered.chunk_elems
+        frac = min(1.0, (tiered.mid_slots + tiered.cold_slots) / e)
+        k_cap = min(nnz_cap, -(-int(nnz_cap * frac) // 8) * 8)
+
+        def scatter_k(_):
+            return dispatch.backward(
+                gy, num_categories, t_idx[:k_cap], t_sid[:k_cap],
+                t_coeff[:k_cap], nnz=None, backend=cfg.backend,
+            )
+
+        def scatter_all(_):
+            return dispatch.backward(
+                gy, num_categories, t_idx, t_sid, t_coeff,
+                nnz=None, backend=cfg.backend,
+            )
+
+        if k_cap >= nnz_cap:
+            grad_table = scatter_all(0)
+        else:
+            grad_table = jax.lax.cond(
+                rest_count <= k_cap, scatter_k, scatter_all, 0
+            )
+        grad_table = grad_table.at[:head_rows].add(grad_head)
+        grad_table = grad_table.astype(table.dtype)
+    else:
+        # --- Transpose (sort by index) + deterministic segment backward --
+        t_idx, t_sid, t_coeff = transpose(sample_ids, flat_idx, coeff)
+        grad_table = dispatch.backward(
+            grad_rows_in.astype(acc_dt),
+            num_categories,
+            t_idx,
+            t_sid,
+            t_coeff,
+            nnz=nnz,
+            backend=cfg.backend,
+        ).astype(table.dtype)
 
     # --- Gradient w.r.t. weights (extension beyond the reference) --------
     grad_weights = None

@@ -140,6 +140,82 @@ def test_auto_config():
     assert cfg2.chunk_elems == 4096
 
 
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_tiered_backward_matches_xla(mode, weighted):
+    """Gradients through the tiered custom_vjp (MXU-head backward +
+    capacity-bounded scatter) must match the plain XLA backward."""
+    if weighted and mode != CombineMode.SUM:
+        pytest.skip("weights only with SUM")
+    import jax
+    from cuembed_tpu import embedding_lookup
+
+    rng = np.random.default_rng(21)
+    V, W, batch, hotness = 600, 32, 48, 8
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(
+        _mixed_indices(rng, batch, hotness, 150, V, cold_p=0.3)
+    )
+    w = (
+        jnp.asarray(rng.standard_normal((batch, hotness)).astype(np.float32))
+        if weighted
+        else None
+    )
+    cfg = TieredConfig(
+        hot_rows=150, chunk_elems=64, cold_slots=48,
+        mxu_head_rows=64, mid_slots=48,
+    )
+
+    def loss(t, backend, tc):
+        out = embedding_lookup(
+            t, idx, w, mode=mode, backend=backend, tiered_cfg=tc
+        )
+        return jnp.sum(out**2)
+
+    g_t = jax.grad(loss)(table, "tiered", cfg)
+    g_x = jax.grad(loss)(table, "xla", None)
+    np.testing.assert_allclose(
+        np.asarray(g_t), np.asarray(g_x), rtol=2e-5, atol=2e-5
+    )
+    if weighted:
+        gw_t = jax.grad(lambda ww: jnp.sum(embedding_lookup(
+            table, idx, ww, mode=mode, backend="tiered", tiered_cfg=cfg
+        ) ** 2))(w)
+        gw_x = jax.grad(lambda ww: jnp.sum(embedding_lookup(
+            table, idx, ww, mode=mode, backend="xla"
+        ) ** 2))(w)
+        np.testing.assert_allclose(
+            np.asarray(gw_t), np.asarray(gw_x), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_tiered_backward_capacity_overflow():
+    """rest_count > k_cap must route to the full scatter (exact)."""
+    import jax
+    from cuembed_tpu import embedding_lookup
+
+    rng = np.random.default_rng(22)
+    V, W, batch, hotness = 400, 16, 32, 8
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    # everything outside the head -> rest_count == nnz > tiny k_cap
+    idx = jnp.asarray(rng.integers(64, V, (batch, hotness)).astype(np.int32))
+    cfg = TieredConfig(
+        hot_rows=200, chunk_elems=32, cold_slots=4,
+        mxu_head_rows=64, mid_slots=4,
+    )
+
+    def loss(t, backend, tc):
+        return jnp.sum(embedding_lookup(
+            t, idx, mode=CombineMode.SUM, backend=backend, tiered_cfg=tc
+        ) ** 2)
+
+    g_t = jax.grad(loss)(table, "tiered", cfg)
+    g_x = jax.grad(loss)(table, "xla", None)
+    np.testing.assert_allclose(
+        np.asarray(g_t), np.asarray(g_x), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_tier_fractions():
     from cuembed_tpu.utils.frequency import tier_fractions
 
