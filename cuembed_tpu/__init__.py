@@ -19,6 +19,11 @@ from cuembed_tpu.ops.lookup_xla import (
     embedding_forward_xla,
 )
 from cuembed_tpu.ops.tiered import TieredConfig, tiered_forward
+from cuembed_tpu.train import (
+    rowwise_adagrad_init,
+    rowwise_adagrad_sparse_update,
+    sgd_sparse_update,
+)
 from cuembed_tpu.ops.transforms import (
     compact_sparse_indices,
     compute_compressed_grad_indices,
@@ -39,6 +44,9 @@ __all__ = [
     "embedding_lookup_csr",
     "TieredConfig",
     "tiered_forward",
+    "sgd_sparse_update",
+    "rowwise_adagrad_init",
+    "rowwise_adagrad_sparse_update",
     "embedding_forward_xla",
     "embedding_backward_xla",
     "embedding_backward_compressed_xla",

@@ -1,0 +1,217 @@
+"""Sparse embedding-table training updates.
+
+``jax.grad`` through :func:`embedding_lookup` is exact but materializes a
+dense ``[num_categories, width]`` gradient — at the reference flagship
+scale that is a 10 GB fp32 buffer written (zeros) and read back every
+step, and it dominates the train step (measured: the dense fwd+bwd is
+~2x the sparse path on v5e). Production recommender stacks apply
+embedding gradients sparsely instead; this module provides that path:
+
+* :func:`embedding_grad_y` — split the model's backward at the pooled
+  embedding: dense parameters keep ordinary autodiff, the table receives
+  its update through the sparse routines below.
+* :func:`sgd_sparse_update` — ``table[r] -= lr * sum_p coeff_p * grad_y[s_p]``
+  applied with one sorted scatter-add (plus the MXU-head matmul when a
+  tiered config is given), never materializing the dense gradient.
+* :func:`rowwise_adagrad_sparse_update` — the standard DLRM embedding
+  optimizer (one accumulator scalar per row): compressed per-row
+  gradient sums via sort + segment reduction, then row-sparse updates of
+  the accumulator and the table.
+
+All functions are jittable with static shapes and deterministic (sorted
+segment reductions, no atomics — stronger than the reference, whose
+framework test needs ``allclose`` because of atomics,
+``cuembed_test.py:33``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cuembed_tpu.ops.lookup_xla import _segment_partials
+from cuembed_tpu.ops.tiered import TieredConfig
+from cuembed_tpu.ops.transforms import extract_row_ids_from_csr, transpose
+from cuembed_tpu.types import CombineMode, accumulation_dtype
+
+
+def embedding_grad_y(loss_fn, pooled, *args, **kwargs):
+    """Gradient of ``loss_fn(pooled, *args)`` w.r.t. the pooled embeddings.
+
+    The glue for sparse training: compute ``pooled = embedding_lookup(
+    stop_gradient(table), ...)`` (or just never differentiate w.r.t. the
+    table), then feed ``grad_y`` to a sparse update.
+    """
+    return jax.grad(loss_fn)(pooled, *args, **kwargs)
+
+
+def _flatten_coo(indices, offsets, weights, mode, acc_dt):
+    """Shared COO flattening: (flat_idx, sample_ids, coeff, batchish)."""
+    if offsets is None:
+        batch, hotness = indices.shape
+        n = batch * hotness
+        flat_idx = indices.reshape(-1).astype(jnp.int32)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        sample_ids = pos // hotness
+        coeff = jnp.ones((n,), acc_dt)
+        if weights is not None:
+            coeff = coeff * weights.reshape(-1).astype(acc_dt)
+        if mode == CombineMode.MEAN:
+            coeff = coeff / hotness
+    else:
+        batch = offsets.shape[0] - 1
+        n = indices.shape[0]
+        pos = jnp.arange(n, dtype=jnp.int32)
+        live = pos < offsets[-1]
+        flat_idx = jnp.where(live, indices.astype(jnp.int32), 0)
+        sample_ids = extract_row_ids_from_csr(offsets, indices).astype(
+            jnp.int32
+        )
+        coeff = live.astype(acc_dt)
+        if weights is not None:
+            coeff = coeff * weights.astype(acc_dt)
+        if mode == CombineMode.MEAN:
+            hot = (offsets[1:] - offsets[:-1]).astype(acc_dt)
+            inv = jnp.where(hot == 0, 0.0, 1.0 / jnp.maximum(hot, 1.0))
+            coeff = coeff * jnp.take(inv, sample_ids)
+    return flat_idx, sample_ids, coeff
+
+
+def sgd_sparse_update(
+    table: jax.Array,
+    indices: jax.Array,
+    grad_y: jax.Array,
+    *,
+    lr: float,
+    offsets: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+    mode: CombineMode = CombineMode.SUM,
+    tiered_cfg: Optional[TieredConfig] = None,
+) -> jax.Array:
+    """One SGD step on the table, applied sparsely.
+
+    Exactly ``table - lr * dense_grad`` (up to fp reassociation) without
+    ever allocating the dense gradient. With ``tiered_cfg``, the MXU head
+    absorbs the scatter-hottest rows as a matmul.
+    """
+    acc_dt = accumulation_dtype(table.dtype, False)
+    gy = grad_y.astype(acc_dt)
+    flat_idx, sample_ids, coeff = _flatten_coo(
+        indices, offsets, weights, mode, acc_dt
+    )
+
+    head = (
+        tiered_cfg.mxu_head_rows
+        if (tiered_cfg is not None and offsets is None)
+        else 0
+    )
+    head = min(head, table.shape[0])
+    if head > 0:
+        # grad[:head] = M^T @ grad_y with M[b, c] = sum of coefficients of
+        # sample b's positions hitting row c — a fused compare-reduce over
+        # [batch, hotness, head] (never materialized) + one small matmul.
+        cols = jnp.arange(head, dtype=jnp.int32)
+        idx2 = indices.astype(jnp.int32)
+        coeff2 = coeff.reshape(idx2.shape)
+        m = jnp.sum(
+            jnp.where(
+                idx2[:, :, None] == cols[None, None, :],
+                coeff2[:, :, None],
+                0,
+            ),
+            axis=1,
+            dtype=acc_dt,
+        )
+        grad_head = jnp.dot(
+            m.T, gy, preferred_element_type=acc_dt,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        table = table.at[:head].add((-lr * grad_head).astype(table.dtype))
+        sentinel = jnp.iinfo(jnp.int32).max
+        flat_idx = jnp.where(flat_idx < head, sentinel, flat_idx)
+
+    t_idx, t_sid, t_coeff = transpose(sample_ids, flat_idx, coeff)
+
+    def scatter(k):
+        g = jnp.take(gy, t_sid[:k], axis=0) * t_coeff[:k, None]
+        return table.at[t_idx[:k]].add(
+            (-lr * g).astype(table.dtype), mode="drop",
+            indices_are_sorted=True,
+        )
+
+    n = t_idx.shape[0]
+    if head > 0 and tiered_cfg is not None:
+        # Head positions sorted to the back (sentinel); bound the scatter
+        # at the calibrated non-head capacity, falling back on overflow.
+        e = tiered_cfg.chunk_elems
+        frac = min(1.0, (tiered_cfg.mid_slots + tiered_cfg.cold_slots) / e)
+        k_cap = min(n, -(-int(n * frac) // 8) * 8)
+        if k_cap < n:
+            sentinel = jnp.iinfo(jnp.int32).max
+            rest_count = jnp.sum((t_idx != sentinel).astype(jnp.int32))
+            return jax.lax.cond(
+                rest_count <= k_cap,
+                lambda _: scatter(k_cap),
+                lambda _: scatter(n),
+                0,
+            )
+    return scatter(n)
+
+
+def rowwise_adagrad_init(num_categories: int) -> jax.Array:
+    """Per-row accumulator state (fp32), one scalar per table row."""
+    return jnp.zeros((num_categories,), jnp.float32)
+
+
+def rowwise_adagrad_sparse_update(
+    table: jax.Array,
+    accum: jax.Array,
+    indices: jax.Array,
+    grad_y: jax.Array,
+    *,
+    lr: float,
+    eps: float = 1e-8,
+    offsets: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+    mode: CombineMode = CombineMode.SUM,
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-wise AdaGrad (the standard DLRM embedding optimizer).
+
+    Per touched row r with gradient row G_r:
+      ``accum[r] += mean(G_r^2)``;
+      ``table[r] -= lr * G_r / sqrt(accum[r] + eps)``.
+    Untouched rows are untouched — state and table updates are row-sparse
+    (scatter over the unique rows of this batch only).
+    """
+    acc_dt = jnp.float32
+    gy = grad_y.astype(acc_dt)
+    flat_idx, sample_ids, coeff = _flatten_coo(
+        indices, offsets, weights, mode, acc_dt
+    )
+    # Sort, then reduce each equal-index run to one compressed row.
+    sentinel = jnp.iinfo(jnp.int32).max
+    live_idx = jnp.where(coeff != 0, flat_idx, sentinel)
+    t_idx, t_sid, t_coeff = transpose(sample_ids, live_idx, coeff)
+    rows, unique_idx, num_unique = _segment_partials(
+        gy, t_idx, t_sid, t_coeff, None
+    )
+    cap = t_idx.shape[0]
+    rid = jnp.arange(cap, dtype=jnp.int32)
+    valid = rid < num_unique
+    safe_idx = jnp.where(valid, unique_idx, 0)
+
+    g2 = jnp.mean(rows * rows, axis=1) * valid  # [cap]
+    new_accum_rows = jnp.take(accum, safe_idx) + g2
+    accum = accum.at[jnp.where(valid, unique_idx, accum.shape[0])].set(
+        new_accum_rows, mode="drop", indices_are_sorted=True
+    )
+    scale = jnp.where(
+        valid, -lr / jnp.sqrt(new_accum_rows + eps), 0.0
+    )
+    update = rows * scale[:, None]
+    table = table.at[jnp.where(valid, unique_idx, table.shape[0])].add(
+        update.astype(table.dtype), mode="drop", indices_are_sorted=True
+    )
+    return table, accum

@@ -1,0 +1,125 @@
+"""Sparse-update training tests: parity vs dense autodiff gradients."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cuembed_tpu import CombineMode, embedding_lookup, embedding_lookup_csr
+from cuembed_tpu.ops.tiered import TieredConfig
+from cuembed_tpu.train import (
+    rowwise_adagrad_init,
+    rowwise_adagrad_sparse_update,
+    sgd_sparse_update,
+)
+
+
+def _dense_grad(table, idx, grad_y, *, offsets=None, weights=None,
+                mode=CombineMode.SUM):
+    def loss(t):
+        if offsets is None:
+            out = embedding_lookup(t, idx, weights, mode=mode, backend="xla")
+        else:
+            out = embedding_lookup_csr(
+                t, idx, offsets, weights, mode=mode, backend="xla"
+            )
+        return jnp.sum(out * grad_y)
+
+    return jax.grad(loss)(table)
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+@pytest.mark.parametrize("tiered", [None, "cfg"])
+def test_sgd_sparse_matches_dense(mode, tiered):
+    rng = np.random.default_rng(0)
+    V, W, B, H = 300, 16, 24, 6
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    grad_y = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    cfg = (
+        TieredConfig(hot_rows=100, chunk_elems=48, cold_slots=48,
+                     mxu_head_rows=32, mid_slots=48)
+        if tiered
+        else None
+    )
+    lr = 0.1
+    got = sgd_sparse_update(
+        table, idx, grad_y, lr=lr, mode=mode, tiered_cfg=cfg
+    )
+    want = table - lr * _dense_grad(table, idx, grad_y, mode=mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sgd_sparse_csr_weighted():
+    rng = np.random.default_rng(1)
+    V, W, B = 200, 8, 16
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    hots = rng.integers(0, 5, B)
+    offsets = jnp.asarray(
+        np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    )
+    cap = int(offsets[-1]) + 5
+    flat = jnp.asarray(rng.integers(0, V, cap).astype(np.int32))
+    w = jnp.asarray(rng.standard_normal(cap).astype(np.float32))
+    grad_y = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    lr = 0.05
+    got = sgd_sparse_update(
+        table, flat, grad_y, lr=lr, offsets=offsets, weights=w
+    )
+    want = table - lr * _dense_grad(
+        table, flat, grad_y, offsets=offsets, weights=w
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_rowwise_adagrad_matches_reference_math():
+    rng = np.random.default_rng(2)
+    V, W, B, H = 120, 8, 16, 4
+    table_np = rng.standard_normal((V, W)).astype(np.float32)
+    idx_np = rng.integers(0, V, (B, H)).astype(np.int32)
+    grad_y_np = rng.standard_normal((B, W)).astype(np.float32)
+    lr, eps = 0.1, 1e-8
+
+    table, accum = (
+        jnp.asarray(table_np),
+        rowwise_adagrad_init(V),
+    )
+    table2, accum2 = rowwise_adagrad_sparse_update(
+        table, accum, jnp.asarray(idx_np), jnp.asarray(grad_y_np), lr=lr, eps=eps
+    )
+
+    # numpy reference
+    dense = np.zeros((V, W), np.float32)
+    for b in range(B):
+        for h in range(H):
+            dense[idx_np[b, h]] += grad_y_np[b]
+    touched = np.unique(idx_np)
+    accum_ref = np.zeros((V,), np.float32)
+    table_ref = table_np.copy()
+    for r in touched:
+        accum_ref[r] += np.mean(dense[r] ** 2)
+        table_ref[r] -= lr * dense[r] / np.sqrt(accum_ref[r] + eps)
+
+    np.testing.assert_allclose(np.asarray(accum2), accum_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(table2), table_ref, rtol=1e-5, atol=1e-5)
+    # untouched rows identical
+    untouched = np.setdiff1d(np.arange(V), touched)
+    np.testing.assert_array_equal(
+        np.asarray(table2)[untouched], table_np[untouched]
+    )
+
+
+def test_adagrad_second_step_accumulates():
+    rng = np.random.default_rng(3)
+    V, W, B, H = 60, 4, 8, 2
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    accum = rowwise_adagrad_init(V)
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    t1, a1 = rowwise_adagrad_sparse_update(table, accum, idx, gy, lr=0.1)
+    t2, a2 = rowwise_adagrad_sparse_update(t1, a1, idx, gy, lr=0.1)
+    assert float(jnp.sum(a2)) > float(jnp.sum(a1)) > 0
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
