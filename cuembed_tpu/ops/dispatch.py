@@ -109,11 +109,12 @@ def forward(
                 "backend='tiered' but the table fits the VMEM budget; "
                 "use backend='auto' (the plain gather is already fast)"
             )
-    use_pallas = backend == "pallas" or (
-        backend == "auto"
-        and _on_tpu()
-        and pallas_forward_supported(table, indices, offsets, weights, mode)
-    )
+    # The Pallas forward is kept as an explicit opt-in: its scalar-core
+    # DMA issue rate (~34 M rows/s measured on v5e) loses to XLA's own
+    # gather emitter (~80 M rows/s from HBM, ~300 M rows/s from VMEM) —
+    # see docs/PERF_NOTES.md. "auto" therefore routes to the XLA path
+    # unless a tiered config applies (handled above).
+    use_pallas = backend == "pallas"
     if use_pallas:
         from cuembed_tpu.ops import pallas_forward
 
