@@ -19,6 +19,7 @@ from cuembed_tpu.ops.lookup_xla import (
     embedding_forward_xla,
 )
 from cuembed_tpu.ops.tiered import TieredConfig, tiered_forward
+from cuembed_tpu.collection import EmbeddingCollection, TableConfig
 from cuembed_tpu.train import (
     rowwise_adagrad_init,
     rowwise_adagrad_sparse_update,
@@ -44,6 +45,8 @@ __all__ = [
     "embedding_lookup_csr",
     "TieredConfig",
     "tiered_forward",
+    "EmbeddingCollection",
+    "TableConfig",
     "sgd_sparse_update",
     "rowwise_adagrad_init",
     "rowwise_adagrad_sparse_update",

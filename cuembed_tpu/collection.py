@@ -1,0 +1,219 @@
+"""Multi-table embedding collection.
+
+The reference's support matrix defers multi-table to "Future Release"
+(``README.md:110``); this is that layer, TPU-first: a set of named
+embedding tables managed together —
+
+* per-table tiered configs carved out of one shared VMEM hot-head budget
+  (proportional to each table's traffic share),
+* host-side frequency statistics and layout maintenance (reordering a
+  table + its id->row remap without changing lookup results),
+* collection-wide forward (`apply`) and row-sparse training updates
+  (`sgd_update`, `adagrad_*`) built on :mod:`cuembed_tpu.train`,
+* sharding-friendly: tables are plain pytree leaves, so
+  ``jax.device_put`` with row/column shardings from
+  :mod:`cuembed_tpu.parallel` applies per table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
+from cuembed_tpu.ops.tiered import DEFAULT_HOT_BYTES, TieredConfig, auto_config
+from cuembed_tpu.train import (
+    rowwise_adagrad_init,
+    rowwise_adagrad_sparse_update,
+    sgd_sparse_update,
+)
+from cuembed_tpu.types import CombineMode
+from cuembed_tpu.utils import frequency as freq
+
+LANES = 128
+
+
+@dataclass(frozen=True)
+class TableConfig:
+    """One table's static configuration."""
+
+    name: str
+    num_categories: int
+    width: int
+    mode: CombineMode = CombineMode.SUM
+    dtype: object = jnp.float32
+    hotness: int = 1            # expected hotness (capacity planning only)
+    traffic_share: float = 1.0  # relative lookup volume (hot-budget split)
+
+
+class EmbeddingCollection:
+    """A set of named embedding tables managed as one unit."""
+
+    def __init__(
+        self,
+        configs: Sequence[TableConfig],
+        *,
+        hot_bytes_total: int = DEFAULT_HOT_BYTES,
+        cold_fraction: float = 0.25,
+        head_fraction: float = 0.45,
+    ):
+        names = [c.name for c in configs]
+        if len(set(names)) != len(names):
+            raise ValueError("table names must be unique")
+        self.configs: Dict[str, TableConfig] = {c.name: c for c in configs}
+        total_share = sum(max(c.traffic_share, 0.0) for c in configs) or 1.0
+        self.tiered: Dict[str, Optional[TieredConfig]] = {}
+        for c in configs:
+            budget = int(hot_bytes_total * max(c.traffic_share, 0.0) / total_share)
+            self.tiered[c.name] = auto_config(
+                c.num_categories,
+                c.width,
+                jnp.dtype(c.dtype).itemsize,
+                c.hotness,
+                cold_fraction=cold_fraction,
+                head_fraction=head_fraction,
+                hot_bytes=max(budget, 1),
+            )
+
+    # -- params ------------------------------------------------------------
+    def init(self, key: jax.Array) -> Dict[str, jax.Array]:
+        keys = jax.random.split(key, len(self.configs))
+        tables = {}
+        for k, (name, c) in zip(keys, self.configs.items()):
+            scale = 1.0 / (c.width**0.5)
+            tables[name] = jax.random.uniform(
+                k, (c.num_categories, c.width), jnp.float32, -scale, scale
+            ).astype(c.dtype)
+        return tables
+
+    # -- frequency layout maintenance (host side) ---------------------------
+    def init_counts(self) -> Dict[str, np.ndarray]:
+        return {
+            name: np.zeros((c.num_categories,), np.int64)
+            for name, c in self.configs.items()
+        }
+
+    def update_counts(
+        self, counts: Dict[str, np.ndarray], indices: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        for name, idx in indices.items():
+            counts[name] = freq.count_frequencies(
+                idx, self.configs[name].num_categories, counts[name]
+            )
+        return counts
+
+    def reorder(
+        self, tables: Dict[str, jax.Array], counts: Dict[str, np.ndarray]
+    ) -> Tuple[Dict[str, jax.Array], Dict[str, np.ndarray]]:
+        """Frequency-reorder every table; returns (tables, remaps).
+
+        ``lookup(reordered[name], remap[name][idx])`` equals
+        ``lookup(original[name], idx)``. Remaps are host numpy — apply
+        them in the input pipeline (:mod:`cuembed_tpu.native`).
+        """
+        new_tables, remaps = {}, {}
+        for name, t in tables.items():
+            perm, remap = freq.frequency_order(counts[name])
+            new_tables[name] = jnp.asarray(np.asarray(t)[perm])
+            remaps[name] = remap
+        return new_tables, remaps
+
+    # -- forward -------------------------------------------------------------
+    def apply(
+        self,
+        tables: Dict[str, jax.Array],
+        indices: Dict[str, jax.Array],
+        weights: Optional[Dict[str, jax.Array]] = None,
+        offsets: Optional[Dict[str, jax.Array]] = None,
+        *,
+        backend: str = "auto",
+        tiered: bool = False,
+    ) -> Dict[str, jax.Array]:
+        """Pooled lookup for every table present in ``indices``.
+
+        ``tiered=True`` engages each table's tiered config (requires
+        frequency-ordered tables + remapped ids — see :meth:`reorder`).
+        """
+        out = {}
+        for name, idx in indices.items():
+            c = self.configs[name]
+            w = weights.get(name) if weights else None
+            off = offsets.get(name) if offsets else None
+            tc = self.tiered[name] if tiered else None
+            be = "tiered" if (tiered and tc is not None) else backend
+            if off is not None:
+                out[name] = embedding_lookup_csr(
+                    tables[name], idx, off, w, mode=c.mode,
+                    backend=be, tiered_cfg=tc,
+                )
+            else:
+                out[name] = embedding_lookup(
+                    tables[name], idx, w, mode=c.mode,
+                    backend=be, tiered_cfg=tc,
+                )
+        return out
+
+    # -- sparse training ------------------------------------------------------
+    def sgd_update(
+        self,
+        tables: Dict[str, jax.Array],
+        indices: Dict[str, jax.Array],
+        grads_y: Dict[str, jax.Array],
+        *,
+        lr: float,
+        weights: Optional[Dict[str, jax.Array]] = None,
+        offsets: Optional[Dict[str, jax.Array]] = None,
+        tiered: bool = False,
+    ) -> Dict[str, jax.Array]:
+        new = dict(tables)
+        for name, gy in grads_y.items():
+            c = self.configs[name]
+            new[name] = sgd_sparse_update(
+                tables[name],
+                indices[name],
+                gy,
+                lr=lr,
+                offsets=offsets.get(name) if offsets else None,
+                weights=weights.get(name) if weights else None,
+                mode=c.mode,
+                tiered_cfg=self.tiered[name] if tiered else None,
+            )
+        return new
+
+    def adagrad_init(self) -> Dict[str, jax.Array]:
+        return {
+            name: rowwise_adagrad_init(c.num_categories)
+            for name, c in self.configs.items()
+        }
+
+    def adagrad_update(
+        self,
+        tables: Dict[str, jax.Array],
+        accums: Dict[str, jax.Array],
+        indices: Dict[str, jax.Array],
+        grads_y: Dict[str, jax.Array],
+        *,
+        lr: float,
+        eps: float = 1e-8,
+        weights: Optional[Dict[str, jax.Array]] = None,
+        offsets: Optional[Dict[str, jax.Array]] = None,
+    ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+        new_t, new_a = dict(tables), dict(accums)
+        for name, gy in grads_y.items():
+            c = self.configs[name]
+            new_t[name], new_a[name] = rowwise_adagrad_sparse_update(
+                tables[name],
+                accums[name],
+                indices[name],
+                gy,
+                lr=lr,
+                eps=eps,
+                offsets=offsets.get(name) if offsets else None,
+                weights=weights.get(name) if weights else None,
+                mode=c.mode,
+            )
+        return new_t, new_a

@@ -1,0 +1,123 @@
+"""EmbeddingCollection tests: multi-table forward, reorder invariance,
+sparse training parity."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cuembed_tpu import CombineMode, embedding_lookup
+from cuembed_tpu.collection import EmbeddingCollection, TableConfig
+
+
+def _make():
+    return EmbeddingCollection(
+        [
+            TableConfig("ads", 500, 16, hotness=4, traffic_share=3.0),
+            TableConfig("user", 300, 32, mode=CombineMode.MEAN, hotness=2),
+        ]
+    )
+
+
+def test_apply_matches_single_lookups():
+    coll = _make()
+    tables = coll.init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    idx = {
+        "ads": jnp.asarray(rng.integers(0, 500, (8, 4)).astype(np.int32)),
+        "user": jnp.asarray(rng.integers(0, 300, (8, 2)).astype(np.int32)),
+    }
+    out = coll.apply(tables, idx, backend="xla")
+    want_ads = embedding_lookup(tables["ads"], idx["ads"], backend="xla")
+    want_user = embedding_lookup(
+        tables["user"], idx["user"], mode=CombineMode.MEAN, backend="xla"
+    )
+    np.testing.assert_array_equal(np.asarray(out["ads"]), np.asarray(want_ads))
+    np.testing.assert_array_equal(np.asarray(out["user"]), np.asarray(want_user))
+
+
+def test_reorder_preserves_lookup_results():
+    coll = _make()
+    tables = coll.init(jax.random.key(2))
+    rng = np.random.default_rng(3)
+    idx_np = {
+        "ads": rng.integers(0, 500, (32, 4)).astype(np.int32),
+        "user": rng.integers(0, 300, (32, 2)).astype(np.int32),
+    }
+    counts = coll.init_counts()
+    counts = coll.update_counts(counts, idx_np)
+    new_tables, remaps = coll.reorder(tables, counts)
+    for name in ("ads", "user"):
+        before = embedding_lookup(
+            tables[name], jnp.asarray(idx_np[name]),
+            mode=coll.configs[name].mode, backend="xla",
+        )
+        after = embedding_lookup(
+            new_tables[name], jnp.asarray(remaps[name][idx_np[name]]),
+            mode=coll.configs[name].mode, backend="xla",
+        )
+        np.testing.assert_allclose(
+            np.asarray(before), np.asarray(after), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_sgd_update_matches_dense():
+    coll = _make()
+    tables = coll.init(jax.random.key(4))
+    rng = np.random.default_rng(5)
+    idx = {
+        "ads": jnp.asarray(rng.integers(0, 500, (8, 4)).astype(np.int32)),
+        "user": jnp.asarray(rng.integers(0, 300, (8, 2)).astype(np.int32)),
+    }
+    gy = {
+        "ads": jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32)),
+        "user": jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32)),
+    }
+    lr = 0.1
+    new = coll.sgd_update(tables, idx, gy, lr=lr)
+    for name in ("ads", "user"):
+        def loss(t):
+            return jnp.sum(
+                embedding_lookup(
+                    t, idx[name], mode=coll.configs[name].mode, backend="xla"
+                )
+                * gy[name]
+            )
+
+        want = tables[name] - lr * jax.grad(loss)(tables[name])
+        np.testing.assert_allclose(
+            np.asarray(new[name]), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_adagrad_update_runs_and_accumulates():
+    coll = _make()
+    tables = coll.init(jax.random.key(6))
+    accums = coll.adagrad_init()
+    rng = np.random.default_rng(7)
+    idx = {
+        "ads": jnp.asarray(rng.integers(0, 500, (8, 4)).astype(np.int32)),
+        "user": jnp.asarray(rng.integers(0, 300, (8, 2)).astype(np.int32)),
+    }
+    gy = {
+        "ads": jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32)),
+        "user": jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32)),
+    }
+    t2, a2 = coll.adagrad_update(tables, accums, idx, gy, lr=0.1)
+    for name in ("ads", "user"):
+        assert float(jnp.sum(a2[name])) > 0
+        assert not np.allclose(np.asarray(t2[name]), np.asarray(tables[name]))
+
+
+def test_hot_budget_split():
+    coll = EmbeddingCollection(
+        [
+            TableConfig("big", 10_000_000, 256, dtype=jnp.bfloat16,
+                        hotness=64, traffic_share=3.0),
+            TableConfig("small", 1_000, 16),
+        ],
+    )
+    # big table gets a tiered config; tiny table fits VMEM outright
+    assert coll.tiered["big"] is not None
+    assert coll.tiered["small"] is None
+    assert coll.tiered["big"].hot_rows * 256 * 2 <= 84 * 1024 * 1024
