@@ -115,12 +115,25 @@ def main():
     cfg = auto_config(V, W, elem, H)
     idx_tiered = None
     if cfg is not None:
+        from cuembed_tpu import native as ce_native
+
         counts = None
-        for _ in range(8):
-            counts = count_frequencies(gen.sample(B), V, counts)
+        if ce_native.AVAILABLE:
+            # The native generator is ~10x faster; feed it the SAME
+            # category permutation so its id space matches the workload.
+            for i in range(24):
+                calib = ce_native.powerlaw_indices(
+                    V - 1, H, alpha, B, seed=1000 + i,
+                    permutation=gen.permutation,
+                )
+                counts = count_frequencies(calib, V, counts)
+        else:
+            for _ in range(8):
+                counts = count_frequencies(gen.sample(B), V, counts)
         _, remap = frequency_order(counts)
         head_f, cold_f = tier_fractions(
-            gen.sample(B), remap, cfg.mxu_head_rows, cfg.hot_rows
+            gen.sample(B), remap, cfg.mxu_head_rows, cfg.hot_rows,
+            margin=1.15,
         )
         cfg = auto_config(
             V, W, elem, H, cold_fraction=cold_f, head_fraction=head_f

@@ -75,6 +75,12 @@ class PowerLawGenerator:
             # (datagen.cpp:64-74).
             self._permutation = self._rng.permutation(self.num_categories + 1)
 
+    @property
+    def permutation(self):
+        """The category permutation (or None), e.g. for feeding the
+        native generator so both produce the same id space."""
+        return self._permutation
+
     def _draw(self, n: int) -> np.ndarray:
         u = self._rng.random(n)
         if self.alpha == 0.0:
