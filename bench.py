@@ -121,7 +121,7 @@ def main():
         if ce_native.AVAILABLE:
             # The native generator is ~10x faster; feed it the SAME
             # category permutation so its id space matches the workload.
-            for i in range(24):
+            for i in range(48):
                 calib = ce_native.powerlaw_indices(
                     V - 1, H, alpha, B, seed=1000 + i,
                     permutation=gen.permutation,

@@ -222,7 +222,7 @@ def main(argv):
         from cuembed_tpu.ops.tiered import auto_config as tiered_auto
         from cuembed_tpu.utils.datagen import PowerLawGenerator
         from cuembed_tpu.utils.frequency import (
-            cold_fraction, count_frequencies, frequency_order,
+            count_frequencies, frequency_order, tier_fractions,
         )
 
         cfg0 = tiered_auto(FLAGS.num_categories, width, elem,
@@ -242,16 +242,29 @@ def main(argv):
             )
             gen.sample(batch)  # == the measured batch; not used for stats
             counts = None
-            for _ in range(4):
-                counts = count_frequencies(gen.sample(batch), FLAGS.num_categories, counts)
+            n_calib = 24 if ce_native.AVAILABLE else 4
+            for i in range(n_calib):
+                if ce_native.AVAILABLE:
+                    calib = ce_native.powerlaw_indices(
+                        FLAGS.num_categories - 1, options.hotness,
+                        FLAGS.alpha, batch, seed=9000 + i,
+                        permutation=gen.permutation,
+                    )
+                else:
+                    calib = gen.sample(batch)
+                counts = count_frequencies(calib, FLAGS.num_categories, counts)
             _, remap = frequency_order(counts)
-            frac = cold_fraction(gen.sample(batch), remap, cfg0.hot_rows)
+            head_f, cold_f = tier_fractions(
+                gen.sample(batch), remap, cfg0.mxu_head_rows, cfg0.hot_rows,
+                margin=1.15,
+            )
             tiered_cfg = tiered_auto(
                 FLAGS.num_categories, width, elem,
-                1 if options.is_csr else options.hotness, cold_fraction=frac,
+                1 if options.is_csr else options.hotness,
+                cold_fraction=cold_f, head_fraction=head_f,
             )
             indices_host = ce_native.remap_indices(indices_host, remap)
-            log(f"tiered: {tiered_cfg}, est cold fraction {frac:.3f}, "
+            log(f"tiered: {tiered_cfg}, est head/cold {head_f:.3f}/{cold_f:.3f}, "
                 f"native host remap: {ce_native.AVAILABLE}")
 
     idx_dev = jnp.asarray(indices_host)

@@ -215,5 +215,6 @@ class EmbeddingCollection:
                 offsets=offsets.get(name) if offsets else None,
                 weights=weights.get(name) if weights else None,
                 mode=c.mode,
+                tiered_cfg=self.tiered[name],
             )
         return new_t, new_a

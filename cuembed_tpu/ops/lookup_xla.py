@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from cuembed_tpu.ops.transforms import (
     compact_sparse_indices,
     compute_compressed_grad_indices,
+    extract_row_ids_from_csr,
     transpose,
 )
 from cuembed_tpu.types import CombineMode, accumulation_dtype
@@ -89,9 +90,9 @@ def embedding_forward_xla(
     cap = indices.shape[0]
     pos = jnp.arange(cap, dtype=offsets.dtype)
     valid = pos < offsets[-1]
-    sample_of_pos = (
-        jnp.searchsorted(offsets, pos, side="right") - 1
-    ).clip(0, batch - 1)
+    sample_of_pos = extract_row_ids_from_csr(offsets, indices).astype(
+        jnp.int32
+    )
     rows = jnp.take(table, indices, axis=0).astype(acc_dt)  # [cap, D]
     coeff = jnp.where(valid, jnp.ones((cap,), acc_dt), jnp.zeros((cap,), acc_dt))
     if weights is not None:

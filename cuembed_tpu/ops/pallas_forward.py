@@ -249,8 +249,10 @@ def csr_to_fixed(indices, offsets, weights=None, *, mode=CombineMode.SUM):
     cap = indices.shape[0]
     counts = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
     max_h = cap  # static worst-case bound
+    from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
+
     pos = jnp.arange(cap, dtype=jnp.int32)
-    sample = (jnp.searchsorted(offsets, pos, side="right") - 1).clip(0, batch - 1)
+    sample = extract_row_ids_from_csr(offsets, indices).astype(jnp.int32)
     rank = pos - jnp.take(offsets, sample).astype(jnp.int32)
     live = pos < offsets[-1]
 

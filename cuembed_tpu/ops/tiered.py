@@ -65,6 +65,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
 from cuembed_tpu.types import CombineMode, accumulation_dtype
 
 # Default VMEM budget for the hot head. v5e/v5p have 128 MiB of VMEM; XLA
@@ -163,11 +164,7 @@ def _combine_coeff(indices, weights, offsets, mode, acc_dt):
             batch = offsets.shape[0] - 1
             hot = (offsets[1:] - offsets[:-1]).astype(acc_dt)
             inv = jnp.where(hot == 0, 0.0, 1.0 / jnp.maximum(hot, 1.0))
-            cap = indices.shape[0]
-            pos = jnp.arange(cap, dtype=offsets.dtype)
-            sm = (jnp.searchsorted(offsets, pos, side="right") - 1).clip(
-                0, batch - 1
-            )
+            sm = extract_row_ids_from_csr(offsets, indices)
             coeff = coeff * jnp.take(inv, sm)
     return coeff
 
@@ -350,10 +347,9 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt):
         live = pos < offsets[-1]
         flat_idx = jnp.where(live, indices.astype(jnp.int32), 0)
         flat_coeff = jnp.where(live, coeff, 0.0)
-        sample_of_pos = (
-            jnp.searchsorted(offsets, pos.astype(offsets.dtype), side="right")
-            - 1
-        ).clip(0, batch - 1).astype(jnp.int32)
+        sample_of_pos = extract_row_ids_from_csr(offsets, indices).astype(
+            jnp.int32
+        )
 
     # --- pad the flat stream to a whole number of chunks -----------------
     padded = -(-nmax // E) * E

@@ -39,12 +39,18 @@ def extract_row_ids_from_csr(offsets: jax.Array, indices: jax.Array) -> jax.Arra
     (reference ``index_transforms.cuh:67-74``). ``indices`` is only used for
     its static length (the nnz capacity); positions past ``offsets[-1]`` get
     clamped into the last sample and must be masked by callers.
+
+    Implementation: one boundary scatter + cumsum. (A ``searchsorted``
+    formulation lowers to ~log(batch) sequential device gathers and
+    measured ~100x slower at 262K nonzeros on v5e.)
     """
     nnz = indices.shape[0]
-    pos = jnp.arange(nnz, dtype=offsets.dtype)
-    return (
-        jnp.searchsorted(offsets, pos, side="right").astype(indices.dtype) - 1
-    ).clip(0, offsets.shape[0] - 2)
+    batch = offsets.shape[0] - 1
+    # +1 at each sample boundary offsets[1..batch-1]; empty samples stack.
+    marks = jnp.zeros((nnz,), indices.dtype).at[
+        offsets[1:batch].astype(jnp.int32)
+    ].add(1, mode="drop")
+    return jnp.cumsum(marks).astype(indices.dtype)
 
 
 @partial(jax.jit, static_argnums=(0, 1))

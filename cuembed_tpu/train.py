@@ -176,6 +176,7 @@ def rowwise_adagrad_sparse_update(
     offsets: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
     mode: CombineMode = CombineMode.SUM,
+    tiered_cfg: Optional[TieredConfig] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Row-wise AdaGrad (the standard DLRM embedding optimizer).
 
@@ -183,35 +184,83 @@ def rowwise_adagrad_sparse_update(
       ``accum[r] += mean(G_r^2)``;
       ``table[r] -= lr * G_r / sqrt(accum[r] + eps)``.
     Untouched rows are untouched — state and table updates are row-sparse
-    (scatter over the unique rows of this batch only).
+    (scatter over the unique rows of this batch only). With a
+    ``tiered_cfg`` (fixed-hotness), the MXU head computes G_r for the
+    scatter-hottest rows exactly as one matmul and their state update is
+    a dense slice op, and the remaining segment reduction is bounded at
+    the calibrated non-head capacity.
     """
     acc_dt = jnp.float32
     gy = grad_y.astype(acc_dt)
     flat_idx, sample_ids, coeff = _flatten_coo(
         indices, offsets, weights, mode, acc_dt
     )
-    # Sort, then reduce each equal-index run to one compressed row.
     sentinel = jnp.iinfo(jnp.int32).max
     live_idx = jnp.where(coeff != 0, flat_idx, sentinel)
-    t_idx, t_sid, t_coeff = transpose(sample_ids, live_idx, coeff)
-    rows, unique_idx, num_unique = _segment_partials(
-        gy, t_idx, t_sid, t_coeff, None
-    )
-    cap = t_idx.shape[0]
-    rid = jnp.arange(cap, dtype=jnp.int32)
-    valid = rid < num_unique
-    safe_idx = jnp.where(valid, unique_idx, 0)
 
-    g2 = jnp.mean(rows * rows, axis=1) * valid  # [cap]
-    new_accum_rows = jnp.take(accum, safe_idx) + g2
-    accum = accum.at[jnp.where(valid, unique_idx, accum.shape[0])].set(
-        new_accum_rows, mode="drop", indices_are_sorted=True
+    head = (
+        tiered_cfg.mxu_head_rows
+        if (tiered_cfg is not None and offsets is None)
+        else 0
     )
-    scale = jnp.where(
-        valid, -lr / jnp.sqrt(new_accum_rows + eps), 0.0
-    )
-    update = rows * scale[:, None]
-    table = table.at[jnp.where(valid, unique_idx, table.shape[0])].add(
-        update.astype(table.dtype), mode="drop", indices_are_sorted=True
-    )
-    return table, accum
+    head = min(head, table.shape[0])
+    if head > 0:
+        cols = jnp.arange(head, dtype=jnp.int32)
+        idx2 = indices.astype(jnp.int32)
+        coeff2 = coeff.reshape(idx2.shape)
+        m = jnp.sum(
+            jnp.where(
+                idx2[:, :, None] == cols[None, None, :],
+                coeff2[:, :, None],
+                0,
+            ),
+            axis=1,
+            dtype=acc_dt,
+        )
+        g_head = jnp.dot(
+            m.T, gy, preferred_element_type=acc_dt,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [head, W]; exactly zero rows for untouched head rows
+        new_acc_head = accum[:head] + jnp.mean(g_head * g_head, axis=1)
+        upd = -lr * g_head / jnp.sqrt(new_acc_head + eps)[:, None]
+        table = table.at[:head].add(upd.astype(table.dtype))
+        accum = accum.at[:head].set(new_acc_head)
+        live_idx = jnp.where(live_idx < head, sentinel, live_idx)
+
+    t_idx, t_sid, t_coeff = transpose(sample_ids, live_idx, coeff)
+
+    def apply_rest(k):
+        rows, unique_idx, num_unique = _segment_partials(
+            gy, t_idx[:k], t_sid[:k], t_coeff[:k], None
+        )
+        rid = jnp.arange(k, dtype=jnp.int32)
+        valid = rid < num_unique
+        safe_idx = jnp.where(valid, unique_idx, 0)
+
+        g2 = jnp.mean(rows * rows, axis=1) * valid  # [k]
+        new_accum_rows = jnp.take(accum, safe_idx) + g2
+        new_accum = accum.at[
+            jnp.where(valid, unique_idx, accum.shape[0])
+        ].set(new_accum_rows, mode="drop", indices_are_sorted=True)
+        scale = jnp.where(valid, -lr / jnp.sqrt(new_accum_rows + eps), 0.0)
+        update = rows * scale[:, None]
+        new_table = table.at[
+            jnp.where(valid, unique_idx, table.shape[0])
+        ].add(update.astype(table.dtype), mode="drop",
+              indices_are_sorted=True)
+        return new_table, new_accum
+
+    n = t_idx.shape[0]
+    if head > 0 and tiered_cfg is not None:
+        e = tiered_cfg.chunk_elems
+        frac = min(1.0, (tiered_cfg.mid_slots + tiered_cfg.cold_slots) / e)
+        k_cap = min(n, -(-int(n * frac) // 8) * 8)
+        if k_cap < n:
+            rest_count = jnp.sum((t_idx != sentinel).astype(jnp.int32))
+            return jax.lax.cond(
+                rest_count <= k_cap,
+                lambda _: apply_rest(k_cap),
+                lambda _: apply_rest(n),
+                0,
+            )
+    return apply_rest(n)

@@ -112,6 +112,43 @@ def test_rowwise_adagrad_matches_reference_math():
     )
 
 
+def test_adagrad_tiered_matches_plain():
+    rng = np.random.default_rng(11)
+    V, W, B, H = 300, 8, 32, 6
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    accum = rowwise_adagrad_init(V) + 0.5  # nonzero state
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    cfg = TieredConfig(hot_rows=120, chunk_elems=48, cold_slots=48,
+                       mxu_head_rows=48, mid_slots=48)
+    t_plain, a_plain = rowwise_adagrad_sparse_update(
+        table, accum, idx, gy, lr=0.1)
+    t_tier, a_tier = rowwise_adagrad_sparse_update(
+        table, accum, idx, gy, lr=0.1, tiered_cfg=cfg)
+    np.testing.assert_allclose(np.asarray(t_tier), np.asarray(t_plain),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a_tier), np.asarray(a_plain),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_adagrad_tiered_capacity_overflow_exact():
+    rng = np.random.default_rng(12)
+    V, W, B, H = 200, 8, 16, 8
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    accum = rowwise_adagrad_init(V)
+    idx = jnp.asarray(rng.integers(64, V, (B, H)).astype(np.int32))  # no head
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    cfg = TieredConfig(hot_rows=150, chunk_elems=32, cold_slots=4,
+                       mxu_head_rows=64, mid_slots=4)
+    t_plain, a_plain = rowwise_adagrad_sparse_update(table, accum, idx, gy, lr=0.1)
+    t_tier, a_tier = rowwise_adagrad_sparse_update(
+        table, accum, idx, gy, lr=0.1, tiered_cfg=cfg)
+    np.testing.assert_allclose(np.asarray(t_tier), np.asarray(t_plain),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a_tier), np.asarray(a_plain),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_adagrad_second_step_accumulates():
     rng = np.random.default_rng(3)
     V, W, B, H = 60, 4, 8, 2
