@@ -66,6 +66,7 @@ def main():
         tier_fractions,
     )
 
+
     if args.quick:
         V, B, H, W, alpha, dtype = 1_000_000, 8192, 32, 256, 1.15, jnp.float32
     else:
@@ -131,12 +132,26 @@ def main():
             for _ in range(8):
                 counts = count_frequencies(gen.sample(B), V, counts)
         _, remap = frequency_order(counts)
+        calib_batch = gen.sample(B)
         head_f, cold_f = tier_fractions(
-            gen.sample(B), remap, cfg.mxu_head_rows, cfg.hot_rows,
+            calib_batch, remap, cfg.mxu_head_rows, cfg.hot_rows,
             margin=1.15,
         )
         cfg = auto_config(
             V, W, elem, H, cold_fraction=cold_f, head_fraction=head_f
+        )
+        # Tighten static capacities to observed per-chunk maxima (+15%);
+        # undersizing only triggers the exact fallback.
+        from dataclasses import replace as _replace
+        from cuembed_tpu.utils.frequency import calibrate_capacities
+        mid_s, cold_s = calibrate_capacities(
+            np.stack([calib_batch, gen.sample(B)]), remap,
+            cfg.mxu_head_rows, cfg.hot_rows, cfg.chunk_elems,
+        )
+        cfg = _replace(
+            cfg,
+            mid_slots=min(cfg.mid_slots, mid_s),
+            cold_slots=min(cfg.cold_slots, cold_s),
         )
         idx_rm = remap[idx_np]
         idx_tiered = jnp.asarray(idx_rm)  # host-side remap (pipeline)

@@ -247,7 +247,17 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt):
     cnt_cold = jnp.sum((key == 2).astype(jnp.int32), axis=1)
     overflow = jnp.any(cnt_mid > S_m) | jnp.any(cnt_cold > S_c)
 
-    _, x_s, w_s, s_s = jax.lax.sort([key, xi, wi, sm], dimension=1, num_keys=1)
+    if C < (1 << 28):
+        # Pack (tier, idx) into one int32 sort key — one fewer sort
+        # operand (~25% off the dominant row-wise sort).
+        comp, w_s, s_s = jax.lax.sort(
+            [(key << 28) | xi, wi, sm], dimension=1, num_keys=1
+        )
+        x_s = comp & ((1 << 28) - 1)
+    else:
+        _, x_s, w_s, s_s = jax.lax.sort(
+            [key, xi, wi, sm], dimension=1, num_keys=1
+        )
 
     def combine(rows, samples, live_coeff):
         """[G, S, W] rows + [G, S] sample-in-chunk -> [G*GS, W] via MXU.

@@ -83,6 +83,41 @@ def tier_fractions(
     )
 
 
+def calibrate_capacities(
+    indices: np.ndarray,
+    remap: Optional[np.ndarray],
+    head_rows: int,
+    hot_rows: int,
+    chunk_elems: int,
+    *,
+    margin: float = 1.15,
+) -> Tuple[int, int]:
+    """``(mid_slots, cold_slots)`` from observed per-chunk maxima.
+
+    Tighter than the binomial mean+6σ formula because it measures the
+    real per-chunk load (including any within-batch correlation) and
+    applies one margin instead of stacking fraction and sigma slack.
+    Feed multiple batches for a stable maximum; undersizing only
+    triggers the exact fallback.
+    """
+    flat = np.asarray(indices).reshape(-1)
+    if remap is not None:
+        flat = np.asarray(remap)[flat]
+    pad = (-flat.size) % chunk_elems
+    flat = np.pad(flat, (0, pad))
+    ch = flat.reshape(-1, chunk_elems)
+    mid_max = int(((ch >= head_rows) & (ch < hot_rows)).sum(axis=1).max())
+    cold_max = int((ch >= hot_rows).sum(axis=1).max())
+
+    def round8(x):
+        return min(chunk_elems, max(8, -(-x // 8) * 8))
+
+    return (
+        round8(int(mid_max * margin) + 8),
+        round8(int(cold_max * margin) + 8),
+    )
+
+
 def cold_fraction(
     indices: np.ndarray,
     remap: Optional[np.ndarray],
