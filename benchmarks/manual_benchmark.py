@@ -66,6 +66,9 @@ flags.DEFINE_bool("permute_indices", True,
                   "Random category permutation (reference default)")
 flags.DEFINE_bool("shuffle_indices", True,
                   "Shuffle within each sample (reference default)")
+flags.DEFINE_string("profile_dir", "",
+                    "If set, capture a jax.profiler trace of one timed "
+                    "iteration per stage into this directory")
 
 CSV_HEADER = (
     "num_categories,batch_size,hotness,alpha,embed_width,combine_mode,"
@@ -89,19 +92,33 @@ def mode_str(mode):
     }[mode]
 
 
-def chain_stage(step, n_iter, state0):
+def chain_stage(step, n_iter, state0, stage_name=""):
     """Per-``n_iter`` elapsed seconds of chained ``step`` executions.
 
     Uses the slope between a short and a long chain (like
     ``cuembed_tpu.utils.benchmarking.chain_time``) so fixed dispatch /
     tunnel round-trip overhead cancels — the TPU analog of the
-    reference's per-iteration cudaEvent windows.
+    reference's per-iteration cudaEvent windows. With ``--profile_dir``,
+    additionally captures a jax.profiler trace of a few iterations.
     """
+    import jax
+
     from cuembed_tpu.utils.benchmarking import chain_time
 
     k_hi = max(2, n_iter)
     k_lo = max(1, k_hi // 4)
     per_step = chain_time(step, state0, k_lo=k_lo, k_hi=k_hi, repeats=2)
+    if FLAGS.profile_dir:
+        import numpy as _np
+
+        path = f"{FLAGS.profile_dir}/{stage_name or 'stage'}"
+        state = state0
+        with jax.profiler.trace(path):
+            for _ in range(min(3, n_iter)):
+                state = step(state)
+            leaf = jax.tree_util.tree_leaves(state)[0]
+            _ = _np.asarray(leaf)
+        log(f"profiler trace written to {path}")
     return per_step * n_iter
 
 
@@ -301,7 +318,7 @@ def main(argv):
 
     def fwd_step(carry):
         return fwd_step_impl(table_dev, idx_dev, off_dev, w_dev, carry)
-    elapsed = chain_stage(fwd_step, n_iter, (jnp.int32(0), jnp.float32(0)))
+    elapsed = chain_stage(fwd_step, n_iter, (jnp.int32(0), jnp.float32(0)), "forward")
     fwd_bytes = forward_app_bytes(
         batch=batch, hotness=options.hotness, width=width, elem_bytes=elem,
         mode=mode, is_csr=options.is_csr, nnz=nnz if options.is_csr else None,
@@ -359,7 +376,7 @@ def main(argv):
 
     def transpose_step(carry):
         return transpose_step_impl(flat_idx_dev, off_dev, flat_w_dev, carry)
-    elapsed = chain_stage(transpose_step, n_iter, (jnp.int32(0), jnp.float32(0)))
+    elapsed = chain_stage(transpose_step, n_iter, (jnp.int32(0), jnp.float32(0)), "transpose")
     t_bytes = transpose_app_bytes(
         nnz=nnz, index_bytes=np.dtype(index_dtype).itemsize, batch=batch,
         is_csr=options.is_csr, is_weighted=options.is_weighted,
@@ -399,7 +416,7 @@ def main(argv):
 
     def bwd_step(carry):
         return bwd_step_impl(grad_y_dev, t_idx_dev, t_sid_dev, t_w_dev, carry)
-    elapsed = chain_stage(bwd_step, n_iter, (jnp.int32(0), jnp.float32(0)))
+    elapsed = chain_stage(bwd_step, n_iter, (jnp.int32(0), jnp.float32(0)), "backward")
     nu = alloc.num_unique if options.compressed_grad else FLAGS.num_categories
     b_dram = backward_app_bytes(
         nnz=nnz, batch=batch, width=width, num_unique=nu, elem_bytes=elem,

@@ -70,11 +70,11 @@ from cuembed_tpu.types import CombineMode, accumulation_dtype
 
 # Default VMEM budget for the hot head. v5e/v5p have 128 MiB of VMEM; XLA
 # needs headroom for pipeline buffers, so keep the hot head well under.
-DEFAULT_HOT_BYTES = 84 * 1024 * 1024
+DEFAULT_HOT_BYTES = 96 * 1024 * 1024
 
 # Tables at or below this size are served entirely by the fast in-VMEM
 # gather — the tiered split would only add overhead.
-VMEM_TABLE_BYTES = 90 * 1024 * 1024
+VMEM_TABLE_BYTES = 100 * 1024 * 1024
 
 
 @dataclass(frozen=True)

@@ -130,7 +130,9 @@ def test_auto_config():
     assert auto_config(100_000, 32, 4, 8) is None
     cfg = auto_config(10_000_000, 256, 2, 64, cold_fraction=0.08)
     assert cfg is not None
-    assert cfg.hot_rows * 256 * 2 <= 84 * 1024 * 1024
+    from cuembed_tpu.ops.tiered import DEFAULT_HOT_BYTES
+
+    assert cfg.hot_rows * 256 * 2 <= DEFAULT_HOT_BYTES
     assert cfg.chunk_elems % 64 == 0
     assert cfg.cold_slots >= int(0.08 * cfg.chunk_elems)
     assert 0 < cfg.mxu_head_rows <= 128
