@@ -201,6 +201,7 @@ class EmbeddingCollection:
         eps: float = 1e-8,
         weights: Optional[Dict[str, jax.Array]] = None,
         offsets: Optional[Dict[str, jax.Array]] = None,
+        tiered: bool = False,
     ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
         new_t, new_a = dict(tables), dict(accums)
         for name, gy in grads_y.items():
@@ -215,6 +216,6 @@ class EmbeddingCollection:
                 offsets=offsets.get(name) if offsets else None,
                 weights=weights.get(name) if weights else None,
                 mode=c.mode,
-                tiered_cfg=self.tiered[name],
+                tiered_cfg=self.tiered[name] if tiered else None,
             )
         return new_t, new_a

@@ -115,6 +115,14 @@ def forward(
     # see docs/PERF_NOTES.md. "auto" therefore routes to the XLA path
     # unless a tiered config applies (handled above).
     use_pallas = backend == "pallas"
+    if use_pallas and not pallas_forward_supported(
+        table, indices, offsets, weights, mode
+    ):
+        raise ValueError(
+            "backend='pallas' does not cover this call (CONCAT, CSR, "
+            "width % 128 != 0, or unsupported dtype); use backend='xla' "
+            "or 'auto'"
+        )
     if use_pallas:
         from cuembed_tpu.ops import pallas_forward
 

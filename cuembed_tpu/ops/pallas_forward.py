@@ -25,7 +25,8 @@ pipeline:
   replacing the reference's register-resident ``Combiner``
   (``embedding_lookup_ops.cuh:162-322``).
 
-Constraints (dispatch falls back to XLA outside them):
+Constraints (dispatch validates via ``pallas_forward_supported`` and
+rejects unsupported calls with an error):
 * ``width % 128 == 0`` (lane alignment) — pad tables for odd widths,
 * fixed-hotness layout; CSR is densified to ``[batch, max_hotness]`` +
   coefficient mask first (:func:`csr_to_fixed`).
@@ -164,6 +165,8 @@ def embedding_forward_pallas(
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("CONCAT is served by the XLA gather path")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
     if table.shape[1] % LANES != 0:
         raise ValueError(
             f"pallas kernel requires width % {LANES} == 0, got {table.shape[1]}"

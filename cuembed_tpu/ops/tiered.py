@@ -247,9 +247,10 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt):
     cnt_cold = jnp.sum((key == 2).astype(jnp.int32), axis=1)
     overflow = jnp.any(cnt_mid > S_m) | jnp.any(cnt_cold > S_c)
 
-    if C < (1 << 28):
+    if table.shape[0] <= (1 << 28) - 1:
         # Pack (tier, idx) into one int32 sort key — one fewer sort
-        # operand (~25% off the dominant row-wise sort).
+        # operand (~25% off the dominant row-wise sort). Guarded on the
+        # largest possible index (the table size), not hot_rows.
         comp, w_s, s_s = jax.lax.sort(
             [(key << 28) | xi, wi, sm], dimension=1, num_keys=1
         )

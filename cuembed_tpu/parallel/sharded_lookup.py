@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
+from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
 from cuembed_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
 from cuembed_tpu.types import CombineMode
 
@@ -114,10 +115,7 @@ def row_sharded_lookup(
                 else:
                     counts = (offs_l[1:] - offs_l[:-1]).astype(jnp.float32)
                     inv = jnp.where(counts == 0, 0.0, 1.0 / jnp.maximum(counts, 1.0))
-                    pos = jnp.arange(idx_l.shape[0], dtype=jnp.int32)
-                    sample = (
-                        jnp.searchsorted(offs_l, pos, side="right") - 1
-                    ).clip(0, offs_l.shape[0] - 2)
+                    sample = extract_row_ids_from_csr(offs_l, idx_l)
                     coeff = coeff * jnp.take(inv, sample)
             if offs_l is not None:
                 partial_out = embedding_lookup_csr(

@@ -48,13 +48,19 @@ def embedding_grad_y(loss_fn, pooled, *args, **kwargs):
 
 
 def _flatten_coo(indices, offsets, weights, mode, acc_dt):
-    """Shared COO flattening: (flat_idx, sample_ids, coeff, batchish)."""
+    """Shared COO flattening: (flat_idx, sample_ids, coeff)."""
     if offsets is None:
         batch, hotness = indices.shape
         n = batch * hotness
         flat_idx = indices.reshape(-1).astype(jnp.int32)
         pos = jnp.arange(n, dtype=jnp.int32)
-        sample_ids = pos // hotness
+        if mode == CombineMode.CONCAT:
+            # CONCAT's grad_y has one row per (sample, position).
+            if weights is not None:
+                raise ValueError("weights unsupported with CONCAT")
+            sample_ids = pos
+        else:
+            sample_ids = pos // hotness
         coeff = jnp.ones((n,), acc_dt)
         if weights is not None:
             coeff = coeff * weights.reshape(-1).astype(acc_dt)
@@ -239,15 +245,18 @@ def rowwise_adagrad_sparse_update(
 
         g2 = jnp.mean(rows * rows, axis=1) * valid  # [k]
         new_accum_rows = jnp.take(accum, safe_idx) + g2
-        new_accum = accum.at[
-            jnp.where(valid, unique_idx, accum.shape[0])
-        ].set(new_accum_rows, mode="drop", indices_are_sorted=True)
+        # Invalid slots keep the int32-max sentinel so the scatter index
+        # vector stays ascending (indices_are_sorted is a real promise);
+        # mode="drop" discards them.
+        scatter_idx = jnp.where(valid, unique_idx, sentinel)
+        new_accum = accum.at[scatter_idx].set(
+            new_accum_rows, mode="drop", indices_are_sorted=True
+        )
         scale = jnp.where(valid, -lr / jnp.sqrt(new_accum_rows + eps), 0.0)
         update = rows * scale[:, None]
-        new_table = table.at[
-            jnp.where(valid, unique_idx, table.shape[0])
-        ].add(update.astype(table.dtype), mode="drop",
-              indices_are_sorted=True)
+        new_table = table.at[scatter_idx].add(
+            update.astype(table.dtype), mode="drop", indices_are_sorted=True
+        )
         return new_table, new_accum
 
     n = t_idx.shape[0]

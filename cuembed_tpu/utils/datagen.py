@@ -30,9 +30,13 @@ def translate_to_power_law(
     """Map uniform [0,1) samples onto a power-law distribution.
 
     Same formula as the reference's ``translateToPowerLaw``
-    (``datagen.cpp:39-50``). Requires ``alpha != 1``; ``alpha == 0`` gives
-    the uniform distribution.
+    (``datagen.cpp:39-50``); ``alpha == 0`` gives the uniform
+    distribution. At ``alpha == 1`` the reference formula degenerates
+    (gamma = 0); we use its analytic limit, the log-uniform distribution
+    ``y = min * (max/min)**u``.
     """
+    if alpha == 1.0:
+        return min_value * (max_value / min_value) ** u
     gamma = 1.0 - alpha
     return (
         u * (max_value**gamma - min_value**gamma) + min_value**gamma

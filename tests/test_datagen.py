@@ -107,3 +107,15 @@ def test_determinism():
     a = PowerLawGenerator(500, 16, 1.05, seed=9).sample(100)
     b = PowerLawGenerator(500, 16, 1.05, seed=9).sample(100)
     np.testing.assert_array_equal(a, b)
+
+
+def test_alpha_one_log_uniform_limit():
+    """alpha=1 uses the analytic log-uniform limit (the raw reference
+    formula degenerates at gamma=0 and would hang the de-dup loop)."""
+    gen = PowerLawGenerator(10_000, 8, 1.0, seed=1)
+    out = gen.sample(2000)
+    assert out.min() >= 1 and out.max() <= 10_000
+    flat = out.reshape(-1).astype(np.float64)
+    # log-uniform: P(y < sqrt(max)) ~ 0.5
+    got = np.mean(flat < 100.0)
+    assert 0.40 < got < 0.60, got

@@ -160,3 +160,21 @@ def test_adagrad_second_step_accumulates():
     t2, a2 = rowwise_adagrad_sparse_update(t1, a1, idx, gy, lr=0.1)
     assert float(jnp.sum(a2)) > float(jnp.sum(a1)) > 0
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_sgd_sparse_concat_matches_dense():
+    rng = np.random.default_rng(30)
+    V, W, B, H = 200, 8, 12, 4
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    grad_y = jnp.asarray(rng.standard_normal((B * H, W)).astype(np.float32))
+    lr = 0.1
+    got = sgd_sparse_update(table, idx, grad_y, lr=lr, mode=CombineMode.CONCAT)
+
+    def loss(t):
+        out = embedding_lookup(t, idx, mode=CombineMode.CONCAT, backend="xla")
+        return jnp.sum(out * grad_y)
+
+    want = table - lr * jax.grad(loss)(table)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
