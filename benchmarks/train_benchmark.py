@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Training-step benchmark: sparse vs dense embedding updates on one chip.
+
+Measures full train-step latency (forward + gradient + table update) for
+the flagship-scale workload under three regimes:
+
+  * dense:   jax.grad through the lookup + SGD on the dense gradient
+             (the naive contract — materializes a [V, W] fp32 gradient)
+  * sparse:  split backward at the pooled embeddings + sorted sparse SGD
+  * adagrad: sparse row-wise AdaGrad (the production DLRM optimizer)
+
+Usage:  python benchmarks/train_benchmark.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuembed_tpu import embedding_lookup
+    from cuembed_tpu.ops.tiered import auto_config
+    from cuembed_tpu.train import (
+        rowwise_adagrad_init,
+        rowwise_adagrad_sparse_update,
+        sgd_sparse_update,
+    )
+    from cuembed_tpu.utils.datagen import PowerLawGenerator
+    from cuembed_tpu.utils.frequency import (
+        count_frequencies,
+        frequency_order,
+        tier_fractions,
+    )
+    from cuembed_tpu import native as ce_native
+
+    if args.quick:
+        V, B, H, W, dtype = 1_000_000, 8192, 32, 256, jnp.float32
+    else:
+        V, B, H, W, dtype = 10_000_000, 65_536, 64, 256, jnp.bfloat16
+    alpha = 1.15
+
+    table0 = jax.block_until_ready(jnp.zeros((V, W), dtype))
+    gen = PowerLawGenerator(V - 1, H, alpha, seed=7, permute=True)
+    idx_raw = gen.sample(B).astype(np.int32)
+
+    cfg0 = auto_config(V, W, jnp.dtype(dtype).itemsize, H)
+    cfg, idx = None, jnp.asarray(idx_raw)
+    if cfg0 is not None:
+        counts = None
+        for i in range(16):
+            calib = (
+                ce_native.powerlaw_indices(
+                    V - 1, H, alpha, B, seed=900 + i,
+                    permutation=gen.permutation)
+                if ce_native.AVAILABLE else gen.sample(B)
+            )
+            counts = count_frequencies(calib, V, counts)
+        _, remap = frequency_order(counts)
+        hf, cf = tier_fractions(gen.sample(B), remap, cfg0.mxu_head_rows,
+                                cfg0.hot_rows, margin=1.15)
+        cfg = auto_config(V, W, jnp.dtype(dtype).itemsize, H,
+                          cold_fraction=cf, head_fraction=hf)
+        idx = jnp.asarray(remap[idx_raw])
+
+    def fake_grad_y(pooled):
+        return jax.grad(
+            lambda p: jnp.sum(p.astype(jnp.float32) ** 2) * 1e-9
+        )(pooled)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step_dense(table, idx):
+        def loss(t):
+            out = embedding_lookup(t, idx, backend="xla")
+            return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-9
+        g = jax.grad(loss)(table)
+        return (table - 1e-6 * g.astype(table.dtype)).astype(table.dtype)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step_sparse(table, idx):
+        pooled = embedding_lookup(
+            jax.lax.stop_gradient(table), idx,
+            backend="tiered" if cfg else "xla", tiered_cfg=cfg,
+        )
+        return sgd_sparse_update(
+            table, idx, fake_grad_y(pooled), lr=1e-6, tiered_cfg=cfg
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step_adagrad(table, accum, idx):
+        pooled = embedding_lookup(
+            jax.lax.stop_gradient(table), idx,
+            backend="tiered" if cfg else "xla", tiered_cfg=cfg,
+        )
+        return rowwise_adagrad_sparse_update(
+            table, accum, idx, fake_grad_y(pooled), lr=1e-6, tiered_cfg=cfg
+        )
+
+    def time_steps(name, step, state):
+        def run(state, k):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                state = step(state)
+            leaf = jax.tree_util.tree_leaves(state)[0]
+            _ = float(jnp.sum(leaf[0, :1].astype(jnp.float32)))
+            return time.perf_counter() - t0, state
+
+        _, state = run(state, 2)  # compile + warm
+        t1, state = run(state, 1)
+        tk, state = run(state, args.iters)
+        dt = (tk - t1) / max(1, args.iters - 1)
+        print(f"{name:8s}: {dt*1e3:8.2f} ms/step "
+              f"({B / dt:,.0f} examples/s)")
+        del state
+
+    time_steps("sparse", lambda t: step_sparse(t, idx), table0)
+    table0 = jax.block_until_ready(jnp.zeros((V, W), dtype))
+    accum = rowwise_adagrad_init(V)
+    time_steps(
+        "adagrad",
+        lambda s: step_adagrad(s[0], s[1], idx),
+        (table0, accum),
+    )
+    table0 = jax.block_until_ready(jnp.zeros((V, W), dtype))
+    time_steps("dense", lambda t: step_dense(t, idx), table0)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,9 +18,11 @@ from cuembed_tpu.parallel.sharded_lookup import (
     column_sharded_lookup,
 )
 from cuembed_tpu.parallel.alltoall_lookup import alltoall_row_sharded_lookup
+from cuembed_tpu.parallel import multihost
 
 __all__ = [
     "alltoall_row_sharded_lookup",
+    "multihost",
     "make_mesh",
     "table_sharding",
     "batch_sharding",

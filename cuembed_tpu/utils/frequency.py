@@ -40,6 +40,18 @@ def count_frequencies(
     return counts + new
 
 
+def decay_counts(counts: np.ndarray, rate: float = 0.9) -> np.ndarray:
+    """Exponentially decay running counts (streaming frequency stats).
+
+    Production traffic drifts; decaying before each accumulation window
+    keeps the ordering responsive to the recent distribution. Integer
+    counts round down, so long-cold categories decay to exactly zero.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return (np.asarray(counts) * rate).astype(np.int64)
+
+
 def frequency_order(counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Return ``(perm, remap)`` for a frequency-descending row layout.
 
