@@ -98,7 +98,9 @@ def embedding_forward_xla(
     if weights is not None:
         coeff = coeff * weights.astype(acc_dt)
     rows = rows * coeff[:, None]
-    out = jax.ops.segment_sum(rows, sample_of_pos, num_segments=batch)
+    out = jax.ops.segment_sum(
+        rows, sample_of_pos, num_segments=batch, indices_are_sorted=True
+    )
     if mode == CombineMode.MEAN:
         hot = (offsets[1:] - offsets[:-1]).astype(acc_dt)
         scale = jnp.where(hot == 0, jnp.zeros_like(hot), 1.0 / jnp.maximum(hot, 1))
@@ -235,7 +237,12 @@ def _segment_partials(
     if t_w is not None:
         coeff = coeff * t_w.astype(grad_y.dtype)
     g = g * coeff[:, None]
-    rows = jax.ops.segment_sum(g, remapped.astype(jnp.int32), num_segments=cap)
+    # remapped is non-decreasing by construction (cumsum of boundary
+    # flags over sorted indices) — let the scatter lowering exploit it.
+    rows = jax.ops.segment_sum(
+        g, remapped.astype(jnp.int32), num_segments=cap,
+        indices_are_sorted=True,
+    )
 
     num_unique = jnp.where(
         jnp.any(live),

@@ -125,5 +125,7 @@ def narrow_lookup(
     if offsets is None:
         out = jnp.sum(rows.reshape(batch, hotness, width), axis=1)
     else:
-        out = jax.ops.segment_sum(rows, sample, num_segments=batch)
+        out = jax.ops.segment_sum(
+            rows, sample, num_segments=batch, indices_are_sorted=True
+        )
     return out.astype(packed.dtype)

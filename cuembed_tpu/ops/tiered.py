@@ -383,7 +383,8 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt):
         out = jnp.sum(hrows[:nmax].reshape(batch, hotness, width), axis=1)
     else:
         out = jax.ops.segment_sum(
-            hrows[:nmax], sample_of_pos[:nmax], num_segments=batch
+            hrows[:nmax], sample_of_pos[:nmax], num_segments=batch,
+            indices_are_sorted=True,
         )
 
     # --- cold tier: compact -> gather -> combine --------------------------
@@ -442,7 +443,8 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt):
         if offsets is None:
             return jnp.sum(rows.reshape(batch, hotness, width), axis=1)
         return jax.ops.segment_sum(
-            rows, sample_of_pos[:nmax], num_segments=batch
+            rows, sample_of_pos[:nmax], num_segments=batch,
+            indices_are_sorted=True,
         )
 
     out = out + jax.lax.cond(overflow, cold_exact, cold_fast, 0)
