@@ -326,20 +326,27 @@ def main(argv):
     bw = fwd_bytes * n_iter / elapsed / 1e9
     log(f"forward: {elapsed*1e3/n_iter:.3f} ms/iter, app BW {bw:.1f} GB/s")
     if FLAGS.enable_csv:
-        dump_csv(options, "forward", n_iter, elapsed * 1e3, bw, bw)
+        # reference writes 0.0 in the forward dram column (:263-271)
+        dump_csv(options, "forward", n_iter, elapsed * 1e3, bw, 0.0)
 
     if FLAGS.check_result:
+        # Under --backend=tiered the indices were remapped (the table is
+        # random, so reordering it is unnecessary for timing) — validate
+        # the device path against the golden model fed the SAME remapped
+        # indices so both sides gather identical rows.
         if options.is_csr:
             dev = embedding_lookup_csr(
                 table_dev, idx_dev, off_dev, w_dev, mode=mode,
-                low_precision_math=FLAGS.fp16_math, backend=FLAGS.backend)
+                low_precision_math=FLAGS.fp16_math, backend=FLAGS.backend,
+                tiered_cfg=tiered_cfg)
         else:
             dev = embedding_lookup(
                 table_dev, idx_dev, w_dev, mode=mode,
-                low_precision_math=FLAGS.fp16_math, backend=FLAGS.backend)
+                low_precision_math=FLAGS.fp16_math, backend=FLAGS.backend,
+                tiered_cfg=tiered_cfg)
         ref = embedding_forward_ref(
             np.asarray(table_dev.astype(jnp.float32)),
-            alloc.indices,
+            indices_host,
             offsets=alloc.offsets,
             weights=alloc.weights.astype(np.float32) if alloc.weights is not None else None,
             mode=mode,
@@ -380,7 +387,7 @@ def main(argv):
     t_bytes = transpose_app_bytes(
         nnz=nnz, index_bytes=np.dtype(index_dtype).itemsize, batch=batch,
         is_csr=options.is_csr, is_weighted=options.is_weighted,
-        compressed=options.compressed_grad,
+        weight_bytes=elem, compressed=options.compressed_grad,
     )
     bw = t_bytes * n_iter / elapsed / 1e9
     log(f"transpose: {elapsed*1e3/n_iter:.3f} ms/iter, app BW {bw:.1f} GB/s")

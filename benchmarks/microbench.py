@@ -21,23 +21,9 @@ import numpy as np
 
 
 def chain_time(step, x0, k_lo=1, k_hi=4, repeats=3):
-    import jax
-    import jax.numpy as jnp
+    from cuembed_tpu.utils.benchmarking import chain_time as _ct
 
-    state = [x0]
-
-    def run(k):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            state[0] = step(state[0])
-        leaf = jax.tree_util.tree_leaves(state[0])[0]
-        _ = float(jnp.sum(leaf) if getattr(leaf, "ndim", 0) else leaf)
-        return time.perf_counter() - t0
-
-    run(2)
-    t_lo = min(run(k_lo) for _ in range(repeats))
-    t_hi = min(run(k_hi) for _ in range(repeats))
-    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    return _ct(step, x0, k_lo=k_lo, k_hi=k_hi, repeats=repeats)
 
 
 def main():

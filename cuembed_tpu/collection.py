@@ -77,6 +77,9 @@ class EmbeddingCollection:
                 cold_fraction=cold_fraction,
                 head_fraction=head_fraction,
                 hot_bytes=max(budget, 1),
+                # a table only counts as "fully VMEM-served" if it fits
+                # its own share of the collection budget
+                vmem_table_bytes=max(budget, 1),
             )
 
     # -- params ------------------------------------------------------------
@@ -143,8 +146,12 @@ class EmbeddingCollection:
             c = self.configs[name]
             w = weights.get(name) if weights else None
             off = offsets.get(name) if offsets else None
-            tc = self.tiered[name] if tiered else None
-            be = "tiered" if (tiered and tc is not None) else backend
+            tc = (
+                self.tiered[name]
+                if (tiered and c.mode != CombineMode.CONCAT)
+                else None
+            )
+            be = "tiered" if tc is not None else backend
             if off is not None:
                 out[name] = embedding_lookup_csr(
                     tables[name], idx, off, w, mode=c.mode,

@@ -78,6 +78,8 @@ def narrow_lookup(
     ``_csr`` for SUM/MEAN/weighted (CONCAT: gather lines then select —
     also supported).
     """
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
     k = packing_factor(width)
     acc_dt = accumulation_dtype(packed.dtype, low_precision_math)
 

@@ -120,6 +120,7 @@ def auto_config(
     cold_fraction: float = 0.25,
     head_fraction: float = 0.45,
     hot_bytes: int = DEFAULT_HOT_BYTES,
+    vmem_table_bytes: int = VMEM_TABLE_BYTES,
 ) -> Optional[TieredConfig]:
     """Pick a tiered config, or None when the whole table is VMEM-served.
 
@@ -130,7 +131,7 @@ def auto_config(
     :func:`cuembed_tpu.utils.frequency.tier_fractions`.
     """
     table_bytes = num_categories * width * itemsize
-    if table_bytes <= VMEM_TABLE_BYTES:
+    if table_bytes <= vmem_table_bytes:
         return None
     row_bytes = width * itemsize
     hot_rows = min(num_categories, max(8, hot_bytes // row_bytes))

@@ -31,8 +31,10 @@ def initialize(**kwargs) -> None:
     running single-process)."""
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized, or single-process context
+    except (RuntimeError, ValueError):
+        # already initialized, or single-process context with no
+        # coordinator to autodetect (ValueError)
+        pass
 
 
 def pod_mesh(n_model: Optional[int] = None) -> jax.sharding.Mesh:

@@ -66,6 +66,11 @@ def row_sharded_lookup(
       Pooled output ``[batch, width]`` (or ``[batch*hotness, width]`` for
       CONCAT), sharded ``P(data, None)``.
     """
+    if mode == CombineMode.CONCAT:
+        if weights is not None:
+            raise ValueError("weights are only supported with CombineMode.SUM")
+        if offsets is not None:
+            raise ValueError("CSR does not support CONCAT")
     n_model = mesh.shape[model_axis]
     num_rows = table.shape[0]
     if num_rows % n_model != 0:

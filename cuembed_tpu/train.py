@@ -110,7 +110,11 @@ def sgd_sparse_update(
 
     head = (
         tiered_cfg.mxu_head_rows
-        if (tiered_cfg is not None and offsets is None)
+        if (
+            tiered_cfg is not None
+            and offsets is None
+            and mode != CombineMode.CONCAT
+        )
         else 0
     )
     head = min(head, table.shape[0])
@@ -206,7 +210,11 @@ def rowwise_adagrad_sparse_update(
 
     head = (
         tiered_cfg.mxu_head_rows
-        if (tiered_cfg is not None and offsets is None)
+        if (
+            tiered_cfg is not None
+            and offsets is None
+            and mode != CombineMode.CONCAT
+        )
         else 0
     )
     head = min(head, table.shape[0])

@@ -92,7 +92,9 @@ def forward_app_bytes(
 ) -> int:
     """Forward application bytes (``manual_benchmark.cu:250-261``).
 
-    fixed: elem * batch * (hotness + 1[sum/mean] or 2*hotness[concat]) * width
+    fixed: elem * batch * (hotness + (1 if sum else hotness)) * width —
+    only kSum pools to one output row in the reference's accounting;
+    kMean and kConcat both count hotness output rows.
     CSR:   elem * (nnz - 1 + batch) * width
     """
     if is_csr:
@@ -100,9 +102,9 @@ def forward_app_bytes(
         return elem_bytes * (nnz - 1 + batch) * width
     reads = batch * hotness * width
     writes = (
-        batch * hotness * width
-        if mode == CombineMode.CONCAT
-        else batch * width
+        batch * width
+        if mode == CombineMode.SUM
+        else batch * hotness * width
     )
     return elem_bytes * (reads + writes)
 
@@ -117,10 +119,15 @@ def transpose_app_bytes(
     weight_bytes: int = 4,
     compressed: bool = False,
 ) -> int:
-    """Transpose application bytes (``manual_benchmark.cu:340-354``)."""
+    """Transpose application bytes (``manual_benchmark.cu:338-354``).
+
+    The reference counts CSR offset reads at nnz * sizeof(OffsetT) (one
+    offset word per nonzero), and weights at sizeof(ElemT).
+    """
+    del batch  # kept for signature stability; the reference counts nnz
     reads = nnz * index_bytes
     if is_csr:
-        reads += (batch + 1) * index_bytes
+        reads += nnz * index_bytes  # offsets, nnz * sizeof(OffsetT)
     if is_weighted:
         reads += nnz * weight_bytes
     writes = (3 if compressed else 2) * nnz * index_bytes
@@ -142,15 +149,22 @@ def backward_app_bytes(
     l2_variant: bool = False,
 ) -> int:
     """Backward application bytes, DRAM or L2 variant
-    (``manual_benchmark.cu:444-473``)."""
+    (``manual_benchmark.cu:444-473``).
+
+    Reference semantics: CONCAT reads grad_y at nnz rows and L2 == DRAM;
+    otherwise DRAM reads batch rows and L2 = DRAM + nnz rows (the re-read
+    of grad_y rows served by the L2).
+    """
     writes = width * num_unique * elem_bytes
     reads = 2 * nnz * index_bytes
     if is_weighted:
         reads += nnz * elem_bytes
-    if mode == CombineMode.CONCAT or l2_variant:
+    if mode == CombineMode.CONCAT:
         reads += width * nnz * elem_bytes
     else:
         reads += width * batch * elem_bytes
+        if l2_variant:
+            reads += width * nnz * elem_bytes
     return writes + reads
 
 
