@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from cuembed_tpu.ops import dispatch
+from cuembed_tpu.ops.head import head_grad, nonhead_capacity
 from cuembed_tpu.ops.tiered import TieredConfig
 from cuembed_tpu.ops.transforms import (
     extract_row_ids_from_csr,
@@ -230,30 +231,15 @@ def _lookup_bwd(cfg, residuals, grad_y):
     )
     if head_rows > 0:
         gy = grad_rows_in.astype(acc_dt)
-        idx2 = indices.astype(jnp.int32)
-        cols = jnp.arange(head_rows, dtype=jnp.int32)
-        coeff2 = coeff.reshape(idx2.shape)
-        m = jnp.sum(
-            jnp.where(
-                idx2[:, :, None] == cols[None, None, :],
-                coeff2[:, :, None],
-                0,
-            ),
-            axis=1,
-            dtype=acc_dt,
-        )  # [batch, HEAD]
-        grad_head = jnp.dot(
-            m.T, gy, preferred_element_type=acc_dt,
-            precision=jax.lax.Precision.HIGHEST,
+        grad_head = head_grad(
+            indices, coeff.reshape(indices.shape), gy, head_rows, acc_dt
         )  # [HEAD, width]
 
         sentinel = jnp.iinfo(jnp.int32).max
         rest_idx = jnp.where(flat_idx < head_rows, sentinel, flat_idx)
         rest_count = jnp.sum((rest_idx != sentinel).astype(jnp.int32))
         t_idx, t_sid, t_coeff = transpose(sample_ids, rest_idx, coeff)
-        e = tiered.chunk_elems
-        frac = min(1.0, (tiered.mid_slots + tiered.cold_slots) / e)
-        k_cap = min(nnz_cap, -(-int(nnz_cap * frac) // 8) * 8)
+        k_cap = nonhead_capacity(tiered, nnz_cap)
 
         def scatter_k(_):
             return dispatch.backward(

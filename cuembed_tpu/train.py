@@ -31,6 +31,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from cuembed_tpu.ops.head import head_grad, nonhead_capacity
 from cuembed_tpu.ops.lookup_xla import _segment_partials
 from cuembed_tpu.ops.tiered import TieredConfig
 from cuembed_tpu.ops.transforms import extract_row_ids_from_csr, transpose
@@ -119,24 +120,8 @@ def sgd_sparse_update(
     )
     head = min(head, table.shape[0])
     if head > 0:
-        # grad[:head] = M^T @ grad_y with M[b, c] = sum of coefficients of
-        # sample b's positions hitting row c — a fused compare-reduce over
-        # [batch, hotness, head] (never materialized) + one small matmul.
-        cols = jnp.arange(head, dtype=jnp.int32)
-        idx2 = indices.astype(jnp.int32)
-        coeff2 = coeff.reshape(idx2.shape)
-        m = jnp.sum(
-            jnp.where(
-                idx2[:, :, None] == cols[None, None, :],
-                coeff2[:, :, None],
-                0,
-            ),
-            axis=1,
-            dtype=acc_dt,
-        )
-        grad_head = jnp.dot(
-            m.T, gy, preferred_element_type=acc_dt,
-            precision=jax.lax.Precision.HIGHEST,
+        grad_head = head_grad(
+            indices, coeff.reshape(indices.shape), gy, head, acc_dt
         )
         table = table.at[:head].add((-lr * grad_head).astype(table.dtype))
         sentinel = jnp.iinfo(jnp.int32).max
@@ -155,9 +140,7 @@ def sgd_sparse_update(
     if head > 0 and tiered_cfg is not None:
         # Head positions sorted to the back (sentinel); bound the scatter
         # at the calibrated non-head capacity, falling back on overflow.
-        e = tiered_cfg.chunk_elems
-        frac = min(1.0, (tiered_cfg.mid_slots + tiered_cfg.cold_slots) / e)
-        k_cap = min(n, -(-int(n * frac) // 8) * 8)
+        k_cap = nonhead_capacity(tiered_cfg, n)
         if k_cap < n:
             sentinel = jnp.iinfo(jnp.int32).max
             rest_count = jnp.sum((t_idx != sentinel).astype(jnp.int32))
@@ -219,21 +202,8 @@ def rowwise_adagrad_sparse_update(
     )
     head = min(head, table.shape[0])
     if head > 0:
-        cols = jnp.arange(head, dtype=jnp.int32)
-        idx2 = indices.astype(jnp.int32)
-        coeff2 = coeff.reshape(idx2.shape)
-        m = jnp.sum(
-            jnp.where(
-                idx2[:, :, None] == cols[None, None, :],
-                coeff2[:, :, None],
-                0,
-            ),
-            axis=1,
-            dtype=acc_dt,
-        )
-        g_head = jnp.dot(
-            m.T, gy, preferred_element_type=acc_dt,
-            precision=jax.lax.Precision.HIGHEST,
+        g_head = head_grad(
+            indices, coeff.reshape(indices.shape), gy, head, acc_dt
         )  # [head, W]; exactly zero rows for untouched head rows
         new_acc_head = accum[:head] + jnp.mean(g_head * g_head, axis=1)
         upd = -lr * g_head / jnp.sqrt(new_acc_head + eps)[:, None]
@@ -269,9 +239,7 @@ def rowwise_adagrad_sparse_update(
 
     n = t_idx.shape[0]
     if head > 0 and tiered_cfg is not None:
-        e = tiered_cfg.chunk_elems
-        frac = min(1.0, (tiered_cfg.mid_slots + tiered_cfg.cold_slots) / e)
-        k_cap = min(n, -(-int(n * frac) // 8) * 8)
+        k_cap = nonhead_capacity(tiered_cfg, n)
         if k_cap < n:
             rest_count = jnp.sum((t_idx != sentinel).astype(jnp.int32))
             return jax.lax.cond(
