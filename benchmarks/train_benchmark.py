@@ -60,7 +60,7 @@ def main():
     idx_raw = gen.sample(B).astype(np.int32)
 
     cfg0 = auto_config(V, W, jnp.dtype(dtype).itemsize, H)
-    cfg, idx = None, jnp.asarray(idx_raw)
+    cfg, idx, unique_cap = None, jnp.asarray(idx_raw), None
     if cfg0 is not None:
         counts = None
         for i in range(16):
@@ -76,7 +76,11 @@ def main():
                                 cfg0.hot_rows, margin=1.15)
         cfg = auto_config(V, W, jnp.dtype(dtype).itemsize, H,
                           cold_fraction=cf, head_fraction=hf)
-        idx = jnp.asarray(remap[idx_raw])
+        idx_rm = remap[idx_raw]
+        idx = jnp.asarray(idx_rm)
+        # calibrate the per-batch unique non-head row count (+20%)
+        nonhead = idx_rm[idx_rm >= cfg.mxu_head_rows]
+        unique_cap = int(np.unique(nonhead).size * 1.2) // 8 * 8 + 8
 
     def fake_grad_y(pooled):
         return jax.grad(
@@ -108,7 +112,8 @@ def main():
             backend="tiered" if cfg else "xla", tiered_cfg=cfg,
         )
         return rowwise_adagrad_sparse_update(
-            table, accum, idx, fake_grad_y(pooled), lr=1e-6, tiered_cfg=cfg
+            table, accum, idx, fake_grad_y(pooled), lr=1e-6, tiered_cfg=cfg,
+            unique_cap=unique_cap,
         )
 
     def time_steps(name, step, state):

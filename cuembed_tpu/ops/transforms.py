@@ -114,4 +114,7 @@ def compact_sparse_indices(
     """
     nnz = sorted_indices.shape[0]
     init = jnp.full((nnz,), fill_value or 0, dtype=sorted_indices.dtype)
-    return init.at[remapped_indices].set(sorted_indices)
+    # remapped ids are non-decreasing over sorted indices by construction
+    return init.at[remapped_indices].set(
+        sorted_indices, indices_are_sorted=True
+    )

@@ -170,6 +170,7 @@ def rowwise_adagrad_sparse_update(
     weights: Optional[jax.Array] = None,
     mode: CombineMode = CombineMode.SUM,
     tiered_cfg: Optional[TieredConfig] = None,
+    unique_cap: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Row-wise AdaGrad (the standard DLRM embedding optimizer).
 
@@ -178,6 +179,11 @@ def rowwise_adagrad_sparse_update(
       ``table[r] -= lr * G_r / sqrt(accum[r] + eps)``.
     Untouched rows are untouched — state and table updates are row-sparse
     (scatter over the unique rows of this batch only). With a
+    ``unique_cap``: optional static bound on the number of unique
+    non-head rows per batch — the compressed rows occupy a dense-ranked
+    prefix, so the state/table scatters shrink to ``unique_cap`` slots
+    (vs the full position capacity), with a ``lax.cond`` fallback when a
+    batch exceeds it. Calibrate from representative batches. With a
     ``tiered_cfg`` (fixed-hotness), the MXU head computes G_r for the
     scatter-hottest rows exactly as one matmul and their state update is
     a dense slice op, and the remaining segment reduction is bounded at
@@ -213,10 +219,16 @@ def rowwise_adagrad_sparse_update(
 
     t_idx, t_sid, t_coeff = transpose(sample_ids, live_idx, coeff)
 
-    def apply_rest(k):
+    def apply_rest(k, u_cap=None):
         rows, unique_idx, num_unique = _segment_partials(
             gy, t_idx[:k], t_sid[:k], t_coeff[:k], None
         )
+        if u_cap is not None and u_cap < k:
+            # Unique rows occupy the dense-ranked prefix: shrink the
+            # state/table scatters to the calibrated unique capacity.
+            rows = rows[:u_cap]
+            unique_idx = unique_idx[:u_cap]
+            k = u_cap
         rid = jnp.arange(k, dtype=jnp.int32)
         valid = rid < num_unique
         safe_idx = jnp.where(valid, unique_idx, 0)
@@ -238,14 +250,30 @@ def rowwise_adagrad_sparse_update(
         return new_table, new_accum
 
     n = t_idx.shape[0]
+    k_cap = n
     if head > 0 and tiered_cfg is not None:
         k_cap = nonhead_capacity(tiered_cfg, n)
-        if k_cap < n:
-            rest_count = jnp.sum((t_idx != sentinel).astype(jnp.int32))
-            return jax.lax.cond(
-                rest_count <= k_cap,
-                lambda _: apply_rest(k_cap),
-                lambda _: apply_rest(n),
-                0,
+    if unique_cap is not None or k_cap < n:
+        rest_count = jnp.sum((t_idx != sentinel).astype(jnp.int32))
+        # Unique count <= rest count, so one counter guards both caps.
+        pred = rest_count <= (
+            k_cap if unique_cap is None else min(k_cap, n)
+        )
+        if unique_cap is not None:
+            # Exact unique-count guard for the scatter prefix.
+            live_sorted = t_idx != sentinel
+            starts = jnp.concatenate(
+                [
+                    live_sorted[:1],
+                    (t_idx[1:] != t_idx[:-1]) & live_sorted[1:],
+                ]
             )
+            n_unique = jnp.sum(starts.astype(jnp.int32))
+            pred = (rest_count <= k_cap) & (n_unique <= unique_cap)
+        return jax.lax.cond(
+            pred,
+            lambda _: apply_rest(k_cap, unique_cap),
+            lambda _: apply_rest(n),
+            0,
+        )
     return apply_rest(n)

@@ -178,3 +178,25 @@ def test_sgd_sparse_concat_matches_dense():
     want = table - lr * jax.grad(loss)(table)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_adagrad_unique_cap_and_overflow():
+    rng = np.random.default_rng(40)
+    V, W, B, H = 400, 8, 24, 6
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    accum = rowwise_adagrad_init(V) + 0.25
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    ref_t, ref_a = rowwise_adagrad_sparse_update(table, accum, idx, gy, lr=0.1)
+    # generous cap: fast path, same result
+    t1, a1 = rowwise_adagrad_sparse_update(
+        table, accum, idx, gy, lr=0.1, unique_cap=V
+    )
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(ref_t), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(ref_a), rtol=2e-5, atol=2e-5)
+    # tiny cap: overflow fallback, still exact
+    t2, a2 = rowwise_adagrad_sparse_update(
+        table, accum, idx, gy, lr=0.1, unique_cap=8
+    )
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(ref_t), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(ref_a), rtol=2e-5, atol=2e-5)
