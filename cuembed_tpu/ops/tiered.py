@@ -22,30 +22,33 @@ permutation), rows ``[0, hot_rows)`` are served by the fast in-VMEM
 gather, and the power-law tail is *compacted* and gathered from HBM at
 descriptor rate.
 
-The pipeline (all static shapes, one ``jit``):
+The fixed-hotness pipeline is **3-tier** (all static shapes, one jit):
 
-1. **Hot tier**: ``take(table[:hot_rows], idx)`` over the full dense
-   ``[batch, hotness]`` block with cold positions masked to coefficient 0
-   — XLA serves this at VMEM gather speed.
-2. **Cold compaction**: indices are viewed as ``[chunks, chunk_elems]``;
-   each chunk row is sorted by the 1-bit hot/cold key (a vectorized
-   row-wise bitonic sort across all chunks — ~0.8 ms for 4M elements),
-   moving the ~``cold_fraction`` cold entries of each chunk into a static
-   ``cold_slots`` prefix.
-3. **Cold gather**: one ``take`` of ``chunks * cold_slots`` rows from the
-   full HBM table (descriptor-rate bound, but 5-10x fewer descriptors
-   than the naive path).
-4. **Scatter-free combine**: cold rows are summed into their samples with
-   a tiny one-hot matmul per chunk (MXU), avoiding XLA's slow row
-   scatter.
-5. **Overflow safety**: if any chunk holds more cold entries than
-   ``cold_slots`` (capacity is sized at +6 sigma), a ``lax.cond`` falls
-   back to the exact naive path for that batch — always correct, just
-   slower on pathological batches.
+1. **MXU head** (rows ``< mxu_head_rows``, the extreme power-law head —
+   ~35% of multi-hot traffic at alpha=1.15): combined by a one-hot
+   matmul ``M @ table[:head]`` built from a fused compare-reduce — zero
+   per-row accesses.
+2. **Compaction**: indices viewed as ``[chunks, chunk_elems]``; one
+   vectorized row-wise sort per chunk keyed mid | head | cold (packed
+   with the index into a single int32 key) puts the mid tier at a
+   static front slice and the cold tier at a static back slice.
+3. **VMEM mid tier**: compacted hot-but-not-head slots gather from
+   ``table[:hot_rows]`` at VMEM-operand rate (~300 M rows/s).
+4. **HBM cold tier**: compacted tail slots gather from the full table at
+   descriptor rate (~80 M rows/s) — 5-10x fewer descriptors than naive.
+5. **Scatter-free combines**: per-chunk one-hot matmuls on the MXU with
+   coefficients folded into the small one-hot operand, so gathered rows
+   stream in storage precision (mixed-dtype dots).
+6. **Overflow safety**: if any chunk exceeds a static capacity, a
+   ``lax.cond`` takes the exact naive path — always correct.
 
-Measured on the reference flagship workload (10M x 256 table, batch 64K,
-hotness 64, alpha=1.15): 1.8x over the plain XLA path in bf16, 2.4x on
-the 1M-category fp32 sweep point.
+CSR uses the 2-tier variant (full-width hot gather + compacted cold with
+a scatter combine); CONCAT is a pure gather and is not tiered.
+
+Measured on the reference flagship workload (10M x 256 bf16, batch 64K,
+hotness 64, alpha=1.15 permuted ids): 24.1 ms / 90.4 GB/s application
+bandwidth — 2.19x over the plain XLA path; 3.2x on the 1M-category fp32
+sweep point (docs/PERF_NOTES.md).
 
 Numerics: accumulation is fp32 (or storage precision under
 ``low_precision_math``). Within a sample, hot positions accumulate in
