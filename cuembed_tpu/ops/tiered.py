@@ -46,8 +46,8 @@ CSR uses the 2-tier variant (full-width hot gather + compacted cold with
 a scatter combine); CONCAT is a pure gather and is not tiered.
 
 Measured on the reference flagship workload (10M x 256 bf16, batch 64K,
-hotness 64, alpha=1.15 permuted ids): 24.1 ms / 90.4 GB/s application
-bandwidth — 2.19x over the plain XLA path; 3.2x on the 1M-category fp32
+hotness 64, alpha=1.15 permuted ids): 22.6 ms / 96.5 GB/s application
+bandwidth — 2.32x over the plain XLA path; 3.2x on the 1M-category fp32
 sweep point (docs/PERF_NOTES.md).
 
 Numerics: accumulation is fp32 (or storage precision under
@@ -202,11 +202,20 @@ def tiered_forward(
     acc_dt = accumulation_dtype(table.dtype, low_precision_math)
     coeff = _combine_coeff(indices, weights, offsets, mode, acc_dt)
     if offsets is None and cfg.mxu_head_rows > 0:
-        return _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt)
+        # Unweighted fixed-hotness coefficients are one constant (1 or
+        # 1/hotness): the sort can skip the coefficient payload.
+        uniform = None
+        if weights is None:
+            uniform = (
+                1.0 / indices.shape[1] if mode == CombineMode.MEAN else 1.0
+            )
+        return _forward_fixed_3tier(
+            table, indices, coeff, cfg, acc_dt, uniform
+        )
     return _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt)
 
 
-def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt):
+def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
     """Fixed-hotness forward over three tiers, one sort, no full-N gather.
 
     Positions are classed head (``idx < HEAD``), mid (``HEAD <= idx <
@@ -237,7 +246,9 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt):
     cf = coeff.reshape(-1)
     padded = -(-nmax // E) * E
     if padded != nmax:
-        # Padding targets row 0 (head) with coefficient 0 — inert.
+        # Padding targets row 0 (head) with coefficient 0 — inert (the
+        # head matmul uses per-position coefficients, never `uniform`,
+        # and the sorted tiers apply `uniform` only to live slots).
         flat = jnp.pad(flat, (0, padded - nmax))
         cf = jnp.pad(cf, (0, padded - nmax))
     G = padded // E
@@ -251,14 +262,25 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt):
     cnt_cold = jnp.sum((key == 2).astype(jnp.int32), axis=1)
     overflow = jnp.any(cnt_mid > S_m) | jnp.any(cnt_cold > S_c)
 
+    # Unweighted: the per-position coefficient is a constant, so it does
+    # not ride the sort — slot coefficients reconstruct from liveness.
     if table.shape[0] <= (1 << 28) - 1:
         # Pack (tier, idx) into one int32 sort key — one fewer sort
         # operand (~25% off the dominant row-wise sort). Guarded on the
         # largest possible index (the table size), not hot_rows.
-        comp, w_s, s_s = jax.lax.sort(
-            [(key << 28) | xi, wi, sm], dimension=1, num_keys=1
-        )
+        if uniform is not None:
+            comp, s_s = jax.lax.sort(
+                [(key << 28) | xi, sm], dimension=1, num_keys=1
+            )
+            w_s = None
+        else:
+            comp, w_s, s_s = jax.lax.sort(
+                [(key << 28) | xi, wi, sm], dimension=1, num_keys=1
+            )
         x_s = comp & ((1 << 28) - 1)
+    elif uniform is not None:
+        _, x_s, s_s = jax.lax.sort([key, xi, sm], dimension=1, num_keys=1)
+        w_s = None
     else:
         _, x_s, w_s, s_s = jax.lax.sort(
             [key, xi, wi, sm], dimension=1, num_keys=1
@@ -289,7 +311,11 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt):
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (G, S_m), 1)
         m_live = iota_m < cnt_mid[:, None]
         m_idx = jnp.where(m_live, x_s[:, :S_m], 0)
-        m_cf = jnp.where(m_live, w_s[:, :S_m], 0.0)
+        m_cf = (
+            m_live.astype(acc_dt) * acc_dt(uniform)
+            if w_s is None
+            else jnp.where(m_live, w_s[:, :S_m], 0.0)
+        )
         m_rows = jnp.take(table[:C], m_idx.reshape(-1), axis=0)
         out = combine(m_rows.reshape(G, S_m, width), s_s[:, :S_m], m_cf)
 
@@ -297,7 +323,11 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt):
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (G, S_c), 1)
         c_live = iota_c >= (S_c - cnt_cold)[:, None]
         c_idx = jnp.where(c_live, x_s[:, E - S_c:], 0)
-        c_cf = jnp.where(c_live, w_s[:, E - S_c:], 0.0)
+        c_cf = (
+            c_live.astype(acc_dt) * acc_dt(uniform)
+            if w_s is None
+            else jnp.where(c_live, w_s[:, E - S_c:], 0.0)
+        )
         c_rows = jnp.take(table, c_idx.reshape(-1), axis=0)
         out = out + combine(
             c_rows.reshape(G, S_c, width), s_s[:, E - S_c:], c_cf
