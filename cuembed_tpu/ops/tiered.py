@@ -262,17 +262,27 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
     cnt_cold = jnp.sum((key == 2).astype(jnp.int32), axis=1)
     overflow = jnp.any(cnt_mid > S_m) | jnp.any(cnt_cold > S_c)
 
-    # Unweighted: the per-position coefficient is a constant, so it does
-    # not ride the sort — slot coefficients reconstruct from liveness.
-    if table.shape[0] <= (1 << 28) - 1:
-        # Pack (tier, idx) into one int32 sort key — one fewer sort
-        # operand (~25% off the dominant row-wise sort). Guarded on the
-        # largest possible index (the table size), not hot_rows.
+    # Sort-operand minimization. The dominant cost is the row-wise sort,
+    # which scales with operand count:
+    #  * unweighted: the constant coefficient never rides the sort (slot
+    #    coefficients reconstruct from liveness),
+    #  * (tier, idx) pack into one int32 key when the table fits 2^28,
+    #  * (tier, idx, sample-in-chunk) pack into one int32 when
+    #    2 + ceil(log2 V) + ceil(log2 GS) <= 31 — a pure key-only sort
+    #    for the unweighted flagship shape.
+    idx_bits = max(1, (table.shape[0] - 1).bit_length())
+    gs_bits = max(1, (GS - 1).bit_length())
+    w_s = None
+    if uniform is not None and 2 + idx_bits + gs_bits <= 31:
+        comp = (((key << idx_bits) | xi) << gs_bits) | sm
+        (comp,) = jax.lax.sort([comp], dimension=1, num_keys=1)
+        s_s = comp & ((1 << gs_bits) - 1)
+        x_s = (comp >> gs_bits) & ((1 << idx_bits) - 1)
+    elif table.shape[0] <= (1 << 28) - 1:
         if uniform is not None:
             comp, s_s = jax.lax.sort(
                 [(key << 28) | xi, sm], dimension=1, num_keys=1
             )
-            w_s = None
         else:
             comp, w_s, s_s = jax.lax.sort(
                 [(key << 28) | xi, wi, sm], dimension=1, num_keys=1
@@ -280,7 +290,6 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
         x_s = comp & ((1 << 28) - 1)
     elif uniform is not None:
         _, x_s, s_s = jax.lax.sort([key, xi, sm], dimension=1, num_keys=1)
-        w_s = None
     else:
         _, x_s, w_s, s_s = jax.lax.sort(
             [key, xi, wi, sm], dimension=1, num_keys=1
