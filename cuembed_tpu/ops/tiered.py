@@ -46,8 +46,8 @@ CSR uses the 2-tier variant (full-width hot gather + compacted cold with
 a scatter combine); CONCAT is a pure gather and is not tiered.
 
 Measured on the reference flagship workload (10M x 256 bf16, batch 64K,
-hotness 64, alpha=1.15 permuted ids): 22.6 ms / 96.5 GB/s application
-bandwidth — 2.32x over the plain XLA path; 3.2x on the 1M-category fp32
+hotness 64, alpha=1.15 permuted ids): 22.3 ms / 97.9 GB/s application
+bandwidth — 2.33x over the plain XLA path; 3.2x on the 1M-category fp32
 sweep point (docs/PERF_NOTES.md).
 
 Numerics: accumulation is fp32 (or storage precision under

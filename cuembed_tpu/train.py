@@ -235,17 +235,22 @@ def rowwise_adagrad_sparse_update(
 
         g2 = jnp.mean(rows * rows, axis=1) * valid  # [k]
         new_accum_rows = jnp.take(accum, safe_idx) + g2
-        # Invalid slots keep the int32-max sentinel so the scatter index
-        # vector stays ascending (indices_are_sorted is a real promise);
-        # mode="drop" discards them.
-        scatter_idx = jnp.where(valid, unique_idx, sentinel)
+        # Dropped slots get DISTINCT out-of-range targets (num_rows + rid)
+        # so the index vector is strictly unique AND ascending — both
+        # scatter promises hold and mode="drop" discards them. The
+        # int32-max padding run (always the last valid run when padding
+        # exists) is remapped the same way, keeping the order ascending.
+        droppable = (~valid) | (unique_idx >= accum.shape[0])
+        scatter_idx = jnp.where(droppable, accum.shape[0] + rid, unique_idx)
         new_accum = accum.at[scatter_idx].set(
-            new_accum_rows, mode="drop", indices_are_sorted=True
+            new_accum_rows, mode="drop", indices_are_sorted=True,
+            unique_indices=True,
         )
         scale = jnp.where(valid, -lr / jnp.sqrt(new_accum_rows + eps), 0.0)
         update = rows * scale[:, None]
         new_table = table.at[scatter_idx].add(
-            update.astype(table.dtype), mode="drop", indices_are_sorted=True
+            update.astype(table.dtype), mode="drop", indices_are_sorted=True,
+            unique_indices=True,
         )
         return new_table, new_accum
 
