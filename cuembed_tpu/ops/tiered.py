@@ -212,7 +212,18 @@ def tiered_forward(
         return _forward_fixed_3tier(
             table, indices, coeff, cfg, acc_dt, uniform
         )
-    return _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt)
+    # 2-tier uniform coefficient: any unweighted case whose coefficient
+    # is one constant over LIVE positions (CSR MEAN varies per sample).
+    uniform2 = None
+    if weights is None and (offsets is None or mode != CombineMode.MEAN):
+        uniform2 = (
+            1.0 / indices.shape[1]
+            if (mode == CombineMode.MEAN and offsets is None)
+            else 1.0
+        )
+    return _forward_2tier(
+        table, indices, offsets, coeff, mode, cfg, acc_dt, uniform2
+    )
 
 
 def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
@@ -373,7 +384,8 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
     return out.astype(table.dtype)
 
 
-def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt):
+def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt,
+                   uniform=None):
     """Hot/cold forward: full-batch gather from the VMEM hot head plus a
     per-chunk compacted cold gather. Serves CSR (scatter combine) and
     fixed-hotness with the MXU head disabled."""
@@ -446,12 +458,36 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt):
     overflow = jnp.any(counts > S)
 
     key = jnp.where(ci, 0, 1).astype(jnp.int32)  # cold sorts first
-    _, x_s, w_s, s_s = jax.lax.sort([key, xi, wi, sm], dimension=1, num_keys=1)
+    # Dead CSR padding (coeff 0) carries index 0 => hot key, so it never
+    # reaches the cold slices; with a uniform coefficient the sort can
+    # therefore skip the coefficient payload (slot coeff = live * scale).
+    if table.shape[0] <= (1 << 28) - 1:
+        if uniform is not None:
+            comp, s_s = jax.lax.sort(
+                [(key << 28) | xi, sm], dimension=1, num_keys=1
+            )
+            w_s = None
+        else:
+            comp, w_s, s_s = jax.lax.sort(
+                [(key << 28) | xi, wi, sm], dimension=1, num_keys=1
+            )
+        x_s = comp & ((1 << 28) - 1)
+    elif uniform is not None:
+        _, x_s, s_s = jax.lax.sort([key, xi, sm], dimension=1, num_keys=1)
+        w_s = None
+    else:
+        _, x_s, w_s, s_s = jax.lax.sort(
+            [key, xi, wi, sm], dimension=1, num_keys=1
+        )
     slot_live = (
         jax.lax.broadcasted_iota(jnp.int32, (G, S), 1) < counts[:, None]
     )
     cold_idx = jnp.where(slot_live, x_s[:, :S], 0)
-    cold_coeff = jnp.where(slot_live, w_s[:, :S], 0.0)
+    cold_coeff = (
+        slot_live.astype(acc_dt) * acc_dt(uniform)
+        if w_s is None
+        else jnp.where(slot_live, w_s[:, :S], 0.0)
+    )
     cold_sm = jnp.where(slot_live, s_s[:, :S], 0)
 
     def cold_fast(_):
