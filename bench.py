@@ -197,7 +197,7 @@ def main():
     for backend in backends:
         try:
             dt = chain_time(make_step(backend), (jnp.int32(0), jnp.float32(0)),
-                            k_lo=1, k_hi=4, repeats=2)
+                            k_lo=1, k_hi=4, repeats=3)
             results[backend] = dt
         except Exception as e:  # pragma: no cover
             print(f"# backend {backend} failed: {str(e).splitlines()[0]}",
