@@ -28,13 +28,18 @@ from cuembed_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
 
 def initialize(**kwargs) -> None:
     """Initialize jax.distributed (no-op if already initialized or
-    running single-process)."""
+    running single-process with nothing to autodetect)."""
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process context with no
-        # coordinator to autodetect (ValueError)
-        pass
+    except ValueError:
+        # A bare initialize() in a single-process context has no
+        # coordinator to autodetect — that is fine. With explicit
+        # arguments a failure is a real configuration error: surface it.
+        if kwargs:
+            raise
 
 
 def pod_mesh(n_model: Optional[int] = None) -> jax.sharding.Mesh:

@@ -1,0 +1,224 @@
+"""EmbeddingTable: a stateful single-table wrapper that is fast by default.
+
+The tiered engine (:mod:`cuembed_tpu.ops.tiered`) needs three pieces of
+ceremony before it can engage: frequency statistics, a frequency-ordered
+table layout, and the id->row remap applied to incoming indices. The
+reference's API is fast without ceremony (the GPU L2 needs no setup), so
+this wrapper owns all three — the single-table analog of
+``EmbeddingCollection.reorder`` (:mod:`cuembed_tpu.collection`):
+
+    t = EmbeddingTable.create(key, num_categories=10_000_000, width=256,
+                              dtype=jnp.bfloat16)
+    t.observe(calibration_indices)      # host-side frequency counting
+    t.refresh_layout()                  # reorder + remap + capacities
+    out = t.lookup(indices)             # tiered-fast, correct either way
+
+``lookup`` works before any calibration too (plain XLA path, correct);
+after ``refresh_layout`` it automatically routes through the tiered
+engine with the calibrated config.
+
+Index remapping placement (measured, docs/PERF_NOTES.md): a device-side
+remap gather costs ~1.9 ms per 262K indices — comparable to an entire
+tiered lookup — so production pipelines apply :meth:`remap_indices` on
+the host while the device computes the previous batch (the
+``utils.pipeline`` pattern). ``lookup`` accepts either form:
+``assume_remapped=True`` for pipeline-remapped indices (fast path), else
+it remaps on device (correct, slower; documented cost).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
+from cuembed_tpu.ops.tiered import DEFAULT_HOT_BYTES, TieredConfig, auto_config
+from cuembed_tpu.types import CombineMode
+from cuembed_tpu.utils import frequency as freq
+
+
+class EmbeddingTable:
+    """One embedding table plus the state that makes lookups fast.
+
+    Attributes:
+      table: the device table in the *current storage layout* (frequency-
+        ordered after :meth:`refresh_layout`; training updates apply to
+        this array directly).
+      remap: ``original_category -> storage_row`` (host numpy int32), or
+        None before any reorder.
+      tiered_cfg: the calibrated :class:`TieredConfig`, or None when the
+        table is small enough to be VMEM-served (plain path is optimal).
+    """
+
+    def __init__(
+        self,
+        table: jax.Array,
+        *,
+        mode: CombineMode = CombineMode.SUM,
+        hot_bytes: int = DEFAULT_HOT_BYTES,
+        low_precision_math: bool = False,
+    ):
+        self.table = table
+        self.mode = mode
+        self.hot_bytes = hot_bytes
+        self.low_precision_math = low_precision_math
+        self.counts: Optional[np.ndarray] = None
+        self.remap: Optional[np.ndarray] = None
+        self._remap_dev: Optional[jax.Array] = None
+        self.tiered_cfg: Optional[TieredConfig] = None
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        key: jax.Array,
+        num_categories: int,
+        width: int,
+        *,
+        dtype=jnp.float32,
+        mode: CombineMode = CombineMode.SUM,
+        hot_bytes: int = DEFAULT_HOT_BYTES,
+    ) -> "EmbeddingTable":
+        scale = 1.0 / (width**0.5)
+        table = jax.random.uniform(
+            key, (num_categories, width), jnp.float32, -scale, scale
+        ).astype(dtype)
+        return cls(table, mode=mode, hot_bytes=hot_bytes)
+
+    @property
+    def num_categories(self) -> int:
+        return self.table.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.table.shape[1]
+
+    # -- frequency statistics (host side) ----------------------------------
+    def observe(self, indices) -> None:
+        """Fold one batch of *original-id* indices into the running counts."""
+        idx = np.asarray(indices)
+        self.counts = freq.count_frequencies(
+            idx, self.num_categories, self.counts
+        )
+
+    def decay(self, rate: float = 0.9) -> None:
+        """Decay running counts (call between traffic windows)."""
+        if self.counts is not None:
+            self.counts = freq.decay_counts(self.counts, rate)
+
+    # -- layout maintenance -------------------------------------------------
+    def refresh_layout(self, calibration_indices=None) -> None:
+        """Reorder storage by observed frequency and calibrate the tiers.
+
+        ``lookup`` results are unchanged (the remap composes with the
+        reorder); only speed changes. ``calibration_indices`` (original
+        ids, any shape ``[..., hotness]``) tightens the static capacities
+        to observed per-chunk maxima; defaults to capacity formulas from
+        the observed tier fractions.
+        """
+        if self.counts is None:
+            raise ValueError("observe() at least one batch first")
+        perm, remap = freq.frequency_order(self.counts)
+        # Compose with any existing layout: counts/observe always speak
+        # original ids, so the new remap replaces (not stacks on) the old.
+        storage_perm = perm if self.remap is None else self._compose_perm(perm)
+        # Reorder on device (one row gather, ~80 M rows/s) — a host
+        # round-trip of a multi-GB table would dwarf it.
+        self.table = jax.block_until_ready(
+            jnp.take(self.table, jnp.asarray(storage_perm), axis=0)
+        )
+        self.remap = remap
+        self._remap_dev = None
+
+        hotness = 1
+        if calibration_indices is not None:
+            ci = np.asarray(calibration_indices)
+            if ci.ndim >= 2:
+                hotness = int(ci.shape[-1])
+        cfg = auto_config(
+            self.num_categories,
+            self.width,
+            jnp.dtype(self.table.dtype).itemsize,
+            hotness,
+            hot_bytes=self.hot_bytes,
+        )
+        if cfg is not None and calibration_indices is not None:
+            head_f, cold_f = freq.tier_fractions(
+                ci, remap, cfg.mxu_head_rows, cfg.hot_rows, margin=1.15
+            )
+            cfg = auto_config(
+                self.num_categories,
+                self.width,
+                jnp.dtype(self.table.dtype).itemsize,
+                hotness,
+                cold_fraction=cold_f,
+                head_fraction=head_f,
+                hot_bytes=self.hot_bytes,
+            )
+            mid_s, cold_s = freq.calibrate_capacities(
+                ci, remap, cfg.mxu_head_rows, cfg.hot_rows, cfg.chunk_elems
+            )
+            cfg = replace(
+                cfg,
+                mid_slots=min(cfg.mid_slots, mid_s),
+                cold_slots=min(cfg.cold_slots, cold_s),
+            )
+        self.tiered_cfg = cfg
+
+    def _compose_perm(self, perm: np.ndarray) -> np.ndarray:
+        """Permutation taking the *current* layout to the new one.
+
+        Current storage row of original category c is ``old_remap[c]``;
+        the new layout wants ``new_perm[r] = c`` at row r, i.e. current
+        row ``old_remap[new_perm[r]]``.
+        """
+        return np.asarray(self.remap)[perm]
+
+    def calibrate(self, calibration_indices) -> None:
+        """One-call ceremony: observe + refresh_layout."""
+        self.observe(calibration_indices)
+        self.refresh_layout(calibration_indices)
+
+    # -- index translation --------------------------------------------------
+    def remap_indices(self, indices: np.ndarray) -> np.ndarray:
+        """Host-side id->row translation (use in the input pipeline)."""
+        if self.remap is None:
+            return np.asarray(indices)
+        return self.remap[np.asarray(indices)]
+
+    # -- lookup --------------------------------------------------------------
+    def lookup(
+        self,
+        indices,
+        weights=None,
+        offsets=None,
+        *,
+        assume_remapped: bool = False,
+    ) -> jax.Array:
+        """Differentiable pooled lookup; tiered-fast once calibrated.
+
+        ``assume_remapped=True`` promises the indices already went through
+        :meth:`remap_indices` (the pipeline fast path); otherwise the
+        remap (if any) is applied on device.
+        """
+        remap_dev = None
+        if self.remap is not None and not assume_remapped:
+            if self._remap_dev is None:
+                self._remap_dev = jnp.asarray(self.remap)
+            remap_dev = self._remap_dev
+        kwargs = dict(
+            mode=self.mode,
+            low_precision_math=self.low_precision_math,
+            backend="auto",
+            tiered_cfg=self.tiered_cfg if self.remap is not None else None,
+            remap=remap_dev,
+        )
+        if offsets is not None:
+            return embedding_lookup_csr(
+                self.table, indices, offsets, weights, **kwargs
+            )
+        return embedding_lookup(self.table, indices, weights, **kwargs)

@@ -14,8 +14,9 @@ cache-cleared per-iteration events.
 
 from __future__ import annotations
 
+import statistics
 import time
-from typing import Callable, Optional
+from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -53,11 +54,16 @@ def chain_time(
     k_lo: int = 2,
     k_hi: int = 10,
     repeats: int = 3,
-) -> float:
-    """Median per-call seconds of ``step`` (a device fn x -> x).
+    return_stats: bool = False,
+) -> Union[float, dict]:
+    """Per-call seconds of ``step`` (a device fn x -> x), best-of-repeats.
 
     State threads through every call and never resets, so no
     (executable, input) pair repeats; a scalar readback fences each run.
+    With ``return_stats`` returns ``{"min": s, "median": s}`` — the
+    min-of-repeats slope is the headline (matches the reference's
+    best-iteration convention) and the median guards against the
+    min-of-mins flattering a noisy link.
     """
     state = [x0]
 
@@ -70,9 +76,15 @@ def chain_time(
         return time.perf_counter() - t0
 
     run(2)  # compile + warm
-    t_lo = min(run(k_lo) for _ in range(repeats))
-    t_hi = min(run(k_hi) for _ in range(repeats))
-    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    lo = [run(k_lo) for _ in range(repeats)]
+    hi = [run(k_hi) for _ in range(repeats)]
+
+    def slope(red) -> float:
+        return max((red(hi) - red(lo)) / (k_hi - k_lo), 1e-9)
+
+    if return_stats:
+        return {"min": slope(min), "median": slope(statistics.median)}
+    return slope(min)
 
 
 # ---------------------------------------------------------------------------

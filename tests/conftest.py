@@ -12,15 +12,22 @@ has initialized yet. XLA_FLAGS is also still unread at this point.
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# On-chip lane: JAX_PLATFORMS=tpu pytest -m tpu runs the real-TPU subset
+# (tests/test_tpu_lane.py) against the attached chip — Mosaic/XLA
+# lowering regressions are caught here, not only in the benchmark.
+_TPU_LANE = os.environ.get("JAX_PLATFORMS", "").lower() == "tpu"
+
+if not _TPU_LANE:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 # int64 indices are accepted at the API boundary and routed through int32
 # (types.canonical_index_dtype); x64 stays off, matching TPU reality.

@@ -1,0 +1,113 @@
+"""Real-TPU test lane: catch Mosaic/XLA lowering regressions on-chip.
+
+Run with ``JAX_PLATFORMS=tpu python -m pytest tests/ -m tpu -q`` on a
+machine with an attached chip (tests/conftest.py skips the CPU forcing
+when JAX_PLATFORMS=tpu). Everything here is small — the point is that
+the production code paths *compile and execute* on real hardware and
+match the golden models, not performance (that is the benchmark's job).
+
+Under the default CPU suite these tests are skipped.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
+from cuembed_tpu.ops.tiered import TieredConfig, tiered_forward
+from cuembed_tpu.ref.forward import embedding_forward_ref
+from cuembed_tpu.types import CombineMode
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        jax.default_backend() != "tpu", reason="needs a real TPU chip"
+    ),
+]
+
+
+def _table(rng, v, w, dtype=np.float32):
+    return rng.standard_normal((v, w)).astype(dtype)
+
+
+def test_xla_forward_on_chip():
+    rng = np.random.default_rng(0)
+    table = _table(rng, 1000, 128)
+    idx = rng.integers(0, 1000, (64, 16)).astype(np.int32)
+    out = embedding_lookup(
+        jnp.asarray(table), jnp.asarray(idx), mode=CombineMode.SUM,
+        backend="xla",
+    )
+    ref = embedding_forward_ref(table, idx, mode=CombineMode.SUM)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
+
+
+def test_tiered_forward_on_chip():
+    rng = np.random.default_rng(1)
+    table = _table(rng, 4096, 128)
+    idx = rng.integers(0, 4096, (128, 8)).astype(np.int32)
+    cfg = TieredConfig(hot_rows=1024, chunk_elems=256, cold_slots=256,
+                       mxu_head_rows=128, mid_slots=256)
+    out = tiered_forward(
+        jnp.asarray(table), jnp.asarray(idx), mode=CombineMode.SUM, cfg=cfg
+    )
+    ref = embedding_forward_ref(table, idx, mode=CombineMode.SUM)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
+
+
+def test_pallas_forward_on_chip_compiled():
+    """The Pallas kernel in real (non-interpret) Mosaic lowering."""
+    from cuembed_tpu.ops import pallas_forward
+
+    rng = np.random.default_rng(2)
+    table = _table(rng, 512, 128)
+    idx = rng.integers(0, 512, (32, 8)).astype(np.int32)
+    out = pallas_forward.embedding_forward_pallas(
+        jnp.asarray(table), jnp.asarray(idx), None, None,
+        mode=CombineMode.SUM,
+    )
+    ref = embedding_forward_ref(table, idx, mode=CombineMode.SUM)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
+
+
+def test_narrow_packed_on_chip():
+    from cuembed_tpu.ops.narrow import narrow_lookup, pack_narrow
+
+    rng = np.random.default_rng(3)
+    table = _table(rng, 1000, 32)
+    idx = rng.integers(0, 1000, (64, 8)).astype(np.int32)
+    packed = pack_narrow(jnp.asarray(table))
+    out = narrow_lookup(packed, 1000, 32, jnp.asarray(idx),
+                        mode=CombineMode.SUM)
+    ref = embedding_forward_ref(table, idx, mode=CombineMode.SUM)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
+
+
+def test_csr_forward_backward_on_chip():
+    rng = np.random.default_rng(4)
+    table = _table(rng, 500, 128)
+    offsets = np.array([0, 3, 3, 7, 12], np.int32)
+    idx = rng.integers(0, 500, (16,)).astype(np.int32)
+
+    def loss(t):
+        out = embedding_lookup_csr(
+            t, jnp.asarray(idx), jnp.asarray(offsets), mode=CombineMode.MEAN
+        )
+        return jnp.sum(out * out)
+
+    g = jax.grad(loss)(jnp.asarray(table))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_train_step_on_chip():
+    from cuembed_tpu.train import sgd_sparse_update
+
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(_table(rng, 2048, 128))
+    idx = jnp.asarray(rng.integers(0, 2048, (64, 8)).astype(np.int32))
+    grad_y = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    new_table = sgd_sparse_update(table, idx, grad_y, lr=0.1)
+    assert np.isfinite(np.asarray(new_table)).all()
+    assert not np.array_equal(np.asarray(new_table), np.asarray(table))
