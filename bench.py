@@ -51,7 +51,6 @@ def main():
     import jax.numpy as jnp
 
     from cuembed_tpu.ops.api import embedding_lookup
-    from cuembed_tpu.ops.tiered import auto_config
     from cuembed_tpu.types import CombineMode
     from cuembed_tpu.utils.benchmarking import (
         chain_time,
@@ -60,11 +59,6 @@ def main():
         lookups_per_sec,
     )
     from cuembed_tpu.utils.datagen import PowerLawGenerator
-    from cuembed_tpu.utils.frequency import (
-        count_frequencies,
-        frequency_order,
-        tier_fractions,
-    )
 
 
     if args.quick:
@@ -112,49 +106,17 @@ def main():
     # input pipeline on the host (the standard place for id mapping),
     # overlapped with device compute in steady state; the device-side
     # remap variant costs one extra 4-byte gather per lookup.
+    from cuembed_tpu.utils.calibration import calibrate_powerlaw_workload
+
     elem = jnp.dtype(dtype).itemsize
-    cfg = auto_config(V, W, elem, H)
+    cfg, idx_rm, remap = calibrate_powerlaw_workload(
+        V, B, H, alpha, W, elem, permute=permute, seed=7,
+        capacity_margin=1.05,
+    )
     idx_tiered = None
     if cfg is not None:
-        from cuembed_tpu import native as ce_native
-
-        counts = None
-        if ce_native.AVAILABLE:
-            # The native generator is ~10x faster; feed it the SAME
-            # category permutation so its id space matches the workload.
-            for i in range(48):
-                calib = ce_native.powerlaw_indices(
-                    V - 1, H, alpha, B, seed=1000 + i,
-                    permutation=gen.permutation,
-                )
-                counts = count_frequencies(calib, V, counts)
-        else:
-            for _ in range(8):
-                counts = count_frequencies(gen.sample(B), V, counts)
-        _, remap = frequency_order(counts)
-        calib_batch = gen.sample(B)
-        head_f, cold_f = tier_fractions(
-            calib_batch, remap, cfg.mxu_head_rows, cfg.hot_rows,
-            margin=1.15,
-        )
-        cfg = auto_config(
-            V, W, elem, H, cold_fraction=cold_f, head_fraction=head_f
-        )
-        # Tighten static capacities to observed per-chunk maxima (+15%);
-        # undersizing only triggers the exact fallback.
-        from dataclasses import replace as _replace
-        from cuembed_tpu.utils.frequency import calibrate_capacities
-        mid_s, cold_s = calibrate_capacities(
-            np.stack([calib_batch, gen.sample(B)]), remap,
-            cfg.mxu_head_rows, cfg.hot_rows, cfg.chunk_elems,
-        )
-        cfg = _replace(
-            cfg,
-            mid_slots=min(cfg.mid_slots, mid_s),
-            cold_slots=min(cfg.cold_slots, cold_s),
-        )
-        idx_rm = remap[idx_np]
-        idx_tiered = jnp.asarray(idx_rm)  # host-side remap (pipeline)
+        idx_np = idx_rm  # measured batch, host-remapped (pipeline step)
+        idx_tiered = jnp.asarray(idx_rm)
         # capacity diagnostics (drives the lax.cond fallback if violated)
         E = cfg.chunk_elems
         flat = idx_rm.reshape(1, -1)
@@ -163,9 +125,9 @@ def main():
         ch = flat.reshape(1, -1, E)
         mid_max = int((((ch >= cfg.mxu_head_rows) & (ch < cfg.hot_rows)).sum(-1)).max())
         cold_max = int(((ch >= cfg.hot_rows).sum(-1)).max())
-        print(f"# tiered diag: head_f={head_f:.3f} cold_f={cold_f:.3f} "
-              f"mid max/slots {mid_max}/{cfg.mid_slots} "
-              f"cold max/slots {cold_max}/{cfg.cold_slots}", file=sys.stderr)
+        print(f"# tiered diag: mid max/slots {mid_max}/{cfg.mid_slots} "
+              f"cold max/slots {cold_max}/{cfg.cold_slots} "
+              f"hot_rows {cfg.hot_rows}", file=sys.stderr)
 
     app_bytes = forward_app_bytes(
         batch=B, hotness=H, width=W, elem_bytes=elem, mode=CombineMode.SUM
@@ -193,12 +155,13 @@ def main():
     backends = (
         ["auto", "xla"] if args.backend == "best" else [args.backend]
     )
-    results = {}
+    results, medians = {}, {}
     for backend in backends:
         try:
-            dt = chain_time(make_step(backend), (jnp.int32(0), jnp.float32(0)),
-                            k_lo=1, k_hi=4, repeats=3)
-            results[backend] = dt
+            st = chain_time(make_step(backend), (jnp.int32(0), jnp.float32(0)),
+                            k_lo=1, k_hi=4, repeats=3, return_stats=True)
+            results[backend] = st["min"]
+            medians[backend] = st["median"]
         except Exception as e:  # pragma: no cover
             print(f"# backend {backend} failed: {str(e).splitlines()[0]}",
                   file=sys.stderr)
@@ -231,6 +194,7 @@ def main():
             },
         },
         "time_ms": round(dt * 1e3, 3),
+        "time_ms_median": round(medians[best_backend] * 1e3, 3),
         "all_backends_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
         "lookups_per_sec": round(lookups_per_sec(B, H, dt)),
         "hbm_peak_gbps": peak,

@@ -260,6 +260,7 @@ def main(argv):
             gen.sample(batch)  # == the measured batch; not used for stats
             counts = None
             n_calib = 24 if ce_native.AVAILABLE else 4
+            last_calibs = []
             for i in range(n_calib):
                 if ce_native.AVAILABLE:
                     calib = ce_native.powerlaw_indices(
@@ -270,6 +271,7 @@ def main(argv):
                 else:
                     calib = gen.sample(batch)
                 counts = count_frequencies(calib, FLAGS.num_categories, counts)
+                last_calibs = (last_calibs + [np.asarray(calib).reshape(-1)])[-2:]
             _, remap = frequency_order(counts)
             head_f, cold_f = tier_fractions(
                 gen.sample(batch), remap, cfg0.mxu_head_rows, cfg0.hot_rows,
@@ -279,6 +281,11 @@ def main(argv):
                 FLAGS.num_categories, width, elem,
                 1 if options.is_csr else options.hotness,
                 cold_fraction=cold_f, head_fraction=head_f,
+            )
+            from cuembed_tpu.utils.calibration import refine_tiered_config
+            tiered_cfg = refine_tiered_config(
+                tiered_cfg, remap[np.stack(last_calibs)],
+                capacity_margin=1.08,
             )
             indices_host = ce_native.remap_indices(indices_host, remap)
             log(f"tiered: {tiered_cfg}, est head/cold {head_f:.3f}/{cold_f:.3f}, "
@@ -395,20 +402,80 @@ def main(argv):
         dump_csv(options, "transpose", n_iter, elapsed * 1e3, bw, bw)
 
     # ------------------------------------------------------------ backward
-    t_idx_dev = jnp.asarray(alloc.transpose_indices.astype(np.int32))
-    t_sid_dev = jnp.asarray(alloc.transpose_sample_ids.astype(np.int32))
-    t_w_dev = (
-        jnp.asarray(alloc.transpose_weights.astype(np.float32))
-        if alloc.transpose_weights is not None
-        else None
+    # Under --backend=tiered (fixed-hotness, non-concat) the backward
+    # stage exercises the MXU-head + capacity-bounded path: head
+    # positions carry an int32-max sentinel through the sort (the tiered
+    # backward COO contract) and grad[:head] lands as one matmul.
+    use_tiered_bwd = (
+        tiered_cfg is not None
+        and not options.is_csr
+        and mode != CombineMode.CONCAT
     )
+    gy_scale, bwd_unique_cap = 1.0, None
+    if use_tiered_bwd:
+        from cuembed_tpu.ops.head import tiered_backward_coo
+        from cuembed_tpu.ops.lookup_xla import (
+            embedding_backward_compressed_tiered,
+        )
+
+        n_pos = batch * options.hotness
+        flat = indices_host.reshape(-1)
+        head = tiered_cfg.mxu_head_rows
+        rest = np.where(flat < head, np.iinfo(np.int32).max, flat)
+        order = np.argsort(rest, kind="stable")
+        t_idx_dev = jnp.asarray(rest[order].astype(np.int32))
+        t_sid_dev = jnp.asarray(
+            (np.arange(n_pos, dtype=np.int32) // options.hotness)[order]
+        )
+        # Uniform coefficients (unweighted SUM/MEAN) fold into grad_y
+        # as one scale — the COO carries no coefficient operand.
+        gy_scale = (
+            1.0 / options.hotness if mode == CombineMode.MEAN else 1.0
+        )
+        if options.is_weighted:
+            coeff_flat = alloc.weights.astype(np.float32).reshape(-1)
+            t_w_dev = jnp.asarray(coeff_flat[order] * gy_scale)
+            coeff2d_dev = jnp.asarray(
+                (coeff_flat * gy_scale).reshape(batch, options.hotness)
+            )
+            gy_scale = 1.0
+        else:
+            t_w_dev = None
+            coeff2d_dev = None  # unit coefficients (shared count matrix)
+        idx2d_dev = idx_dev
+        # Static unique bound for the compressed output buffers (the
+        # reference knows num_unique too — it sizes its BW formula from
+        # it); the runtime num_unique check flags any violation.
+        if alloc.num_unique is not None:
+            bwd_unique_cap = -(-int(alloc.num_unique * 1.25) // 128) * 128
+    else:
+        t_idx_dev = jnp.asarray(alloc.transpose_indices.astype(np.int32))
+        t_sid_dev = jnp.asarray(alloc.transpose_sample_ids.astype(np.int32))
+        t_w_dev = (
+            jnp.asarray(alloc.transpose_weights.astype(np.float32))
+            if alloc.transpose_weights is not None
+            else None
+        )
     grad_y_dev = jnp.asarray(alloc.grad_y.astype(np.float32)).astype(dev_dtype)
 
     @jax.jit
     def bwd_step_impl(grad_y, t_idx, t_sid, t_w, carry):
         i, dep = carry
         gy = grad_y + dep.astype(grad_y.dtype) * 0
-        if options.compressed_grad:
+        if use_tiered_bwd and options.compressed_grad:
+            out = embedding_backward_compressed_tiered(
+                gy.astype(jnp.float32) * gy_scale, FLAGS.num_categories,
+                idx2d_dev, coeff2d_dev, t_idx, t_sid, t_w, tiered_cfg,
+                unique_cap=bwd_unique_cap,
+            )
+            dep = out.rows[0, 0] + out.num_unique.astype(jnp.float32)
+        elif use_tiered_bwd:
+            grad = tiered_backward_coo(
+                gy.astype(jnp.float32) * gy_scale, FLAGS.num_categories,
+                idx2d_dev, coeff2d_dev, t_idx, t_sid, t_w, tiered_cfg,
+            )
+            dep = grad[0, 0]
+        elif options.compressed_grad:
             out = embedding_backward_compressed_xla(
                 gy.astype(jnp.float32), t_idx, t_sid, t_w
             )

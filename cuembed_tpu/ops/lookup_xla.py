@@ -206,6 +206,253 @@ def embedding_backward_compressed_xla(
     return CompressedGrad(rows=rows, unique_indices=unique_idx, num_unique=num_unique)
 
 
+def embedding_backward_compressed_tiered(
+    grad_y: jax.Array,
+    num_categories: int,
+    indices2d: jax.Array,
+    coeff2d: jax.Array,
+    t_idx: jax.Array,
+    t_sid: jax.Array,
+    t_coeff: Optional[jax.Array],
+    cfg,
+    *,
+    unique_cap: Optional[int] = None,
+) -> CompressedGrad:
+    """Compressed gradient with the MXU head absorbing the hottest rows.
+
+    Same output contract as :func:`embedding_backward_compressed_xla`
+    (unique rows ascending + num_unique), same inputs as the tiered
+    full backward (:func:`cuembed_tpu.ops.head.tiered_backward_coo`):
+    the COO must be index-sorted with head positions (``idx <
+    cfg.mxu_head_rows``) replaced by an int32-max sentinel before the
+    sort. The head's per-row gradients come from one ``M^T @ grad_y``
+    matmul and land directly at ranks ``0..n_head_appeared`` (head rows
+    are the hottest, hence the lowest unique indices); the segment
+    scatter covers only the calibrated non-head prefix with its ranks
+    shifted past the head block — no multi-GB placement copies.
+
+    ``unique_cap``: optional static bound on the number of unique
+    non-head rows (calibrate like the slot capacities). It shrinks the
+    output buffers from nnz-sized to ``unique_cap + head_rows`` —
+    multi-GB of scatter-target zeros on big batches. It is a caller
+    contract: a batch with more unique rows drops the excess runs, and
+    ``num_unique > rows.shape[0]`` flags the violation for the caller.
+    Default (None) is always exact with capacity ``nnz + head_rows``.
+    """
+    from cuembed_tpu.ops.head import nonhead_capacity
+
+    acc_dt = grad_y.dtype
+    head_rows = min(cfg.mxu_head_rows, num_categories)
+    nnz_cap = t_idx.shape[0]
+    cap = (
+        nnz_cap + head_rows if unique_cap is None
+        else min(unique_cap + head_rows, nnz_cap + head_rows)
+    )
+    width = grad_y.shape[1]
+    sentinel = jnp.iinfo(jnp.int32).max
+
+    # --- head block: dense [head, W] grads + which head rows appeared ---
+    # coeff2d=None (unit coefficients) shares ONE compare-reduce between
+    # the head matrix and the appeared mask (M is then pure counts).
+    from cuembed_tpu.ops.head import head_matrix
+
+    m = head_matrix(indices2d, coeff2d, head_rows, acc_dt)
+    g_head = jax.lax.dot_general(
+        m, grad_y,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dt,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [head, W] == M^T @ grad_y
+    cols = jnp.arange(head_rows, dtype=jnp.int32)
+    if coeff2d is None:
+        appeared = jnp.max(m, axis=0) > 0
+    else:
+        appeared = jnp.any(
+            indices2d.astype(jnp.int32)[:, :, None] == cols[None, None, :],
+            axis=(0, 1),
+        )  # [head]
+    n_head_u = jnp.sum(appeared.astype(jnp.int32))
+    rank = jnp.cumsum(appeared.astype(jnp.int32)) - 1
+    scatter_to = jnp.where(appeared, rank, cap)
+    init_rows = (
+        jnp.zeros((cap, width), acc_dt)
+        .at[scatter_to]
+        .set(g_head, mode="drop", unique_indices=True)
+    )
+    init_uniq = (
+        jnp.full((cap,), sentinel, jnp.int32)
+        .at[scatter_to]
+        .set(cols, mode="drop", unique_indices=True)
+    )
+
+    # --- non-head: rank-shifted segment reduce over the prefix ----------
+    rest_count = jnp.sum((t_idx != sentinel).astype(jnp.int32))
+    k_cap = min(nonhead_capacity(cfg, nnz_cap), nnz_cap)
+
+    pos = jnp.arange(nnz_cap, dtype=jnp.int32)
+    live = pos < rest_count
+    boundary = jnp.concatenate(
+        [live[:1], (t_idx[1:] != t_idx[:-1]) & live[1:]]
+    )
+    ranks = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    n_nh = jnp.maximum(ranks[-1] + 1, 0).astype(jnp.int32)
+
+    tgt = jnp.where(live, ranks + n_head_u, cap)
+
+    def gathered(lo, hi):
+        # promise_in_bounds: sample ids are in range by construction —
+        # the default 'fill' mode adds a full [k, W] select pass when it
+        # cannot fuse past the optimization barrier.
+        g = grad_y.at[t_sid[lo:hi]].get(mode="promise_in_bounds")
+        if t_coeff is not None:
+            g = g * t_coeff[lo:hi].astype(acc_dt)[:, None]
+        return jax.lax.optimization_barrier(g)
+
+    def uniq_scatter(k):
+        return init_uniq.at[
+            jnp.where(boundary[:k], tgt[:k], cap)
+        ].set(jnp.where(live[:k], t_idx[:k], sentinel), mode="drop")
+
+    # Run-heavy prefix via per-chunk one-hot matmuls (the mid tier's
+    # long runs sort first): measured ~3x the sorted row-scatter rate.
+    chunk = cfg.bwd_seg_chunk
+    u_cap = cfg.bwd_seg_slots
+    S = 0
+    if u_cap > 0 and cfg.bwd_run_frac > 0:
+        S = min(int(nnz_cap * cfg.bwd_run_frac) // chunk * chunk, k_cap)
+    mxu_ok = jnp.bool_(True)
+    if S > 0:
+        g2 = S // chunk
+        r2 = ranks[:S].reshape(g2, chunk)
+        base = r2[:, :1]
+        local = r2 - base
+        mxu_ok = jnp.max(local[:, -1]) + 1 <= u_cap
+
+    def seg_fast(_):
+        # One gather over the whole prefix (a single gy-reading fusion
+        # keeps XLA placing grad_y in VMEM — two fusions demoted it to
+        # HBM rate in profiling); the dot input is a free bitcast of the
+        # leading rows.
+        g = gathered(0, k_cap)
+        rows = init_rows
+        if S > 0:
+            g_m = g[:S]
+            local_m = jnp.where(
+                live[:S].reshape(g2, chunk), local, u_cap
+            )
+            onehot = (
+                local_m[..., None] == jnp.arange(u_cap, dtype=jnp.int32)
+            ).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                onehot, g_m.reshape(g2, chunk, width),
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=acc_dt,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [g2, u_cap, W]
+            # Slab targets base+u: slots past a chunk's local-unique
+            # count hold zero partials (one-hot misses) — adding them
+            # anywhere in range is a no-op, so no masking is needed.
+            mtgt = (
+                base + jnp.arange(u_cap, dtype=jnp.int32)[None, :] + n_head_u
+            )
+            rows = rows.at[mtgt.reshape(-1)].add(
+                part.reshape(g2 * u_cap, width), mode="drop"
+            )
+        rows = rows.at[tgt[S:k_cap]].add(
+            g[S:], mode="drop", indices_are_sorted=True
+        )
+        return rows, uniq_scatter(k_cap)
+
+    def seg_full(_):
+        rows = init_rows.at[tgt].add(
+            gathered(0, nnz_cap), mode="drop", indices_are_sorted=True
+        )
+        return rows, uniq_scatter(nnz_cap)
+
+    if S == 0 and k_cap >= nnz_cap:
+        rows, uniq = seg_full(0)
+    else:
+        pred = mxu_ok
+        if k_cap < nnz_cap:
+            pred = pred & (rest_count <= k_cap)
+        rows, uniq = jax.lax.cond(pred, seg_fast, seg_full, 0)
+
+    num_unique = (n_head_u + n_nh).astype(jnp.int32)
+    return CompressedGrad(rows=rows, unique_indices=uniq,
+                          num_unique=num_unique)
+
+
+def _compressed_scatter(
+    grad_y: jax.Array,
+    t_idx: jax.Array,
+    t_sid: jax.Array,
+    t_w: Optional[jax.Array],
+    live_count: Optional[jax.Array],
+    *,
+    out_cap: int,
+    rank_offset=0,
+    uniq_pad: int = 0,
+    init_rows: Optional[jax.Array] = None,
+    init_uniq: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Rank-offset compressed scatter over an index-sorted COO prefix.
+
+    Returns ``(rows [out_cap, W], uniq [out_cap], n_runs)``: run ``r``
+    (dense rank over the live prefix, shifted by ``rank_offset``) holds
+    the summed gradient of its index in ``rows`` and the index value in
+    ``uniq``. Slots not written keep their init (zeros / ``uniq_pad``).
+
+    Perf notes (profiled on v5e): the gather is materialized behind an
+    ``optimization_barrier`` — XLA otherwise fuses gather+scatter into
+    one loop running ~57 M rows/s, while split they run at ~358 (VMEM
+    gy gather) and ~96 (sorted row scatter) M rows/s. ``out_cap`` can be
+    far below nnz when the caller bounds the unique count (the target
+    zeros then shrink from GBs to MBs); runs past ``out_cap -
+    rank_offset`` are dropped, so callers must guard with ``n_runs``.
+    """
+    k = t_idx.shape[0]
+    width = grad_y.shape[1]
+    pos = jnp.arange(k, dtype=jnp.int32)
+    live = (pos < live_count) if live_count is not None else jnp.ones((k,), bool)
+    sentinel = jnp.iinfo(jnp.int32).max
+    idxs = jnp.where(live, t_idx, sentinel)
+    boundary = jnp.concatenate(
+        [live[:1], (idxs[1:] != idxs[:-1]) & live[1:]]
+    )
+    ranks = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    n_runs = jnp.maximum(ranks[-1] + 1, 0).astype(jnp.int32)
+
+    g = grad_y.at[t_sid].get(mode="promise_in_bounds")
+    if t_w is not None:
+        # Dead positions are dropped by target, so only the raw weight
+        # multiplies — no liveness factor, no extra masking pass.
+        g = g * t_w.astype(grad_y.dtype)[:, None]
+    g = jax.lax.optimization_barrier(g)
+
+    # Dead positions route to the out-of-range target and are dropped —
+    # cheaper than multiplying a liveness coefficient over [k, W]
+    # (a full extra stream pass, ~8 ms at flagship scale).
+    tgt = ranks + rank_offset
+    if live_count is not None:
+        tgt = jnp.where(live, tgt, out_cap)
+    rows = (
+        jnp.zeros((out_cap, width), grad_y.dtype)
+        if init_rows is None
+        else init_rows
+    )
+    rows = rows.at[tgt].add(g, mode="drop", indices_are_sorted=True)
+    uniq = (
+        jnp.full((out_cap,), uniq_pad, jnp.int32)
+        if init_uniq is None
+        else init_uniq
+    )
+    uniq_tgt = jnp.where(boundary, tgt, out_cap)
+    uniq = uniq.at[uniq_tgt].set(
+        jnp.where(live, t_idx, uniq_pad).astype(jnp.int32), mode="drop"
+    )
+    return rows, uniq, n_runs
+
+
 def _segment_partials(
     grad_y: jax.Array,
     t_idx: jax.Array,
@@ -218,39 +465,12 @@ def _segment_partials(
 
     Returns ``(rows [cap, D], unique_indices [cap], num_unique)`` where
     ``rows[r]`` is the summed gradient of the r-th unique index. Padded
-    row slots are zero; padded unique_indices are a sentinel (table size,
+    row slots are zero; padded unique_indices are a sentinel (int32 max,
     guaranteed out of range) when ``sentinel_for_pad`` else 0.
     """
     cap = t_idx.shape[0]
-    pos = jnp.arange(cap, dtype=jnp.int32)
-    live = pos < nnz if nnz is not None else jnp.ones((cap,), bool)
-
-    # Dense run ids over the sorted (live) prefix. Force the padded tail into
-    # its own trailing segment so it never pollutes a live run. Callers must
-    # sort padded entries to the end (pad with a large sentinel pre-sort).
     sentinel = jnp.iinfo(jnp.int32).max
-    idx_for_runs = jnp.where(live, t_idx, sentinel)
-    remapped = compute_compressed_grad_indices(idx_for_runs)
-
-    g = jnp.take(grad_y, t_sid, axis=0)  # [cap, D]
-    coeff = jnp.where(live, 1.0, 0.0).astype(grad_y.dtype)
-    if t_w is not None:
-        coeff = coeff * t_w.astype(grad_y.dtype)
-    g = g * coeff[:, None]
-    # remapped is non-decreasing by construction (cumsum of boundary
-    # flags over sorted indices) — let the scatter lowering exploit it.
-    rows = jax.ops.segment_sum(
-        g, remapped.astype(jnp.int32), num_segments=cap,
-        indices_are_sorted=True,
-    )
-
-    num_unique = jnp.where(
-        jnp.any(live),
-        remapped[jnp.maximum(jnp.sum(live.astype(jnp.int32)) - 1, 0)] + 1,
-        0,
-    ).astype(jnp.int32)
     pad_value = sentinel if sentinel_for_pad else 0
-    inv = compact_sparse_indices(idx_for_runs, remapped, int(pad_value))
-    rid = jnp.arange(cap, dtype=jnp.int32)
-    inv = jnp.where(rid < num_unique, inv, pad_value)
-    return rows, inv, num_unique
+    return _compressed_scatter(
+        grad_y, t_idx, t_sid, t_w, nnz, out_cap=cap, uniq_pad=int(pad_value)
+    )

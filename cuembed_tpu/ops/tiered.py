@@ -71,13 +71,14 @@ import jax.numpy as jnp
 from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
 from cuembed_tpu.types import CombineMode, accumulation_dtype
 
-# Default VMEM budget for the hot head. v5e/v5p have 128 MiB of VMEM; XLA
-# needs headroom for pipeline buffers, so keep the hot head well under.
-DEFAULT_HOT_BYTES = 96 * 1024 * 1024
+# Default VMEM budget for the hot head. v5e/v5p have 128 MiB of VMEM; the
+# VMEM-rate gather held to 112 MB operands in measurement (gather_rates.py:
+# 296-322 M rows/s bf16 at 96-112 MB), so keep a small headroom under that.
+DEFAULT_HOT_BYTES = 108 * 1024 * 1024
 
 # Tables at or below this size are served entirely by the fast in-VMEM
 # gather — the tiered split would only add overhead.
-VMEM_TABLE_BYTES = 100 * 1024 * 1024
+VMEM_TABLE_BYTES = 108 * 1024 * 1024
 
 
 @dataclass(frozen=True)
@@ -104,6 +105,20 @@ class TieredConfig:
     # Static per-chunk capacity for compacted mid-tier (hot-but-not-head)
     # entries; only used by the 3-tier fixed-hotness path.
     mid_slots: int = 640
+    # Calibrated fraction of positions NOT hitting the MXU head (with
+    # margin). Bounds the backward's post-sort scatter width tighter
+    # than the slot-fraction default; None falls back to
+    # (mid_slots + cold_slots) / chunk_elems.
+    nonhead_frac: Optional[float] = None
+    # Backward MXU segment-reduce (see lookup_xla._compressed_scatter):
+    # the run-heavy prefix of the index-sorted non-head stream (the mid
+    # tier's long runs) is segment-reduced by per-chunk one-hot matmuls
+    # instead of a row scatter (~3x the scatter's row rate, measured).
+    # bwd_seg_slots = per-chunk local-unique capacity (0 disables);
+    # bwd_run_frac = calibrated fraction of nnz in the run-heavy prefix.
+    bwd_seg_chunk: int = 2048
+    bwd_seg_slots: int = 0
+    bwd_run_frac: float = 0.0
 
 
 def _capacity(chunk_elems: int, p: float) -> int:
@@ -306,17 +321,22 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
             [key, xi, wi, sm], dimension=1, num_keys=1
         )
 
-    def combine(rows, samples, live_coeff):
+    def combine(rows, samples, slot_coeff=None):
         """[G, S, W] rows + [G, S] sample-in-chunk -> [G*GS, W] via MXU.
 
         Rows stay in storage precision: XLA supports mixed-dtype dots
         (bf16 rows x f32 one-hot -> f32) and it measures ~5x faster than
         promoting the row block to f32 first (which materializes a full
-        f32 copy of the gathered rows).
+        f32 copy of the gathered rows). Dead slots are masked by an
+        out-of-range sample value (== GS): their one-hot row is all
+        zeros, so no per-slot coefficient multiply is needed in the
+        uniform case (``slot_coeff=None``).
         """
         onehot = (
             samples[..., None] == jnp.arange(GS, dtype=jnp.int32)
-        ).astype(acc_dt) * live_coeff[..., None]
+        ).astype(acc_dt)
+        if slot_coeff is not None:
+            onehot = onehot * slot_coeff[..., None]
         part = jax.lax.dot_general(
             onehot,  # [G, S, GS]
             rows,    # [G, S, W]
@@ -331,26 +351,26 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (G, S_m), 1)
         m_live = iota_m < cnt_mid[:, None]
         m_idx = jnp.where(m_live, x_s[:, :S_m], 0)
-        m_cf = (
-            m_live.astype(acc_dt) * acc_dt(uniform)
-            if w_s is None
-            else jnp.where(m_live, w_s[:, :S_m], 0.0)
-        )
         m_rows = jnp.take(table[:C], m_idx.reshape(-1), axis=0)
-        out = combine(m_rows.reshape(G, S_m, width), s_s[:, :S_m], m_cf)
-
+        m_rows = m_rows.reshape(G, S_m, width)
         # cold tier: static back slice, gather from the full HBM table.
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (G, S_c), 1)
         c_live = iota_c >= (S_c - cnt_cold)[:, None]
         c_idx = jnp.where(c_live, x_s[:, E - S_c:], 0)
-        c_cf = (
-            c_live.astype(acc_dt) * acc_dt(uniform)
-            if w_s is None
-            else jnp.where(c_live, w_s[:, E - S_c:], 0.0)
-        )
         c_rows = jnp.take(table, c_idx.reshape(-1), axis=0)
-        out = out + combine(
-            c_rows.reshape(G, S_c, width), s_s[:, E - S_c:], c_cf
+        c_rows = c_rows.reshape(G, S_c, width)
+        if w_s is None:
+            # Liveness rides the sample payload (dead -> GS, a one-hot
+            # miss); the uniform coefficient scales the pooled output
+            # once instead of every slot.
+            m_sm = jnp.where(m_live, s_s[:, :S_m], GS)
+            c_sm = jnp.where(c_live, s_s[:, E - S_c:], GS)
+            out = combine(m_rows, m_sm) + combine(c_rows, c_sm)
+            return out[:batch] * acc_dt(uniform)
+        m_cf = jnp.where(m_live, w_s[:, :S_m], 0.0)
+        c_cf = jnp.where(c_live, w_s[:, E - S_c:], 0.0)
+        out = combine(m_rows, s_s[:, :S_m], m_cf) + combine(
+            c_rows, s_s[:, E - S_c:], c_cf
         )
         return out[:batch]
 
@@ -375,9 +395,13 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
         axis=1,
         dtype=acc_dt,
     )
-    out = out + jnp.dot(
+    # Mixed-dtype dot (f32 M x storage-dtype head slice): measured 6x
+    # over upcasting the slice to f32 first (gather_rates.py) — the MXU
+    # consumes the bf16 operand natively and accumulates f32.
+    out = out + jax.lax.dot_general(
         m,
-        table[:HEAD].astype(acc_dt),
+        table[:HEAD],
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=acc_dt,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -484,9 +508,7 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt,
     )
     cold_idx = jnp.where(slot_live, x_s[:, :S], 0)
     cold_coeff = (
-        slot_live.astype(acc_dt) * acc_dt(uniform)
-        if w_s is None
-        else jnp.where(slot_live, w_s[:, :S], 0.0)
+        None if w_s is None else jnp.where(slot_live, w_s[:, :S], 0.0)
     )
     cold_sm = jnp.where(slot_live, s_s[:, :S], 0)
 
@@ -495,10 +517,18 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt,
         crows = crows.reshape(G, S, width)
         if offsets is None:
             gs = E // hotness  # samples per chunk
-            onehot = (
-                cold_sm[..., None] % gs
-                == jnp.arange(gs, dtype=jnp.int32)
-            ).astype(acc_dt) * cold_coeff[..., None]
+            if cold_coeff is None:
+                # Liveness via an out-of-range local sample (one-hot
+                # miss); uniform coefficient applied once at the end.
+                sm_l = jnp.where(slot_live, s_s[:, :S] % gs, gs)
+                onehot = (
+                    sm_l[..., None] == jnp.arange(gs, dtype=jnp.int32)
+                ).astype(acc_dt)
+            else:
+                onehot = (
+                    cold_sm[..., None] % gs
+                    == jnp.arange(gs, dtype=jnp.int32)
+                ).astype(acc_dt) * cold_coeff[..., None]
             part = jax.lax.dot_general(
                 onehot,
                 crows,  # storage dtype; mixed dot, see 3-tier combine
@@ -506,8 +536,14 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt,
                 preferred_element_type=acc_dt,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            return part.reshape(G * gs, width)[:batch]
-        crows = crows.astype(acc_dt) * cold_coeff[..., None]
+            out_c = part.reshape(G * gs, width)[:batch]
+            return out_c * acc_dt(uniform) if cold_coeff is None else out_c
+        cc = (
+            slot_live.astype(acc_dt) * acc_dt(uniform)
+            if cold_coeff is None
+            else cold_coeff
+        )
+        crows = crows.astype(acc_dt) * cc[..., None]
         flat_rows = crows.reshape(G * S, width)
         return jnp.zeros((batch, width), acc_dt).at[
             cold_sm.reshape(-1)

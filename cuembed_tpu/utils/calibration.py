@@ -1,0 +1,149 @@
+"""Workload calibration for the tiered engine (shared by benchmarks).
+
+Produces, for a power-law workload, everything the tiered path needs:
+frequency ordering from *separate* calibration draws (the way a
+production job uses running stats — never the measured batch), the
+remapped indices, and a :class:`TieredConfig` with capacities tightened
+to observed per-chunk maxima. This is the ceremony that
+:class:`cuembed_tpu.table.EmbeddingTable` automates for library users;
+benchmarks call it directly so the measured batch stays independent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Optional, Tuple
+
+import numpy as np
+
+from cuembed_tpu.ops.tiered import TieredConfig, auto_config
+from cuembed_tpu.utils.datagen import PowerLawGenerator
+from cuembed_tpu.utils.frequency import (
+    calibrate_capacities,
+    count_frequencies,
+    frequency_order,
+    tier_fractions,
+)
+
+
+def calibrate_powerlaw_workload(
+    num_categories: int,
+    batch: int,
+    hotness: int,
+    alpha: float,
+    width: int,
+    itemsize: int,
+    *,
+    permute: bool = True,
+    seed: int = 7,
+    calib_batches: int = 48,
+    capacity_margin: float = 1.15,
+    hot_bytes: Optional[int] = None,
+) -> Tuple[Optional[TieredConfig], np.ndarray, Optional[np.ndarray]]:
+    """Returns ``(cfg, measured_indices_remapped, remap)``.
+
+    ``cfg`` is None when the table is VMEM-served (no tiering needed) —
+    then the indices are returned unremapped and ``remap`` is None.
+    """
+    gen = PowerLawGenerator(
+        num_categories - 1, hotness, alpha, seed=seed, permute=permute
+    )
+    idx_np = gen.sample(batch).astype(np.int32)
+
+    kwargs = {} if hot_bytes is None else {"hot_bytes": hot_bytes}
+    cfg = auto_config(num_categories, width, itemsize, hotness, **kwargs)
+    if cfg is None:
+        return None, idx_np, None
+
+    from cuembed_tpu import native as ce_native
+
+    counts = None
+    if ce_native.AVAILABLE:
+        for i in range(calib_batches):
+            calib = ce_native.powerlaw_indices(
+                num_categories - 1, hotness, alpha, batch,
+                seed=1000 + i, permutation=gen.permutation,
+            )
+            counts = count_frequencies(calib, num_categories, counts)
+    else:
+        for _ in range(max(4, calib_batches // 6)):
+            counts = count_frequencies(
+                gen.sample(batch), num_categories, counts
+            )
+    _, remap = frequency_order(counts)
+
+    calib_batch = gen.sample(batch)
+    head_f, cold_f = tier_fractions(
+        calib_batch, remap, cfg.mxu_head_rows, cfg.hot_rows, margin=1.15
+    )
+    cfg = auto_config(
+        num_categories, width, itemsize, hotness,
+        cold_fraction=cold_f, head_fraction=head_f, **kwargs,
+    )
+    cfg = refine_tiered_config(
+        cfg, remap[np.stack([calib_batch, gen.sample(batch)])],
+        capacity_margin=capacity_margin,
+    )
+    return cfg, remap[idx_np], remap
+
+
+def refine_tiered_config(
+    cfg: TieredConfig,
+    calib_remapped: np.ndarray,
+    *,
+    capacity_margin: float = 1.15,
+) -> TieredConfig:
+    """Refine every workload-dependent capacity from observed draws.
+
+    ``calib_remapped``: one or more calibration batches of *remapped*
+    (storage-row) indices, any shape. Sets the forward slot capacities
+    (observed per-chunk maxima + margin), the backward non-head scatter
+    bound, and the backward MXU segment-reduce prefix.
+    """
+    flat = np.asarray(calib_remapped).reshape(-1)
+    mid_s, cold_s = calibrate_capacities(
+        calib_remapped, None, cfg.mxu_head_rows, cfg.hot_rows,
+        cfg.chunk_elems, margin=capacity_margin,
+    )
+    nonhead = float(np.mean(flat >= cfg.mxu_head_rows))
+    cfg = replace(
+        cfg,
+        mid_slots=min(cfg.mid_slots, mid_s),
+        cold_slots=min(cfg.cold_slots, cold_s),
+        nonhead_frac=min(1.0, nonhead * 1.03 + 0.005),
+    )
+
+    # Backward MXU segment-reduce calibration: simulate the runtime
+    # index-sorted non-head stream and find the run-heavy prefix — the
+    # chunks whose local-unique count stays under the slot target. The
+    # density curve is steep (median chunk ~33 unique at the flagship,
+    # p90 ~1900), so a fixed 256-slot capacity covers ~2/3 of non-head
+    # positions while keeping the one-hot combine small.
+    u_target = 256
+    n_batches = (
+        np.asarray(calib_remapped).shape[0]
+        if np.asarray(calib_remapped).ndim > 1
+        else 1
+    )
+    n_pos = flat.size // max(n_batches, 1)  # positions per batch (= nnz)
+    nh_sorted = np.sort(flat[flat >= cfg.mxu_head_rows])
+    chunkb = cfg.bwd_seg_chunk
+    # The multi-batch stream has n_batches x the runs of one batch;
+    # simulate a single batch by subsampling every n_batches-th entry
+    # (preserves the per-batch unique-density curve to first order).
+    nh_one = nh_sorted[::n_batches] if n_batches > 1 else nh_sorted
+    n_chunks = nh_one.size // chunkb
+    if n_chunks >= 1:
+        r = nh_one[: n_chunks * chunkb].reshape(-1, chunkb)
+        uniq_per = (r[:, 1:] != r[:, :-1]).sum(axis=1) + 1
+        # Largest prefix staying under the target with ~10% headroom
+        # (batch-to-batch variance; overflow only costs the fallback).
+        over = uniq_per > int(u_target / 1.1)
+        k_pref = int(np.argmax(over)) if over.any() else n_chunks
+        if k_pref >= 1:
+            cfg = replace(
+                cfg,
+                bwd_seg_slots=u_target,
+                bwd_run_frac=k_pref * chunkb / max(n_pos, 1),
+            )
+    return cfg
