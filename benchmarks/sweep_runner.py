@@ -1,0 +1,326 @@
+#!/usr/bin/env python
+"""In-process parameter sweep over the reference grid.
+
+Same grid as ``sweep_parameters.sh`` (the reference's
+``benchmarks/sweep_parameters.sh:21-36``) and the same CSV schema, but
+one process: tables are generated once per (categories, width) and jit
+executables are shared wherever shapes repeat (e.g. across alphas), so
+the full 108-configuration x 3-stage sweep fits in a couple of hours of
+chip time instead of most of a day.
+
+Backend policy per point (what `auto` dispatch + calibration would do):
+  * width < 128            -> line-packed narrow path (alpha-independent)
+  * alpha == 0             -> plain XLA (uniform traffic has no hot head;
+                              frequency ordering cannot help)
+  * width 128, big table   -> tiered engine, one config per
+                              (categories, hotness) calibrated on the
+                              union of alpha {1.05, 1.15} draws so both
+                              share one executable.
+
+Usage: python benchmarks/sweep_runner.py [--quick] [--out CSV]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CSV_HEADER = (
+    "num_categories,batch_size,hotness,alpha,embed_width,combine_mode,"
+    "is_csr,is_weighted,compressed_grad,skip_grad_init,name,"
+    "iterations,elapsed_time_ms,avg_time_ms,algo_bw_l2,algo_bw_dram"
+)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="benchmarks/results_v5e.csv")
+    p.add_argument("--quick", action="store_true",
+                   help="tiny subset (smoke test)")
+    p.add_argument("--iters", type=int, default=5)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuembed_tpu import native as ce_native
+    from cuembed_tpu.ops.api import embedding_lookup
+    from cuembed_tpu.ops.lookup_xla import (
+        embedding_backward_compressed_tiered,
+        embedding_backward_compressed_xla,
+    )
+    from cuembed_tpu.ops.tiered import auto_config
+    from cuembed_tpu.ops.transforms import (
+        extract_row_ids_from_fixed,
+        transpose as transpose_op,
+    )
+    from cuembed_tpu.types import CombineMode
+    from cuembed_tpu.utils.benchmarking import (
+        backward_app_bytes,
+        chain_time,
+        forward_app_bytes,
+        transpose_app_bytes,
+    )
+    from cuembed_tpu.utils.calibration import refine_tiered_config
+    from cuembed_tpu.utils.datagen import PowerLawGenerator
+    from cuembed_tpu.utils.frequency import count_frequencies, frequency_order
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("backend", "tiered"))
+    def fwd_step(table, idx, carry, *, backend, tiered):
+        i, dep = carry
+        ii = idx + (dep * 0).astype(jnp.int32)
+        out = embedding_lookup(
+            table, ii, mode=CombineMode.SUM,
+            backend=backend, tiered_cfg=tiered,
+        )
+        return (i + 1, out[0, 0].astype(jnp.float32))
+
+    @functools.partial(jax.jit, static_argnames=("batch", "hot"))
+    def trans_step(flat_idx, carry, *, batch, hot):
+        i, dep = carry
+        fi = flat_idx + (dep * 0).astype(jnp.int32)
+        sids = extract_row_ids_from_fixed(batch, hot)
+        t_i, t_s, _ = transpose_op(sids.astype(jnp.int32), fi, None)
+        return (i + 1, (t_i[0] + t_s[0]).astype(jnp.float32))
+
+    @functools.partial(
+        jax.jit, static_argnames=("num_categories", "tiered", "u_cap")
+    )
+    def bwd_step(gy, t_i, t_s, idx, carry, *, num_categories, tiered, u_cap):
+        i, dep = carry
+        g = gy + dep.astype(gy.dtype) * 0
+        if tiered is not None:
+            out = embedding_backward_compressed_tiered(
+                g, num_categories, idx, None, t_i, t_s, None,
+                tiered, unique_cap=u_cap,
+            )
+        else:
+            out = embedding_backward_compressed_xla(g, t_i, t_s, None)
+        return (
+            i + 1,
+            out.rows[0, 0] + out.num_unique.astype(jnp.float32),
+        )
+
+    if args.quick:
+        ALPHAS, CATS, WIDTHS = [0.0, 1.15], [1_000_000], [32, 128]
+        BATCHES, HOTS = [1024, 32768], [1, 16]
+    else:
+        ALPHAS = [0.0, 1.05, 1.15]
+        CATS = [1_000_000, 10_000_000]
+        WIDTHS = [32, 128]
+        BATCHES = [1024, 32768, 131072]
+        HOTS = [1, 16, 64]
+
+    write_header = not os.path.exists(args.out)
+    csv_f = open(args.out, "a", buffering=1)
+    if write_header:
+        csv_f.write(CSV_HEADER + "\n")
+
+    def emit(V, B, H, alpha, W, name, ms, bw_l2, bw_dram):
+        csv_f.write(
+            f"{V},{B},{H},{alpha},{W},kSum,0,0,1,1,{name},{args.iters},"
+            f"{ms * args.iters:.2f},{ms:.2f},{bw_l2:.2f},{bw_dram:.2f}\n"
+        )
+
+    def log(msg):
+        print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
+
+    n_dev = jax.device_count()
+    assert n_dev >= 1
+
+    def gen_batch(V, H, alpha, B, seed, permutation):
+        if alpha == 0.0:
+            rng = np.random.default_rng(seed)
+            if H == 1:
+                return rng.integers(0, V, (B, 1), dtype=np.int32)
+            # distinct per sample like the power-law generator's contract
+            out = rng.integers(0, V, (B, H), dtype=np.int64)
+            # cheap de-dup: resample collisions once (uniform, V >> H)
+            srt = np.sort(out, axis=1)
+            dup = np.any(srt[:, 1:] == srt[:, :-1], axis=1)
+            if dup.any():
+                out[dup] = rng.integers(0, V, (int(dup.sum()), H))
+            return out.astype(np.int32)
+        if ce_native.AVAILABLE:
+            return np.asarray(
+                ce_native.powerlaw_indices(
+                    V - 1, H, alpha, B, seed=seed, permutation=permutation
+                )
+            ).reshape(B, H).astype(np.int32)
+        g = PowerLawGenerator(V - 1, H, alpha, seed=seed, permute=False)
+        return g.sample(B).astype(np.int32)
+
+    for V in CATS:
+        # One shared category permutation per vocabulary (the reference
+        # permutes categories by default; sharing it across alphas lets
+        # the calibration union make sense).
+        perm_rng = np.random.default_rng(12345)
+        permutation = perm_rng.permutation(V).astype(np.int32)
+
+        for W in WIDTHS:
+            @jax.jit
+            def make_table(key):
+                return jax.random.uniform(
+                    key, (V, W), jnp.float32, -1, 1
+                )
+
+            parts = 8
+            table = jnp.concatenate(
+                [
+                    jax.random.uniform(
+                        jax.random.key(i), (V // parts, W), jnp.float32, -1, 1
+                    )
+                    for i in range(parts)
+                ]
+                + (
+                    [jax.random.uniform(
+                        jax.random.key(parts),
+                        (V - parts * (V // parts), W), jnp.float32, -1, 1)]
+                    if V % parts
+                    else []
+                ),
+                axis=0,
+            )
+            table = jax.block_until_ready(table)
+            elem = 4
+            use_tier_base = (
+                W >= 128 and V * W * elem > 108 * 1024 * 1024
+            )
+
+            # --- per-(V, hotness) tiered calibration on alpha-union ---
+            tier_cfg = {}
+            remap = None
+            if use_tier_base:
+                counts = None
+                for i, a in enumerate([1.05, 1.15]):
+                    for j in range(3):
+                        c = gen_batch(V, 16, a, 32768, 500 + i * 7 + j,
+                                      permutation)
+                        counts = count_frequencies(c, V, counts)
+                _, remap = frequency_order(counts)
+                for H in HOTS:
+                    cfg = auto_config(V, W, elem, H)
+                    if cfg is None:
+                        tier_cfg[H] = None
+                        continue
+                    draws = np.stack([
+                        remap[gen_batch(V, H, 1.05, 32768, 900 + H,
+                                        permutation)].reshape(-1),
+                        remap[gen_batch(V, H, 1.15, 32768, 901 + H,
+                                        permutation)].reshape(-1),
+                    ])
+                    tier_cfg[H] = refine_tiered_config(
+                        cfg, draws, capacity_margin=1.12
+                    )
+
+            for B in BATCHES:
+                for H in HOTS:
+                    nnz = B * H
+                    for alpha in ALPHAS:
+                        t0 = time.time()
+                        idx_np = gen_batch(V, H, alpha, B, 7, permutation)
+                        tiered = (
+                            tier_cfg.get(H) if (use_tier_base and alpha > 0)
+                            else None
+                        )
+                        if tiered is not None:
+                            idx_np = remap[idx_np]
+                        idx = jnp.asarray(idx_np)
+                        backend = "tiered" if tiered is not None else "auto"
+
+                        # ---------------- forward ----------------
+                        dt = chain_time(
+                            lambda c: fwd_step(table, idx, c,
+                                               backend=backend,
+                                               tiered=tiered),
+                            (jnp.int32(0), jnp.float32(0)),
+                            k_lo=1, k_hi=max(2, args.iters), repeats=2,
+                        )
+                        fb = forward_app_bytes(
+                            batch=B, hotness=H, width=W, elem_bytes=elem,
+                            mode=CombineMode.SUM,
+                        )
+                        emit(V, B, H, alpha, W, "forward", dt * 1e3,
+                             fb / dt / 1e9, 0.0)
+
+                        # ---------------- transpose ----------------
+                        flat = idx.reshape(-1)
+                        dt_t = chain_time(
+                            lambda c: trans_step(flat, c, batch=B, hot=H),
+                            (jnp.int32(0), jnp.float32(0)),
+                            k_lo=1, k_hi=max(2, args.iters), repeats=2,
+                        )
+                        tb = transpose_app_bytes(
+                            nnz=nnz, index_bytes=4, batch=B,
+                            compressed=True,
+                        )
+                        emit(V, B, H, alpha, W, "transpose", dt_t * 1e3,
+                             tb / dt_t / 1e9, tb / dt_t / 1e9)
+
+                        # ---------------- backward ----------------
+                        n_unique = int(np.unique(idx_np).size)
+                        SENT = np.iinfo(np.int32).max
+                        fl = idx_np.reshape(-1)
+                        if tiered is not None:
+                            masked = np.where(
+                                fl < tiered.mxu_head_rows, SENT, fl
+                            )
+                        else:
+                            masked = fl
+                        order = np.argsort(masked, kind="stable")
+                        t_i = jnp.asarray(masked[order].astype(np.int32))
+                        t_s = jnp.asarray(
+                            (np.arange(nnz, dtype=np.int32) // H)[order]
+                        )
+                        gy = jnp.asarray(
+                            np.random.default_rng(3)
+                            .integers(-10, 11, (B, W))
+                            .astype(np.float32)
+                        )
+                        # one backward executable per shape: round the
+                        # unique bound up coarsely
+                        u_cap = -(-int(n_unique * 1.3) // 65536) * 65536
+                        u_cap = min(u_cap, nnz)
+
+                        dt_b = chain_time(
+                            lambda c: bwd_step(
+                                gy, t_i, t_s, idx, c, num_categories=V,
+                                tiered=tiered, u_cap=u_cap,
+                            ),
+                            (jnp.int32(0), jnp.float32(0)),
+                            k_lo=1, k_hi=max(2, args.iters), repeats=2,
+                        )
+                        bd = backward_app_bytes(
+                            nnz=nnz, batch=B, width=W, num_unique=n_unique,
+                            elem_bytes=elem, index_bytes=4,
+                            mode=CombineMode.SUM,
+                        )
+                        bl = backward_app_bytes(
+                            nnz=nnz, batch=B, width=W, num_unique=n_unique,
+                            elem_bytes=elem, index_bytes=4,
+                            mode=CombineMode.SUM, l2_variant=True,
+                        )
+                        emit(V, B, H, alpha, W, "backward", dt_b * 1e3,
+                             bl / dt_b / 1e9, bd / dt_b / 1e9)
+                        log(
+                            f"V={V} W={W} B={B} H={H} a={alpha} "
+                            f"[{backend}] fwd {dt*1e3:.2f} "
+                            f"tr {dt_t*1e3:.2f} bwd {dt_b*1e3:.2f} ms "
+                            f"({time.time()-t0:.0f}s)"
+                        )
+            del table
+
+    csv_f.close()
+
+
+if __name__ == "__main__":
+    main()

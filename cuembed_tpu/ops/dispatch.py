@@ -85,8 +85,30 @@ def forward(
     the caller opts in, either with ``backend="tiered"`` or by passing an
     explicit ``tiered_cfg`` under ``backend="auto"``.
     """
-    if backend not in ("auto", "pallas", "xla", "tiered"):
+    if backend not in ("auto", "pallas", "xla", "tiered", "narrow"):
         raise ValueError(f"unknown backend: {backend}")
+    # Narrow tables (width < 128 lanes) waste 1 - W/128 of every fetched
+    # tile line; the line-packed layout gathers at full rate (~2.9x
+    # measured at width 32 — ops/narrow.py). Auto-dispatch repacks per
+    # call (one cheap reshape) — callers that keep tables hot should
+    # store packed via EmbeddingBag(layout="packed").
+    from cuembed_tpu.ops import narrow as narrow_mod
+
+    w = table.shape[1]
+    if (
+        backend in ("auto", "narrow")
+        and w < LANES
+        and narrow_mod.packing_factor(w) > 1
+    ):
+        packed = narrow_mod.pack_narrow(table)
+        return narrow_mod.narrow_lookup(
+            packed, table.shape[0], w, indices, weights, offsets,
+            mode=mode, low_precision_math=low_precision_math,
+        )
+    if backend == "narrow":
+        raise ValueError(
+            "backend='narrow' needs width < 128 with 128 % width == 0"
+        )
     if backend == "tiered" or (
         backend == "auto"
         and tiered_cfg is not None

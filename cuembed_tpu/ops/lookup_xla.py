@@ -23,6 +23,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cuembed_tpu.ops.transforms import (
     compact_sparse_indices,
@@ -78,7 +79,10 @@ def embedding_forward_xla(
             rows = rows * weights.astype(acc_dt)[..., None]
         out = jnp.sum(rows, axis=1)
         if mode == CombineMode.MEAN:
-            out = out / indices.shape[1]
+            # Multiply by the rounded reciprocal — the same operation as
+            # the golden model (ref/forward.py: acc * (1/hot)), so
+            # integer-exact sums stay bitwise-identical through MEAN.
+            out = out * np.dtype(acc_dt).type(1.0 / indices.shape[1])
         return out.astype(table.dtype)
 
     # CSR path.

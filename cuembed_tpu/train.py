@@ -49,7 +49,12 @@ def embedding_grad_y(loss_fn, pooled, *args, **kwargs):
 
 
 def _flatten_coo(indices, offsets, weights, mode, acc_dt):
-    """Shared COO flattening: (flat_idx, sample_ids, coeff)."""
+    """Shared COO flattening: (flat_idx, sample_ids, coeff).
+
+    ``coeff`` is None when every live position has the same coefficient
+    *scale* — callers fold :func:`_uniform_scale` into grad_y instead
+    (saves a [nnz, W] multiply pass in the sparse updates).
+    """
     if offsets is None:
         batch, hotness = indices.shape
         n = batch * hotness
@@ -62,9 +67,9 @@ def _flatten_coo(indices, offsets, weights, mode, acc_dt):
             sample_ids = pos
         else:
             sample_ids = pos // hotness
-        coeff = jnp.ones((n,), acc_dt)
-        if weights is not None:
-            coeff = coeff * weights.reshape(-1).astype(acc_dt)
+        if weights is None:
+            return flat_idx, sample_ids, None
+        coeff = weights.reshape(-1).astype(acc_dt)
         if mode == CombineMode.MEAN:
             coeff = coeff / hotness
     else:
@@ -105,6 +110,8 @@ def sgd_sparse_update(
     """
     acc_dt = accumulation_dtype(table.dtype, False)
     gy = grad_y.astype(acc_dt)
+    if weights is None and offsets is None and mode == CombineMode.MEAN:
+        gy = gy * (1.0 / indices.shape[1])  # uniform coeff folds into gy
     flat_idx, sample_ids, coeff = _flatten_coo(
         indices, offsets, weights, mode, acc_dt
     )
@@ -121,7 +128,9 @@ def sgd_sparse_update(
     head = min(head, table.shape[0])
     if head > 0:
         grad_head = head_grad(
-            indices, coeff.reshape(indices.shape), gy, head, acc_dt
+            indices,
+            None if coeff is None else coeff.reshape(indices.shape),
+            gy, head, acc_dt,
         )
         table = table.at[:head].add((-lr * grad_head).astype(table.dtype))
         sentinel = jnp.iinfo(jnp.int32).max
@@ -130,7 +139,9 @@ def sgd_sparse_update(
     t_idx, t_sid, t_coeff = transpose(sample_ids, flat_idx, coeff)
 
     def scatter(k):
-        g = jnp.take(gy, t_sid[:k], axis=0) * t_coeff[:k, None]
+        g = gy.at[t_sid[:k]].get(mode="promise_in_bounds")
+        if t_coeff is not None:
+            g = g * t_coeff[:k, None]
         return table.at[t_idx[:k]].add(
             (-lr * g).astype(table.dtype), mode="drop",
             indices_are_sorted=True,
@@ -191,11 +202,16 @@ def rowwise_adagrad_sparse_update(
     """
     acc_dt = jnp.float32
     gy = grad_y.astype(acc_dt)
+    if weights is None and offsets is None and mode == CombineMode.MEAN:
+        gy = gy * (1.0 / indices.shape[1])  # uniform coeff folds into gy
     flat_idx, sample_ids, coeff = _flatten_coo(
         indices, offsets, weights, mode, acc_dt
     )
     sentinel = jnp.iinfo(jnp.int32).max
-    live_idx = jnp.where(coeff != 0, flat_idx, sentinel)
+    live_idx = (
+        flat_idx if coeff is None
+        else jnp.where(coeff != 0, flat_idx, sentinel)
+    )
 
     head = (
         tiered_cfg.mxu_head_rows
@@ -207,21 +223,94 @@ def rowwise_adagrad_sparse_update(
         else 0
     )
     head = min(head, table.shape[0])
-    if head > 0:
-        g_head = head_grad(
-            indices, coeff.reshape(indices.shape), gy, head, acc_dt
-        )  # [head, W]; exactly zero rows for untouched head rows
-        new_acc_head = accum[:head] + jnp.mean(g_head * g_head, axis=1)
-        upd = -lr * g_head / jnp.sqrt(new_acc_head + eps)[:, None]
-        table = table.at[:head].add(upd.astype(table.dtype))
-        accum = accum.at[:head].set(new_acc_head)
-        live_idx = jnp.where(live_idx < head, sentinel, live_idx)
 
+    if head > 0:
+        # Unified tiered path: one compressed gradient (MXU head block +
+        # segment-reduced non-head, all buffers bounded by unique_cap)
+        # followed by row-sparse state/table updates over the unique
+        # rows. Shares every backward optimization with the benchmark
+        # path (see lookup_xla.embedding_backward_compressed_tiered).
+        from cuembed_tpu.ops.lookup_xla import (
+            embedding_backward_compressed_tiered,
+        )
+
+        masked = jnp.where(live_idx < head, sentinel, live_idx)
+        t_idx, t_sid, t_coeff = transpose(sample_ids, masked, coeff)
+        coeff2d = None if coeff is None else coeff.reshape(indices.shape)
+        cg = embedding_backward_compressed_tiered(
+            gy, table.shape[0], indices, coeff2d,
+            t_idx, t_sid, t_coeff, tiered_cfg, unique_cap=unique_cap,
+        )
+        cap = cg.rows.shape[0]
+        rid = jnp.arange(cap, dtype=jnp.int32)
+
+        def apply_compressed(rows, uniq, nu):
+            valid = rid < nu
+            safe = jnp.where(valid, uniq, 0)
+            g2 = jnp.mean(rows * rows, axis=1) * valid
+            new_acc_rows = jnp.take(accum, safe) + g2
+            droppable = (~valid) | (uniq >= accum.shape[0])
+            scat = jnp.where(droppable, accum.shape[0] + rid, uniq)
+            new_accum = accum.at[scat].set(
+                new_acc_rows, mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )
+            scale = jnp.where(
+                valid, -lr / jnp.sqrt(new_acc_rows + eps), 0.0
+            )
+            new_table = table.at[scat].add(
+                (rows * scale[:, None]).astype(table.dtype),
+                mode="drop", indices_are_sorted=True, unique_indices=True,
+            )
+            return new_table, new_accum
+
+        if cap >= t_idx.shape[0] + head:
+            # No unique bound: the compressed output is always complete.
+            return apply_compressed(cg.rows, cg.unique_indices,
+                                    cg.num_unique)
+
+        def ok(_):
+            return apply_compressed(cg.rows, cg.unique_indices,
+                                    cg.num_unique)
+
+        def overflow(_):
+            # unique_cap violated: recompute at full capacity (exact).
+            cg_full = embedding_backward_compressed_tiered(
+                gy, table.shape[0], indices, coeff2d,
+                t_idx, t_sid, t_coeff, tiered_cfg,
+            )
+            full_cap = cg_full.rows.shape[0]
+            frid = jnp.arange(full_cap, dtype=jnp.int32)
+            valid = frid < cg_full.num_unique
+            uniq = cg_full.unique_indices
+            safe = jnp.where(valid, uniq, 0)
+            g2 = jnp.mean(cg_full.rows * cg_full.rows, axis=1) * valid
+            new_acc_rows = jnp.take(accum, safe) + g2
+            droppable = (~valid) | (uniq >= accum.shape[0])
+            scat = jnp.where(droppable, accum.shape[0] + frid, uniq)
+            new_accum = accum.at[scat].set(
+                new_acc_rows, mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )
+            scale = jnp.where(
+                valid, -lr / jnp.sqrt(new_acc_rows + eps), 0.0
+            )
+            new_table = table.at[scat].add(
+                (cg_full.rows * scale[:, None]).astype(table.dtype),
+                mode="drop", indices_are_sorted=True, unique_indices=True,
+            )
+            return new_table, new_accum
+
+        return jax.lax.cond(cg.num_unique <= cap, ok, overflow, 0)
+
+    # Non-tiered path (CSR, CONCAT, or no config): plain segment
+    # partials + row-sparse updates.
     t_idx, t_sid, t_coeff = transpose(sample_ids, live_idx, coeff)
 
     def apply_rest(k, u_cap=None):
         rows, unique_idx, num_unique = _segment_partials(
-            gy, t_idx[:k], t_sid[:k], t_coeff[:k], None
+            gy, t_idx[:k], t_sid[:k],
+            None if t_coeff is None else t_coeff[:k], None
         )
         if u_cap is not None and u_cap < k:
             # Unique rows occupy the dense-ranked prefix: shrink the
@@ -256,8 +345,6 @@ def rowwise_adagrad_sparse_update(
 
     n = t_idx.shape[0]
     k_cap = n
-    if head > 0 and tiered_cfg is not None:
-        k_cap = nonhead_capacity(tiered_cfg, n)
     if unique_cap is not None or k_cap < n:
         rest_count = jnp.sum((t_idx != sentinel).astype(jnp.int32))
         # Unique count <= rest count, so one counter guards both caps.

@@ -98,3 +98,15 @@ def test_fuzz_tiered_and_narrow_match_xla(trial):
             np.asarray(got, np.float32), np.asarray(base, np.float32),
             rtol=tol, atol=tol,
         )
+        # dispatch-level: auto routes width<128 through the packed path
+        for be in ("auto", "narrow"):
+            if csr:
+                got = embedding_lookup_csr(
+                    table, idx, offsets, w, mode=mode, backend=be
+                )
+            else:
+                got = embedding_lookup(table, idx, w, mode=mode, backend=be)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(base, np.float32),
+                rtol=tol, atol=tol,
+            )
