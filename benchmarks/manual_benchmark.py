@@ -243,7 +243,7 @@ def main(argv):
         )
 
         cfg0 = tiered_auto(FLAGS.num_categories, width, elem,
-                           1 if options.is_csr else options.hotness)
+                           max(1, options.hotness // 2) if options.is_csr else options.hotness)
         if cfg0 is None:
             log("table fits VMEM; tiered falls back to auto dispatch")
             FLAGS.backend = "auto"
@@ -279,7 +279,7 @@ def main(argv):
             )
             tiered_cfg = tiered_auto(
                 FLAGS.num_categories, width, elem,
-                1 if options.is_csr else options.hotness,
+                max(1, options.hotness // 2) if options.is_csr else options.hotness,
                 cold_fraction=cold_f, head_fraction=head_f,
             )
             from cuembed_tpu.utils.calibration import refine_tiered_config

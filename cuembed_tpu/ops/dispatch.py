@@ -60,7 +60,13 @@ def tiered_auto_config(
     """
     if mode == CombineMode.CONCAT:
         return None
-    hotness = indices.shape[1] if offsets is None else 1
+    if offsets is None:
+        hotness = indices.shape[1]
+    else:
+        # CSR: estimate average hotness from the value capacity (an
+        # upper bound on nnz) — sizes the chunking and decides whether
+        # the scatter-free CSR combine (csr_chunk_samples) pays off.
+        hotness = max(1, indices.shape[0] // max(1, offsets.shape[0] - 1))
     return auto_config(
         table.shape[0], table.shape[1], table.dtype.itemsize, hotness
     )
@@ -176,9 +182,13 @@ def backward(
     nnz: Optional[jax.Array] = None,
     backend: str = "auto",
 ) -> jax.Array:
-    """Route the COO backward to the best available implementation."""
-    use_pallas = backend == "pallas" or (backend == "auto" and _on_tpu())
-    if use_pallas:
+    """Route the COO backward to the best available implementation.
+
+    The Pallas run-grouped kernel is explicit-opt-in only: its per-row
+    DMA issue rate (~30 ns on the scalar core) loses to XLA's sorted
+    scatter-add (~90 M rows/s measured) — see ops/pallas_backward.py.
+    """
+    if backend == "pallas":
         from cuembed_tpu.ops import pallas_backward
 
         if pallas_backward.supported(grad_y, num_categories):

@@ -116,6 +116,22 @@ def embedding_forward_xla(
 # Backward
 # ---------------------------------------------------------------------------
 
+_LANES = 128
+
+
+def _pad_gy_to_lanes(grad_y):
+    """Pad sub-lane-width grad rows to the 128-lane tile.
+
+    Scatters of [k, W<128] rows measured ~8 M rows/s on v5e (masked
+    partial-lane read-modify-writes) vs ~90 M rows/s at full lanes —
+    padding the pipeline and slicing the result is ~10x faster despite
+    4x the bytes.
+    """
+    w = grad_y.shape[1]
+    if w >= _LANES:
+        return grad_y, w
+    return jnp.pad(grad_y, ((0, 0), (0, _LANES - w))), w
+
 
 class CompressedGrad(NamedTuple):
     """Compressed (deduplicated) embedding gradient.
@@ -163,6 +179,20 @@ def embedding_backward_xla(
     Returns:
       ``[num_categories, width]`` gradient.
     """
+    gy_p, w_orig = _pad_gy_to_lanes(grad_y)
+    if gy_p is not grad_y:
+        init_p = (
+            None if initial_grad is None
+            else jnp.pad(
+                initial_grad, ((0, 0), (0, _LANES - w_orig))
+            )
+        )
+        out = embedding_backward_xla(
+            gy_p, num_categories, transpose_indices, transpose_sample_ids,
+            transpose_weights, nnz=nnz, initial_grad=init_p,
+        )
+        return out[:, :w_orig]
+
     # One direct scatter-add with sorted target indices. Measured on v5e
     # this beats the segment_sum -> compact -> scatter chain (XLA's
     # segment_sum is itself a scatter at ~78 M rows/s; sorted scatter-add
@@ -203,6 +233,17 @@ def embedding_backward_compressed_xla(
     Mirrors the reference's ``compressed_grad`` path (remapped indices +
     inverse mapping, ``embedding_lookup.cuh:439-452``).
     """
+    gy_p, w_orig = _pad_gy_to_lanes(grad_y)
+    if gy_p is not grad_y:
+        out = embedding_backward_compressed_xla(
+            gy_p, transpose_indices, transpose_sample_ids,
+            transpose_weights, nnz=nnz,
+        )
+        return CompressedGrad(
+            rows=out.rows[:, :w_orig],
+            unique_indices=out.unique_indices,
+            num_unique=out.num_unique,
+        )
     rows, unique_idx, num_unique = _segment_partials(
         grad_y, transpose_indices, transpose_sample_ids, transpose_weights, nnz,
         sentinel_for_pad=False,
@@ -244,6 +285,18 @@ def embedding_backward_compressed_tiered(
     Default (None) is always exact with capacity ``nnz + head_rows``.
     """
     from cuembed_tpu.ops.head import nonhead_capacity
+
+    gy_p, w_orig = _pad_gy_to_lanes(grad_y)
+    if gy_p is not grad_y:
+        out = embedding_backward_compressed_tiered(
+            gy_p, num_categories, indices2d, coeff2d, t_idx, t_sid,
+            t_coeff, cfg, unique_cap=unique_cap,
+        )
+        return CompressedGrad(
+            rows=out.rows[:, :w_orig],
+            unique_indices=out.unique_indices,
+            num_unique=out.num_unique,
+        )
 
     acc_dt = grad_y.dtype
     head_rows = min(cfg.mxu_head_rows, num_categories)

@@ -119,6 +119,12 @@ class TieredConfig:
     bwd_seg_chunk: int = 2048
     bwd_seg_slots: int = 0
     bwd_run_frac: float = 0.0
+    # CSR scatter-free combine: static bound on the number of samples a
+    # chunk's positions may span. When 0 < csr_chunk_samples, the CSR
+    # forward combines per chunk with a local-sample one-hot matmul and
+    # one small merge scatter instead of a full-position segment-sum.
+    # Worth it when average hotness >= ~4 (few samples per chunk).
+    csr_chunk_samples: int = 0
 
 
 def _capacity(chunk_elems: int, p: float) -> int:
@@ -161,12 +167,18 @@ def auto_config(
     group = max(1, 2048 // hotness)
     chunk_elems = group * hotness
     mid_fraction = max(0.02, 1.0 - cold_fraction - head_fraction)
+    # CSR scatter-free combine pays off when a chunk spans few samples
+    # (avg hotness >= ~4); capacity = 2x the balanced share + slack.
+    csr_samples = min(chunk_elems, 2 * chunk_elems // hotness + 64)
     return TieredConfig(
         hot_rows=int(hot_rows),
         chunk_elems=chunk_elems,
         cold_slots=_capacity(chunk_elems, cold_fraction),
         mxu_head_rows=min(128, int(hot_rows)),
         mid_slots=_capacity(chunk_elems, mid_fraction),
+        csr_chunk_samples=(
+            csr_samples if csr_samples <= chunk_elems // 4 else 0
+        ),
     )
 
 
@@ -235,6 +247,14 @@ def tiered_forward(
             1.0 / indices.shape[1]
             if (mode == CombineMode.MEAN and offsets is None)
             else 1.0
+        )
+    if (
+        offsets is not None
+        and 0 < cfg.csr_chunk_samples <= cfg.chunk_elems
+        and table.shape[0] < (1 << 30)  # key packing headroom
+    ):
+        return _forward_csr_3tier(
+            table, indices, offsets, coeff, cfg, acc_dt, uniform2
         )
     return _forward_2tier(
         table, indices, offsets, coeff, mode, cfg, acc_dt, uniform2
@@ -405,6 +425,139 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
         preferred_element_type=acc_dt,
         precision=jax.lax.Precision.HIGHEST,
     )
+    return out.astype(table.dtype)
+
+
+def _forward_csr_3tier(table, indices, offsets, coeff, cfg, acc_dt,
+                       uniform=None):
+    """CSR forward with scatter-free per-chunk combines.
+
+    The 2-tier CSR path's dominant cost is the full-position
+    ``segment_sum`` (a row scatter over every nonzero, ~80-90 M rows/s).
+    CSR positions are sample-sorted, so a chunk of ``E`` consecutive
+    positions spans at most ``csr_chunk_samples`` samples (capacity,
+    calibrated ~2x the balanced share): the combine becomes a per-chunk
+    local-sample one-hot matmul — like the fixed-hotness path but with
+    a *local sample* payload riding the sort — plus one merge scatter
+    of ``[chunks, csr_chunk_samples]`` pooled partials at global sample
+    offsets (chunk-boundary samples accumulate across both chunks).
+
+    Tiers: hot (``idx < hot_rows``) sorts to the front and gathers from
+    the VMEM head slice; cold compacts to the back and gathers from the
+    full table. Chunks that span more than ``csr_chunk_samples`` samples
+    or overflow ``cold_slots`` fall back to the exact 2-tier path.
+    """
+    width = table.shape[1]
+    C = cfg.hot_rows
+    E = cfg.chunk_elems
+    S_c = min(cfg.cold_slots, E)
+    GS = min(cfg.csr_chunk_samples, E)
+
+    batch = offsets.shape[0] - 1
+    nmax = indices.shape[0]
+    pos = jnp.arange(nmax, dtype=jnp.int32)
+    live = pos < offsets[-1]
+    flat_idx = jnp.where(live, indices.astype(jnp.int32), 0)
+    flat_coeff = (
+        None if uniform is not None
+        else jnp.where(live, coeff, 0.0)
+    )
+    sample_of_pos = extract_row_ids_from_csr(offsets, indices).astype(
+        jnp.int32
+    )
+
+    padded = -(-nmax // E) * E
+    if padded != nmax:
+        pad = padded - nmax
+        flat_idx = jnp.pad(flat_idx, (0, pad))
+        live = jnp.pad(live, (0, pad))
+        if flat_coeff is not None:
+            flat_coeff = jnp.pad(flat_coeff, (0, pad))
+        sample_of_pos = jnp.pad(
+            sample_of_pos, (0, pad), mode="edge"
+        )
+    G = padded // E
+
+    xi = flat_idx.reshape(G, E)
+    sm = sample_of_pos.reshape(G, E)
+    lv = live.reshape(G, E)
+    first_sample = sm[:, :1]  # [G, 1]
+    local = sm - first_sample
+    # dead positions -> local sample GS (one-hot miss)
+    local = jnp.where(lv, local, GS)
+
+    cnt_cold = jnp.sum((xi >= C).astype(jnp.int32), axis=1)
+    span_ok = jnp.max(jnp.where(lv, local, 0)) < GS
+    overflow = jnp.any(cnt_cold > S_c) | ~span_ok
+
+    key = jnp.where(xi < C, 0, 1)
+    if flat_coeff is None:
+        comp, l_s = jax.lax.sort(
+            [(key << 30) | xi, local], dimension=1, num_keys=1
+        )
+        w_s = None
+    else:
+        comp, w_s, l_s = jax.lax.sort(
+            [(key << 30) | xi, flat_coeff.reshape(G, E), local],
+            dimension=1, num_keys=1,
+        )
+    x_s = comp & ((1 << 30) - 1)
+
+    def combine(rows, locals_, slot_coeff=None):
+        onehot = (
+            locals_[..., None] == jnp.arange(GS, dtype=jnp.int32)
+        ).astype(acc_dt)
+        if slot_coeff is not None:
+            onehot = onehot * slot_coeff[..., None]
+        return jax.lax.dot_general(
+            onehot, rows,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc_dt,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [G, GS, W]
+
+    def fast(_):
+        # hot region: front slice is the whole row minus the cold back —
+        # gather every slot from the VMEM head slice (dead/cold slots
+        # have local == GS, a one-hot miss; index clipped into range).
+        h_idx = jnp.where(x_s < C, x_s, 0)
+        h_loc = jnp.where(x_s < C, l_s, GS)
+        h_rows = jnp.take(table[:C], h_idx.reshape(-1), axis=0)
+        part = combine(
+            h_rows.reshape(G, E, width), h_loc,
+            None if w_s is None else w_s,
+        )
+        # cold region: static back slice, gather from the full table.
+        c_idx = x_s[:, E - S_c:]
+        c_loc = jnp.where(c_idx >= C, l_s[:, E - S_c:], GS)
+        c_idx = jnp.where(c_idx >= C, c_idx, 0)
+        c_rows = jnp.take(table, c_idx.reshape(-1), axis=0)
+        part = part + combine(
+            c_rows.reshape(G, S_c, width), c_loc,
+            None if w_s is None else w_s[:, E - S_c:],
+        )
+        # merge: chunk g's local sample u is global sample first[g] + u;
+        # boundary samples receive adds from both neighbouring chunks.
+        tgt = (first_sample + jnp.arange(GS, dtype=jnp.int32)[None, :])
+        out = jnp.zeros((batch, width), acc_dt).at[tgt.reshape(-1)].add(
+            part.reshape(G * GS, width), mode="drop"
+        )
+        return out if w_s is not None else out * acc_dt(uniform or 1.0)
+
+    def exact(_):
+        cf = (
+            jnp.where(live, acc_dt(uniform), 0.0)[:nmax]
+            if flat_coeff is None
+            else flat_coeff.reshape(-1)[:nmax]
+        )
+        rows = jnp.take(table, flat_idx.reshape(-1)[:nmax], axis=0)
+        rows = rows.astype(acc_dt) * cf[:, None]
+        return jax.ops.segment_sum(
+            rows, sample_of_pos[:nmax], num_segments=batch,
+            indices_are_sorted=True,
+        )
+
+    out = jax.lax.cond(overflow, exact, fast, 0)
     return out.astype(table.dtype)
 
 

@@ -57,6 +57,7 @@ def alltoall_row_sharded_lookup(
     table: jax.Array,
     indices: jax.Array,
     weights: Optional[jax.Array] = None,
+    offsets: Optional[jax.Array] = None,
     *,
     mesh: Mesh,
     mode: CombineMode = CombineMode.SUM,
@@ -70,14 +71,20 @@ def alltoall_row_sharded_lookup(
         sharded ``P(axis, None)`` (row-wise).
       indices: ``[batch, hotness]`` int32 global category ids, sharded
         ``P(axis, None)`` (the batch and the tables live on the same axis).
-      weights: optional ``[batch, hotness]`` (SUM only).
+        With ``offsets``: the *sharded-CSR* layout — ``[n, cap]`` flat
+        value blocks, one row per shard (see
+        :func:`cuembed_tpu.parallel.sharding.shard_csr`).
+      weights: optional, same layout as ``indices`` (SUM only).
+      offsets: optional sharded-CSR offsets ``[n, local_batch + 1]``;
+        entries of a shard's block at or past ``offsets[-1]`` are padding.
       mode: SUM or MEAN (CONCAT has no pooled combine; use the masked path).
       capacity_factor: static per-destination capacity as a multiple of
         the balanced share ``nnz_local / n``.
       axis: mesh axis name to route over.
 
     Returns:
-      ``[batch, width]`` pooled output, sharded ``P(axis, None)``.
+      ``[batch, width]`` pooled output, sharded ``P(axis, None)``
+      (``[n, local_batch, width]``-shaped for sharded CSR).
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("all-to-all routing pools rows; CONCAT unsupported")
@@ -86,10 +93,18 @@ def alltoall_row_sharded_lookup(
     if num_rows % n != 0:
         raise ValueError("pad table rows to a multiple of the axis size")
     rows_per = num_rows // n
-    batch, hotness = indices.shape
-    if batch % n != 0:
-        raise ValueError("batch must divide evenly across the axis")
-    nnz_l = (batch // n) * hotness
+    if offsets is not None:
+        if indices.ndim != 2 or indices.shape[0] != n:
+            raise ValueError(
+                "sharded CSR wants indices [n_shards, cap]; see shard_csr"
+            )
+        nnz_l = indices.shape[1]
+        lb = offsets.shape[1] - 1
+    else:
+        batch, hotness = indices.shape
+        if batch % n != 0:
+            raise ValueError("batch must divide evenly across the axis")
+        nnz_l = (batch // n) * hotness
     cap = int(nnz_l / n * capacity_factor) + 1
     cap = min(-(-cap // 8) * 8, nnz_l)
 
@@ -98,18 +113,46 @@ def alltoall_row_sharded_lookup(
     if weights is not None:
         in_specs.append(P(axis, None))
         args.append(weights)
+    if offsets is not None:
+        in_specs.append(P(axis, None))
+        args.append(offsets.astype(jnp.int32))
 
     def local(table_l, idx_l, *rest):
-        w_l = rest[0] if rest else None
-        b_l = idx_l.shape[0]
-        flat = idx_l.reshape(-1)  # [nnz_l]
-        coeff = (
-            w_l.reshape(-1).astype(jnp.float32)
-            if w_l is not None
-            else jnp.ones((nnz_l,), jnp.float32)
-        )
-        if mode == CombineMode.MEAN:
-            coeff = coeff / hotness
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        offs_l = rest.pop(0) if offsets is not None else None
+        if offs_l is not None:
+            from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
+
+            offs1 = offs_l.reshape(-1)  # [lb + 1]
+            b_l = lb
+            flat_raw = idx_l.reshape(-1)  # [nnz_l]
+            pos = jnp.arange(nnz_l, dtype=jnp.int32)
+            live = pos < offs1[-1]
+            flat = jnp.where(live, flat_raw, 0)
+            sample_of_pos = extract_row_ids_from_csr(offs1, flat).astype(
+                jnp.int32
+            )
+            coeff = live.astype(jnp.float32)
+            if w_l is not None:
+                coeff = coeff * w_l.reshape(-1).astype(jnp.float32)
+            if mode == CombineMode.MEAN:
+                counts = (offs1[1:] - offs1[:-1]).astype(jnp.float32)
+                inv = jnp.where(
+                    counts == 0, 0.0, 1.0 / jnp.maximum(counts, 1.0)
+                )
+                coeff = coeff * jnp.take(inv, sample_of_pos)
+        else:
+            b_l = idx_l.shape[0]
+            flat = idx_l.reshape(-1)  # [nnz_l]
+            sample_of_pos = None
+            coeff = (
+                w_l.reshape(-1).astype(jnp.float32)
+                if w_l is not None
+                else jnp.ones((nnz_l,), jnp.float32)
+            )
+            if mode == CombineMode.MEAN:
+                coeff = coeff / hotness
 
         owner = jnp.clip(flat // rows_per, 0, n - 1)
 
@@ -160,6 +203,12 @@ def alltoall_row_sharded_lookup(
             slot_of_pos = owner * c + jnp.clip(rank, 0, c - 1)
             rows = jnp.take(resp, slot_of_pos, axis=0).astype(jnp.float32)
             rows = rows * coeff[:, None]
+            if sample_of_pos is not None:
+                out = jax.ops.segment_sum(
+                    rows, sample_of_pos, num_segments=b_l,
+                    indices_are_sorted=True,
+                )
+                return out[None]  # [1, local_batch, W] (sharded-CSR block)
             return jnp.sum(rows.reshape(b_l, hotness, width), axis=1)
 
         if cap >= nnz_l:
@@ -178,10 +227,13 @@ def alltoall_row_sharded_lookup(
         )
         return out.astype(table.dtype)
 
+    out_specs = (
+        P(axis, None, None) if offsets is not None else P(axis, None)
+    )
     return shard_map(
         local,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=P(axis, None),
+        out_specs=out_specs,
         check_vma=False,
     )(*args)

@@ -78,11 +78,19 @@ def row_sharded_lookup(
     rows_per = num_rows // n_model
 
     # CSR's flat nnz layout cannot be split along the data axis without
-    # realigning sample boundaries, so CSR inputs replicate across data
-    # (callers shard a CSR batch by providing per-shard problems).
-    if offsets is not None:
+    # re-basing sample boundaries; the *sharded-CSR* layout
+    # (2D [n_data, cap] blocks from parallel.sharding.shard_csr) shards
+    # over data like fixed-hotness batches. Flat (1D) CSR inputs fall
+    # back to replication across data.
+    sharded_csr = offsets is not None and offsets.ndim == 2
+    if offsets is not None and not sharded_csr:
         idx_spec = P(None)
         out_spec = P(None, None)
+        off_spec = P(None)
+    elif sharded_csr:
+        idx_spec = P(data_axis, None)
+        out_spec = P(data_axis, None, None)
+        off_spec = P(data_axis, None)
     else:
         idx_spec = P(data_axis, None)
         out_spec = P(data_axis, None)
@@ -92,13 +100,19 @@ def row_sharded_lookup(
         in_specs.append(idx_spec)
         args.append(weights)
     if offsets is not None:
-        in_specs.append(P(None))
+        in_specs.append(off_spec)
         args.append(offsets)
 
     def local(table_l, idx_l, *rest):
         rest = list(rest)
         w_l = rest.pop(0) if weights is not None else None
         offs_l = rest.pop(0) if offsets is not None else None
+        if sharded_csr:
+            # one [1, cap] block per shard -> flat local CSR problem
+            idx_l = idx_l.reshape(-1)
+            offs_l = offs_l.reshape(-1)
+            if w_l is not None:
+                w_l = w_l.reshape(-1)
         shard = jax.lax.axis_index(model_axis)
         lo = (shard * rows_per).astype(idx_l.dtype)
         owned = (idx_l >= lo) & (idx_l < lo + rows_per)
@@ -139,7 +153,8 @@ def row_sharded_lookup(
                     mode=CombineMode.SUM,
                     backend=backend,
                 )
-        return jax.lax.psum(partial_out, model_axis)
+        out = jax.lax.psum(partial_out, model_axis)
+        return out[None] if sharded_csr else out
 
     return shard_map(
         local,

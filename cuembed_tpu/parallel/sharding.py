@@ -63,3 +63,55 @@ def pad_table_for_shards(table: jax.Array, n_shards: int) -> jax.Array:
     if padded != v:
         table = jnp.pad(table, ((0, padded - v), (0, 0)))
     return table
+
+
+def shard_csr(
+    indices: np.ndarray,
+    offsets: np.ndarray,
+    n_shards: int,
+    weights: Optional[np.ndarray] = None,
+    *,
+    cap: Optional[int] = None,
+):
+    """Split a global CSR batch into the *sharded-CSR* layout.
+
+    A flat CSR batch cannot shard along the data axis directly (offset
+    values are global), so the data-parallel layout re-bases it per
+    shard: ``indices [n_shards, cap]`` (zero-padded value blocks),
+    ``offsets [n_shards, local_batch + 1]``, ``weights`` like indices.
+    Feed the blocks sharded ``P(data, None)`` to
+    :func:`cuembed_tpu.parallel.sharded_lookup.row_sharded_lookup` or
+    :func:`cuembed_tpu.parallel.alltoall_lookup.alltoall_row_sharded_lookup`.
+
+    ``cap`` (static per-shard value capacity) defaults to the largest
+    shard's nonzero count, rounded up to 8.
+
+    Returns ``(indices_blocks, offsets_blocks, weights_blocks | None)``.
+    """
+    offsets = np.asarray(offsets)
+    indices = np.asarray(indices)
+    batch = offsets.shape[0] - 1
+    if batch % n_shards != 0:
+        raise ValueError("batch must divide evenly across shards")
+    lb = batch // n_shards
+    bounds = offsets[:: lb]  # [n_shards + 1] sample-group boundaries
+    per_shard_nnz = bounds[1:] - bounds[:-1]
+    if cap is None:
+        cap = max(8, -(-int(per_shard_nnz.max()) // 8) * 8)
+    idx_blocks = np.zeros((n_shards, cap), indices.dtype)
+    off_blocks = np.zeros((n_shards, lb + 1), offsets.dtype)
+    w_blocks = (
+        np.zeros((n_shards, cap), np.asarray(weights).dtype)
+        if weights is not None
+        else None
+    )
+    for s in range(n_shards):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        k = hi - lo
+        if k > cap:
+            raise ValueError(f"shard {s} needs {k} slots > cap {cap}")
+        idx_blocks[s, :k] = indices[lo:hi]
+        off_blocks[s] = offsets[s * lb : (s + 1) * lb + 1] - lo
+        if w_blocks is not None:
+            w_blocks[s, :k] = np.asarray(weights)[lo:hi]
+    return idx_blocks, off_blocks, w_blocks

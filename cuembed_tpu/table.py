@@ -28,7 +28,6 @@ it remaps on device (correct, slower; documented cost).
 
 from __future__ import annotations
 
-from dataclasses import replace
 from typing import Optional
 
 import jax
@@ -147,6 +146,8 @@ class EmbeddingTable:
             hot_bytes=self.hot_bytes,
         )
         if cfg is not None and calibration_indices is not None:
+            from cuembed_tpu.utils.calibration import refine_tiered_config
+
             head_f, cold_f = freq.tier_fractions(
                 ci, remap, cfg.mxu_head_rows, cfg.hot_rows, margin=1.15
             )
@@ -159,14 +160,9 @@ class EmbeddingTable:
                 head_fraction=head_f,
                 hot_bytes=self.hot_bytes,
             )
-            mid_s, cold_s = freq.calibrate_capacities(
-                ci, remap, cfg.mxu_head_rows, cfg.hot_rows, cfg.chunk_elems
-            )
-            cfg = replace(
-                cfg,
-                mid_slots=min(cfg.mid_slots, mid_s),
-                cold_slots=min(cfg.cold_slots, cold_s),
-            )
+            # One refinement pass sets slot capacities AND the backward
+            # bounds (non-head fraction, MXU segment prefix).
+            cfg = refine_tiered_config(cfg, remap[ci.reshape(1, -1)])
         self.tiered_cfg = cfg
 
     def _compose_perm(self, perm: np.ndarray) -> np.ndarray:

@@ -246,3 +246,60 @@ def test_tiered_3tier_mid_overflow_falls_back():
     out = tiered_forward(jnp.asarray(table), jnp.asarray(idx),
                          mode=CombineMode.SUM, cfg=cfg)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+@pytest.mark.parametrize("weighted", [False, True])
+@pytest.mark.parametrize("gs_cap", [8, 16, 3])
+def test_tiered_csr_3tier_matches_golden(mode, weighted, gs_cap):
+    """The scatter-free CSR combine (csr_chunk_samples > 0), including
+    the span-overflow fallback (gs_cap=3 undersizes most chunks)."""
+    if weighted and mode != CombineMode.SUM:
+        pytest.skip("weights only with SUM")
+    rng = np.random.default_rng(23)
+    V, W, C, batch = 400, 32, 80, 53
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    hots = rng.integers(0, 9, batch)
+    hots[5] = 0
+    offsets = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    nnz = int(offsets[-1])
+    cap = nnz + 9
+    flat = _mixed_indices(rng, 1, cap, C, V, cold_p=0.4).reshape(-1)
+    w = rng.standard_normal((cap,)).astype(np.float32) if weighted else None
+
+    ref = embedding_forward_ref(
+        table, flat[:nnz], offsets=offsets,
+        weights=None if w is None else w[:nnz], mode=mode,
+    )
+    cfg = TieredConfig(
+        hot_rows=C, chunk_elems=64, cold_slots=40,
+        csr_chunk_samples=gs_cap,
+    )
+    out = tiered_forward(
+        jnp.asarray(table), jnp.asarray(flat), jnp.asarray(offsets),
+        None if w is None else jnp.asarray(w), mode=mode, cfg=cfg,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_tiered_csr_3tier_bitwise_integer():
+    """Integer-exact data: the reassociated CSR combine is bitwise."""
+    rng = np.random.default_rng(29)
+    V, W, C, batch = 300, 16, 64, 41
+    table = rng.integers(-8, 9, (V, W)).astype(np.float32)
+    hots = rng.integers(0, 7, batch)
+    offsets = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    nnz = int(offsets[-1])
+    flat = rng.integers(0, V, max(nnz, 1)).astype(np.int32)
+
+    ref = embedding_forward_ref(
+        table, flat, offsets=offsets, mode=CombineMode.SUM
+    )
+    cfg = TieredConfig(
+        hot_rows=C, chunk_elems=32, cold_slots=32, csr_chunk_samples=12
+    )
+    out = tiered_forward(
+        jnp.asarray(table), jnp.asarray(flat), jnp.asarray(offsets),
+        mode=CombineMode.SUM, cfg=cfg,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)

@@ -101,6 +101,24 @@ def test_csr_forward_backward_on_chip():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_pallas_backward_on_chip_compiled():
+    """The run-grouped Pallas backward in real Mosaic lowering."""
+    from cuembed_tpu.ops.lookup_xla import embedding_backward_xla
+    from cuembed_tpu.ops.pallas_backward import embedding_backward_pallas
+
+    rng = np.random.default_rng(6)
+    V, W, batch, hotness = 300, 128, 32, 8
+    idx = rng.integers(0, V, batch * hotness).astype(np.int32)
+    sid = (np.arange(batch * hotness, dtype=np.int32) // hotness)
+    order = np.argsort(idx, kind="stable")
+    t_idx, t_sid = jnp.asarray(idx[order]), jnp.asarray(sid[order])
+    gy = jnp.asarray(rng.integers(-10, 11, (batch, W)).astype(np.float32))
+
+    ref = embedding_backward_xla(gy, V, t_idx, t_sid, None)
+    got = embedding_backward_pallas(gy, V, t_idx, t_sid, None)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_train_step_on_chip():
     from cuembed_tpu.train import sgd_sparse_update
 
