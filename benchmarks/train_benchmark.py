@@ -95,25 +95,28 @@ def main():
         g = jax.grad(loss)(table)
         return (table - 1e-6 * g.astype(table.dtype)).astype(table.dtype)
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step_sparse(table, idx):
+    @functools.partial(jax.jit, donate_argnums=0, static_argnames="overflow")
+    def step_sparse(table, idx, overflow="fallback"):
         pooled = embedding_lookup(
             jax.lax.stop_gradient(table), idx,
             backend="tiered" if cfg else "xla", tiered_cfg=cfg,
         )
         return sgd_sparse_update(
-            table, idx, fake_grad_y(pooled), lr=1e-6, tiered_cfg=cfg
+            table, idx, fake_grad_y(pooled), lr=1e-6, tiered_cfg=cfg,
+            overflow=overflow,
         )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step_adagrad(table, accum, idx):
+    @functools.partial(
+        jax.jit, donate_argnums=(0, 1), static_argnames="overflow"
+    )
+    def step_adagrad(table, accum, idx, overflow="fallback"):
         pooled = embedding_lookup(
             jax.lax.stop_gradient(table), idx,
             backend="tiered" if cfg else "xla", tiered_cfg=cfg,
         )
         return rowwise_adagrad_sparse_update(
             table, accum, idx, fake_grad_y(pooled), lr=1e-6, tiered_cfg=cfg,
-            unique_cap=unique_cap,
+            unique_cap=unique_cap, overflow=overflow,
         )
 
     def time_steps(name, step, state):
@@ -135,10 +138,20 @@ def main():
 
     time_steps("sparse", lambda t: step_sparse(t, idx), table0)
     table0 = jax.block_until_ready(jnp.zeros((V, W), dtype))
+    time_steps("sparse-drop",
+               lambda t: step_sparse(t, idx, overflow="drop"), table0)
+    table0 = jax.block_until_ready(jnp.zeros((V, W), dtype))
     accum = rowwise_adagrad_init(V)
     time_steps(
         "adagrad",
         lambda s: step_adagrad(s[0], s[1], idx),
+        (table0, accum),
+    )
+    table0 = jax.block_until_ready(jnp.zeros((V, W), dtype))
+    accum = rowwise_adagrad_init(V)
+    time_steps(
+        "ada-drop",
+        lambda s: step_adagrad(s[0], s[1], idx, overflow="drop"),
         (table0, accum),
     )
     table0 = jax.block_until_ready(jnp.zeros((V, W), dtype))

@@ -101,12 +101,22 @@ def sgd_sparse_update(
     weights: Optional[jax.Array] = None,
     mode: CombineMode = CombineMode.SUM,
     tiered_cfg: Optional[TieredConfig] = None,
+    overflow: str = "fallback",
 ) -> jax.Array:
     """One SGD step on the table, applied sparsely.
 
     Exactly ``table - lr * dense_grad`` (up to fp reassociation) without
     ever allocating the dense gradient. With ``tiered_cfg``, the MXU head
     absorbs the scatter-hottest rows as a matmul.
+
+    ``overflow`` (capacity-bounded paths only): ``"fallback"`` (default)
+    re-runs an overflowing batch at full width via ``lax.cond`` — always
+    exact, and measured NO slower than the unconditional path (XLA
+    forwards donated buffers through conditionals). ``"drop"`` scatters
+    the calibrated prefix unconditionally and silently drops an
+    overflowing batch's coldest-row updates — the production
+    TPU-embedding convention for capacity overflow, offered for
+    semantic parity with such systems, not for speed.
     """
     acc_dt = accumulation_dtype(table.dtype, False)
     gy = grad_y.astype(acc_dt)
@@ -153,6 +163,8 @@ def sgd_sparse_update(
         # at the calibrated non-head capacity, falling back on overflow.
         k_cap = nonhead_capacity(tiered_cfg, n)
         if k_cap < n:
+            if overflow == "drop":
+                return scatter(k_cap)
             sentinel = jnp.iinfo(jnp.int32).max
             rest_count = jnp.sum((t_idx != sentinel).astype(jnp.int32))
             return jax.lax.cond(
@@ -182,6 +194,7 @@ def rowwise_adagrad_sparse_update(
     mode: CombineMode = CombineMode.SUM,
     tiered_cfg: Optional[TieredConfig] = None,
     unique_cap: Optional[int] = None,
+    overflow: str = "fallback",
 ) -> Tuple[jax.Array, jax.Array]:
     """Row-wise AdaGrad (the standard DLRM embedding optimizer).
 
@@ -264,8 +277,11 @@ def rowwise_adagrad_sparse_update(
             )
             return new_table, new_accum
 
-        if cap >= t_idx.shape[0] + head:
-            # No unique bound: the compressed output is always complete.
+        if cap >= t_idx.shape[0] + head or overflow == "drop":
+            # No unique bound (complete output), or production drop
+            # semantics: apply directly so the donated table/state update
+            # in place — an XLA cond cannot alias them (see
+            # sgd_sparse_update's overflow doc).
             return apply_compressed(cg.rows, cg.unique_indices,
                                     cg.num_unique)
 
@@ -273,7 +289,7 @@ def rowwise_adagrad_sparse_update(
             return apply_compressed(cg.rows, cg.unique_indices,
                                     cg.num_unique)
 
-        def overflow(_):
+        def recompute_full(_):
             # unique_cap violated: recompute at full capacity (exact).
             cg_full = embedding_backward_compressed_tiered(
                 gy, table.shape[0], indices, coeff2d,
@@ -301,7 +317,7 @@ def rowwise_adagrad_sparse_update(
             )
             return new_table, new_accum
 
-        return jax.lax.cond(cg.num_unique <= cap, ok, overflow, 0)
+        return jax.lax.cond(cg.num_unique <= cap, ok, recompute_full, 0)
 
     # Non-tiered path (CSR, CONCAT, or no config): plain segment
     # partials + row-sparse updates.

@@ -74,6 +74,9 @@ def test_fuzz_tiered_and_narrow_match_xla(trial):
             cold_slots=int(rng.integers(4, e + 1)),
             mxu_head_rows=int(rng.integers(0, min(129, hot + 1))),
             mid_slots=int(rng.integers(4, e + 1)),
+            # exercise the scatter-free CSR combine about half the time
+            # (0 = legacy 2-tier path; tiny caps hit the span fallback)
+            csr_chunk_samples=int(rng.choice([0, 4, 16, e])),
         )
         if csr:
             got = embedding_lookup_csr(

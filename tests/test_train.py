@@ -200,3 +200,33 @@ def test_adagrad_unique_cap_and_overflow():
     )
     np.testing.assert_allclose(np.asarray(t2), np.asarray(ref_t), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(ref_a), rtol=2e-5, atol=2e-5)
+
+
+def test_sparse_updates_overflow_drop_matches_when_capacity_ok():
+    """overflow='drop' equals the exact path whenever capacities hold."""
+    import numpy as np
+    rng = np.random.default_rng(41)
+    V, W, B, H, HEAD = 500, 32, 64, 8, 16
+    from cuembed_tpu.ops.tiered import TieredConfig
+    cfg = TieredConfig(hot_rows=100, chunk_elems=64, cold_slots=64,
+                       mxu_head_rows=HEAD, mid_slots=64)
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+
+    a = sgd_sparse_update(table, idx, gy, lr=0.1, tiered_cfg=cfg)
+    b = sgd_sparse_update(table, idx, gy, lr=0.1, tiered_cfg=cfg,
+                          overflow="drop")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+
+    accum = rowwise_adagrad_init(V)
+    t1, a1 = rowwise_adagrad_sparse_update(
+        table, accum, idx, gy, lr=0.1, tiered_cfg=cfg, unique_cap=B * H)
+    t2, a2 = rowwise_adagrad_sparse_update(
+        table, accum, idx, gy, lr=0.1, tiered_cfg=cfg, unique_cap=B * H,
+        overflow="drop")
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                               rtol=1e-6, atol=1e-6)
