@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -145,7 +144,6 @@ def main(argv):
     import jax
     import jax.numpy as jnp
 
-    from cuembed_tpu.ops import dispatch
     from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
     from cuembed_tpu.ops.lookup_xla import (
         embedding_backward_compressed_xla,
@@ -160,7 +158,7 @@ def main(argv):
     from cuembed_tpu.ref.backward import embedding_backward_ref
     from cuembed_tpu.ref.forward import embedding_forward_ref
     from cuembed_tpu.types import CombineMode
-    from cuembed_tpu.utils.allocation import Allocation, AllocationOptions, allocate
+    from cuembed_tpu.utils.allocation import AllocationOptions, allocate
     from cuembed_tpu.utils.benchmarking import (
         backward_app_bytes,
         forward_app_bytes,

@@ -25,12 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cuembed_tpu.ops.transforms import (
-    compact_sparse_indices,
-    compute_compressed_grad_indices,
-    extract_row_ids_from_csr,
-    transpose,
-)
+from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
 from cuembed_tpu.types import CombineMode, accumulation_dtype
 
 

@@ -12,6 +12,7 @@ from cuembed_tpu.parallel.sharding import (
     table_sharding,
     batch_sharding,
     pad_table_for_shards,
+    shard_csr,
 )
 from cuembed_tpu.parallel.sharded_lookup import (
     row_sharded_lookup,
@@ -28,5 +29,6 @@ __all__ = [
     "batch_sharding",
     "pad_table_for_shards",
     "row_sharded_lookup",
+    "shard_csr",
     "column_sharded_lookup",
 ]

@@ -22,12 +22,11 @@ gradients land on the owning shard only.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
 from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
