@@ -127,6 +127,33 @@ def test_forward_bitwise(shape_i, mode, dtype, lpm, vmax):
     np.testing.assert_array_equal(got_f, ref_f)
 
 
+@pytest.mark.parametrize("mode", ["sum", "sum_csr", "mean"])
+@pytest.mark.parametrize("shape_i", [1, 3, 7])
+def test_forward_bitwise_int64_indices(shape_i, mode):
+    """The int64 index surface (canonicalized through int32) is bitwise-
+    identical to the int32 path — the reference instantiates a real
+    64-bit kernel (``embedding_gpu_forward.cu:61-77``); here the policy
+    is narrowing, verified exact."""
+    from cuembed_tpu import embedding_lookup, embedding_lookup_csr
+
+    batch, width, hotness = SHAPES[shape_i]
+    rng = np.random.default_rng(900 + shape_i)
+    table, idx, offsets, w, m = _problem(
+        rng, batch, width, hotness, mode, np.float32, 8
+    )
+    args32 = (jnp.asarray(idx.astype(np.int32)),)
+    args64 = (jnp.asarray(idx.astype(np.int64)),)
+    if offsets is not None:
+        a = embedding_lookup_csr(
+            jnp.asarray(table), args32[0], jnp.asarray(offsets), mode=m)
+        b = embedding_lookup_csr(
+            jnp.asarray(table), args64[0], jnp.asarray(offsets), mode=m)
+    else:
+        a = embedding_lookup(jnp.asarray(table), args32[0], mode=m)
+        b = embedding_lookup(jnp.asarray(table), args64[0], mode=m)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("mode", ["sum", "mean", "sum_w"])
 @pytest.mark.parametrize("shape_i", [2, 3, 6])
 def test_tiered_forward_bitwise(shape_i, mode):
