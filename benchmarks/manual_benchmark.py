@@ -107,6 +107,10 @@ def chain_stage(step, n_iter, state0, stage_name=""):
     k_hi = max(2, n_iter)
     k_lo = max(1, k_hi // 4)
     per_step = chain_time(step, state0, k_lo=k_lo, k_hi=k_hi, repeats=2)
+    if per_step < 5e-4:
+        # Sub-resolution for a short chain (tunnel RTT noise swamps the
+        # slope): re-measure with a long chain.
+        per_step = chain_time(step, state0, k_lo=16, k_hi=64, repeats=2)
     if FLAGS.profile_dir:
         import numpy as _np
 
