@@ -78,11 +78,12 @@ class EmbeddingBag:
         offsets: Optional[jax.Array] = None,
         *,
         backend: str = "auto",
+        tiered_cfg=None,
     ) -> jax.Array:
         if self._packed:
             return narrow_lookup(
                 table, self.num_categories, self.width, indices,
-                weights, offsets, mode=self.mode,
+                weights, offsets, mode=self.mode, tiered_cfg=tiered_cfg,
             )
         if offsets is not None:
             out = embedding_lookup_csr(

@@ -23,6 +23,12 @@ from cuembed_tpu.types import CombineMode
 # width padded to a multiple of this.
 LANES = 128
 
+# Auto-dispatch packs a raw narrow table inline only below this physical
+# size (lane-padded bytes): an 8 MB relayout costs ~25 us — noise next to
+# any lookup — while a 10M x 32 table costs ~20 ms per call (the round-2
+# sweep defect). Larger tables need caller-owned packed storage.
+NARROW_INLINE_PACK_BYTES = 8 * 1024 * 1024
+
 
 def _on_tpu() -> bool:
     try:
@@ -63,9 +69,13 @@ def tiered_auto_config(
     if offsets is None:
         hotness = indices.shape[1]
     else:
-        # CSR: estimate average hotness from the value capacity (an
-        # upper bound on nnz) — sizes the chunking and decides whether
-        # the scatter-free CSR combine (csr_chunk_samples) pays off.
+        # CSR: estimate average hotness from the value capacity. This is
+        # an UPPER bound (capacity includes padding): a heavily padded
+        # batch inflates the estimate and mis-sizes the chunking. The
+        # static config cannot read the traced ``offsets[-1]``, so the
+        # precise number belongs at calibration time —
+        # ``EmbeddingTable.refresh_layout(calibration_offsets=...)``
+        # derives it from real offsets and passes an explicit cfg here.
         hotness = max(1, indices.shape[0] // max(1, offsets.shape[0] - 1))
     return auto_config(
         table.shape[0], table.shape[1], table.dtype.itemsize, hotness
@@ -95,23 +105,44 @@ def forward(
         raise ValueError(f"unknown backend: {backend}")
     # Narrow tables (width < 128 lanes) waste 1 - W/128 of every fetched
     # tile line; the line-packed layout gathers at full rate (~2.9x
-    # measured at width 32 — ops/narrow.py). Auto-dispatch repacks per
-    # call (one cheap reshape) — callers that keep tables hot should
-    # store packed via EmbeddingBag(layout="packed").
+    # measured at width 32 — ops/narrow.py). Packing is a *relayout* of
+    # the whole physical table (TPU arrays are lane-padded, so [V, 32]
+    # occupies V x 128 lanes — ~20 ms for a 10M-row table), so it must
+    # never sit in a per-call path for big tables: auto-dispatch packs
+    # inline only when the relayout is microseconds-cheap, and otherwise
+    # serves the raw layout with the plain gather. Callers that want the
+    # fast path on big narrow tables own packed storage
+    # (EmbeddingBag(layout="packed") / EmbeddingTable, or pack_narrow +
+    # narrow_lookup directly); backend="narrow" forces the per-call
+    # repack for one-off calls that accept its cost.
     from cuembed_tpu.ops import narrow as narrow_mod
 
     w = table.shape[1]
-    if (
-        backend in ("auto", "narrow")
-        and w < LANES
-        and narrow_mod.packing_factor(w) > 1
-    ):
-        packed = narrow_mod.pack_narrow(table)
-        return narrow_mod.narrow_lookup(
-            packed, table.shape[0], w, indices, weights, offsets,
-            mode=mode, low_precision_math=low_precision_math,
-        )
-    if backend == "narrow":
+    if w < LANES and narrow_mod.packing_factor(w) > 1:
+        phys_bytes = table.shape[0] * LANES * table.dtype.itemsize
+        if backend == "narrow" or (
+            backend in ("auto", "tiered")
+            and phys_bytes <= NARROW_INLINE_PACK_BYTES
+        ):
+            cfg_n = tiered_cfg
+            if backend == "tiered" and cfg_n is None:
+                cfg_n = tiered_auto_config(table, indices, offsets, mode)
+            packed = narrow_mod.pack_narrow(table)
+            return narrow_mod.narrow_lookup(
+                packed, table.shape[0], w, indices, weights, offsets,
+                mode=mode, low_precision_math=low_precision_math,
+                tiered_cfg=cfg_n,
+            )
+        if backend == "tiered":
+            raise ValueError(
+                "backend='tiered' on a raw narrow table would repack it "
+                "every call; store it line-packed (pack_narrow) and call "
+                "narrow_lookup(..., tiered_cfg=...) or use "
+                "EmbeddingTable/EmbeddingBag(layout='packed')"
+            )
+        # auto + big raw narrow table: fall through to the plain gather.
+        tiered_cfg = None
+    elif backend == "narrow":
         raise ValueError(
             "backend='narrow' needs width < 128 with 128 % width == 0"
         )

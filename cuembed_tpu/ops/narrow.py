@@ -59,7 +59,9 @@ def unpack_narrow(packed: jax.Array, num_categories: int, width: int) -> jax.Arr
 
 @partial(
     jax.jit,
-    static_argnames=("num_categories", "width", "mode", "low_precision_math"),
+    static_argnames=(
+        "num_categories", "width", "mode", "low_precision_math", "tiered_cfg",
+    ),
 )
 def narrow_lookup(
     packed: jax.Array,
@@ -71,16 +73,38 @@ def narrow_lookup(
     *,
     mode: CombineMode = CombineMode.SUM,
     low_precision_math: bool = False,
+    tiered_cfg=None,
 ) -> jax.Array:
     """Pooled lookup against a line-packed narrow table.
 
     Same contract as :func:`cuembed_tpu.ops.api.embedding_lookup` /
     ``_csr`` for SUM/MEAN/weighted (CONCAT: gather lines then select —
     also supported).
+
+    ``tiered_cfg``: a :class:`cuembed_tpu.ops.tiered.TieredConfig` in
+    *logical-row* units (``auto_config`` on the logical ``[V, W]``
+    shape). When set and the call is fixed-hotness SUM/MEAN, lines are
+    served by the 3-tier engine (VMEM-resident hot lines hold ``k``
+    logical rows each — k x the coverage of a lane-padded layout for the
+    same VMEM bytes). Requires frequency-remapped indices, like every
+    tiered path. CSR/CONCAT ignore it (plain packed gather).
     """
     if weights is not None and mode != CombineMode.SUM:
         raise ValueError("weights are only supported with CombineMode.SUM")
     k = packing_factor(width)
+    if (
+        tiered_cfg is not None
+        and offsets is None
+        and mode != CombineMode.CONCAT
+        and tiered_cfg.mxu_head_rows > 0
+    ):
+        from cuembed_tpu.ops.tiered import tiered_forward
+
+        out = tiered_forward(
+            packed, indices, None, weights, mode=mode, cfg=tiered_cfg,
+            low_precision_math=low_precision_math, pack_k=k,
+        )
+        return out
     acc_dt = accumulation_dtype(packed.dtype, low_precision_math)
 
     if offsets is None:

@@ -198,15 +198,15 @@ def embedding_backward_pallas(
             pl.BlockSpec((nb,), lambda g: (g,), memory_space=pltpu.SMEM)
         )
         args.append(t_w)
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # grad_y
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # aliased grad
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # grad_y
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # aliased grad
     args += [gy3, grad0]
 
     out = pl.pallas_call(
         _make_bwd_kernel(nb, wtiles, num_categories, has_coeff),
         grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(
             (num_categories, wtiles, LANES), grad_y.dtype
         ),

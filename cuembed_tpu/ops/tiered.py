@@ -202,7 +202,7 @@ def _combine_coeff(indices, weights, offsets, mode, acc_dt):
 
 @partial(
     jax.jit,
-    static_argnames=("mode", "cfg", "low_precision_math"),
+    static_argnames=("mode", "cfg", "low_precision_math", "pack_k"),
 )
 def tiered_forward(
     table: jax.Array,
@@ -213,6 +213,7 @@ def tiered_forward(
     mode: CombineMode = CombineMode.SUM,
     cfg: TieredConfig,
     low_precision_math: bool = False,
+    pack_k: int = 1,
 ) -> jax.Array:
     """Tiered forward lookup. Same contract as ``embedding_forward_xla``
     minus CONCAT (a pure gather — tiering cannot help it).
@@ -223,9 +224,27 @@ def tiered_forward(
     ``indices [capacity]`` + ``offsets [batch+1]`` (positions >=
     ``offsets[-1]`` are padding); always 2-tier — its scatter-based
     combine would cancel the mid-tier win.
+
+    ``pack_k > 1``: the table is a *line-packed narrow* table
+    (:func:`cuembed_tpu.ops.narrow.pack_narrow` — ``[ceil(V/k), k*W]``
+    with ``k = 128 // W`` logical rows per 128-lane line), and
+    ``indices`` address *logical* rows. Tiering then happens on lines
+    (each gather fetches a full line at the 128-lane rate) and the
+    sub-row selection folds into the one-hot combine for free: the
+    one-hot column encodes ``(sample, idx % k)`` jointly, and the diag
+    block of the matmul output extracts the addressed sub-row.
+    ``cfg`` stays in logical-row units (``auto_config`` on the logical
+    shape gives consistent line budgets: ``hot_rows`` logical rows ==
+    ``hot_rows / k`` lines == the same VMEM bytes). Fixed-hotness only
+    (``cfg.mxu_head_rows > 0``); CSR callers use the plain packed path.
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("CONCAT is a pure gather; tiered path does not apply")
+    if pack_k > 1 and (offsets is not None or cfg.mxu_head_rows <= 0):
+        raise ValueError(
+            "pack_k > 1 (line-packed narrow tiering) supports the "
+            "fixed-hotness 3-tier path only"
+        )
     acc_dt = accumulation_dtype(table.dtype, low_precision_math)
     coeff = _combine_coeff(indices, weights, offsets, mode, acc_dt)
     if offsets is None and cfg.mxu_head_rows > 0:
@@ -237,7 +256,7 @@ def tiered_forward(
                 1.0 / indices.shape[1] if mode == CombineMode.MEAN else 1.0
             )
         return _forward_fixed_3tier(
-            table, indices, coeff, cfg, acc_dt, uniform
+            table, indices, coeff, cfg, acc_dt, uniform, k=pack_k
         )
     # 2-tier uniform coefficient: any unweighted case whose coefficient
     # is one constant over LIVE positions (CSR MEAN varies per sample).
@@ -261,7 +280,8 @@ def tiered_forward(
     )
 
 
-def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
+def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None,
+                         k=1):
     """Fixed-hotness forward over three tiers, one sort, no full-N gather.
 
     Positions are classed head (``idx < HEAD``), mid (``HEAD <= idx <
@@ -272,11 +292,17 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
     the bulk of power-law traffic — never gathers at all: a one-hot
     matmul combines it on the MXU. Coefficients ride the small one-hot
     operands, so gathered rows stream in storage precision.
+
+    ``k > 1``: line-packed narrow table (see :func:`tiered_forward`);
+    gathers fetch lines ``idx // k`` and the combine one-hot column is
+    ``sample * k + idx % k``.
     """
     batch, hotness = indices.shape
-    width = table.shape[1]
-    C = cfg.hot_rows
+    width = table.shape[1] // k  # logical width (== table width if k == 1)
+    v_logical = table.shape[0] * k
+    C = cfg.hot_rows - cfg.hot_rows % k  # whole lines only
     HEAD = min(cfg.mxu_head_rows, C)
+    HEAD -= HEAD % k
     E = cfg.chunk_elems
     if E % hotness != 0:
         raise ValueError(
@@ -316,7 +342,7 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
     #  * (tier, idx, sample-in-chunk) pack into one int32 when
     #    2 + ceil(log2 V) + ceil(log2 GS) <= 31 — a pure key-only sort
     #    for the unweighted flagship shape.
-    idx_bits = max(1, (table.shape[0] - 1).bit_length())
+    idx_bits = max(1, (v_logical - 1).bit_length())
     gs_bits = max(1, (GS - 1).bit_length())
     w_s = None
     if uniform is not None and 2 + idx_bits + gs_bits <= 31:
@@ -324,7 +350,7 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
         (comp,) = jax.lax.sort([comp], dimension=1, num_keys=1)
         s_s = comp & ((1 << gs_bits) - 1)
         x_s = (comp >> gs_bits) & ((1 << idx_bits) - 1)
-    elif table.shape[0] <= (1 << 28) - 1:
+    elif v_logical <= (1 << 28) - 1:
         if uniform is not None:
             comp, s_s = jax.lax.sort(
                 [(key << 28) | xi, sm], dimension=1, num_keys=1
@@ -341,56 +367,75 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
             [key, xi, wi, sm], dimension=1, num_keys=1
         )
 
-    def combine(rows, samples, slot_coeff=None):
-        """[G, S, W] rows + [G, S] sample-in-chunk -> [G*GS, W] via MXU.
+    KGS = GS * k  # one-hot columns: (sample, sub-row) pairs when k > 1
+
+    def combine(rows, cols, slot_coeff=None):
+        """[G, S, k*W] rows + [G, S] one-hot column -> [G*GS, W] via MXU.
 
         Rows stay in storage precision: XLA supports mixed-dtype dots
         (bf16 rows x f32 one-hot -> f32) and it measures ~5x faster than
         promoting the row block to f32 first (which materializes a full
         f32 copy of the gathered rows). Dead slots are masked by an
-        out-of-range sample value (== GS): their one-hot row is all
-        zeros, so no per-slot coefficient multiply is needed in the
-        uniform case (``slot_coeff=None``).
+        out-of-range column (== GS*k): their one-hot row is all zeros,
+        so no per-slot coefficient multiply is needed in the uniform
+        case (``slot_coeff=None``).
+
+        For k == 1 the column is the sample-in-chunk. For line-packed
+        tables (k > 1) it encodes ``sample * k + sub-row``: the dot
+        produces per-(sample, sub) sums of whole gathered lines, and the
+        diagonal block ``[j, j*W:(j+1)*W]`` extracts the sub-row each
+        slot addressed (off-diagonal blocks — the other sub-rows riding
+        the same lines — are discarded).
         """
         onehot = (
-            samples[..., None] == jnp.arange(GS, dtype=jnp.int32)
+            cols[..., None] == jnp.arange(KGS, dtype=jnp.int32)
         ).astype(acc_dt)
         if slot_coeff is not None:
             onehot = onehot * slot_coeff[..., None]
         part = jax.lax.dot_general(
-            onehot,  # [G, S, GS]
-            rows,    # [G, S, W]
+            onehot,  # [G, S, GS*k]
+            rows,    # [G, S, k*W]
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=acc_dt,
             precision=jax.lax.Precision.HIGHEST,
-        )  # [G, GS, W]
-        return part.reshape(G * GS, width)
+        )  # [G, GS*k, k*W]
+        if k == 1:
+            return part.reshape(G * GS, width)
+        part = part.reshape(G, GS, k, k, width)
+        part = jnp.diagonal(part, axis1=2, axis2=3)  # [G, GS, W, k]
+        return jnp.sum(part, axis=-1).reshape(G * GS, width)
+
+    def col_of(samples, idx):
+        return samples * k + idx % k if k > 1 else samples
+
+    def take_lines(src, idx2d):
+        """Gather logical rows (k == 1) or their lines (k > 1)."""
+        i = (idx2d // k if k > 1 else idx2d).reshape(-1)
+        return jnp.take(src, i, axis=0).reshape(*idx2d.shape, k * width)
 
     def fast(_):
         # mid tier: static front slice, gather from the VMEM hot head.
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (G, S_m), 1)
         m_live = iota_m < cnt_mid[:, None]
         m_idx = jnp.where(m_live, x_s[:, :S_m], 0)
-        m_rows = jnp.take(table[:C], m_idx.reshape(-1), axis=0)
-        m_rows = m_rows.reshape(G, S_m, width)
+        m_rows = take_lines(table[: C // k], m_idx)
         # cold tier: static back slice, gather from the full HBM table.
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (G, S_c), 1)
         c_live = iota_c >= (S_c - cnt_cold)[:, None]
         c_idx = jnp.where(c_live, x_s[:, E - S_c:], 0)
-        c_rows = jnp.take(table, c_idx.reshape(-1), axis=0)
-        c_rows = c_rows.reshape(G, S_c, width)
+        c_rows = take_lines(table, c_idx)
         if w_s is None:
-            # Liveness rides the sample payload (dead -> GS, a one-hot
-            # miss); the uniform coefficient scales the pooled output
-            # once instead of every slot.
-            m_sm = jnp.where(m_live, s_s[:, :S_m], GS)
-            c_sm = jnp.where(c_live, s_s[:, E - S_c:], GS)
+            # Liveness rides the one-hot column (dead -> GS*k, a miss);
+            # the uniform coefficient scales the pooled output once
+            # instead of every slot.
+            m_sm = jnp.where(m_live, col_of(s_s[:, :S_m], m_idx), KGS)
+            c_sm = jnp.where(c_live, col_of(s_s[:, E - S_c:], c_idx), KGS)
             out = combine(m_rows, m_sm) + combine(c_rows, c_sm)
             return out[:batch] * acc_dt(uniform)
         m_cf = jnp.where(m_live, w_s[:, :S_m], 0.0)
         c_cf = jnp.where(c_live, w_s[:, E - S_c:], 0.0)
-        out = combine(m_rows, s_s[:, :S_m], m_cf) + combine(
-            c_rows, s_s[:, E - S_c:], c_cf
+        out = combine(m_rows, col_of(s_s[:, :S_m], m_idx), m_cf) + combine(
+            c_rows, col_of(s_s[:, E - S_c:], c_idx), c_cf
         )
         return out[:batch]
 
@@ -399,7 +444,17 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
         # Head positions are excluded — the MXU head matmul below the
         # cond serves them on both branches.
         cfe = jnp.where(flat[:nmax] < HEAD, 0.0, cf[:nmax])
-        rows = jnp.take(table, flat[:nmax], axis=0).astype(acc_dt)
+        if k == 1:
+            rows = jnp.take(table, flat[:nmax], axis=0).astype(acc_dt)
+        else:
+            lines = jnp.take(table, flat[:nmax] // k, axis=0)
+            lines = lines.reshape(nmax, k, width)
+            sub = (flat[:nmax] % k)[:, None] == jnp.arange(
+                k, dtype=jnp.int32
+            )[None, :]
+            rows = jnp.sum(
+                jnp.where(sub[:, :, None], lines.astype(acc_dt), 0.0), axis=1
+            )
         rows = rows * cfe[:, None]
         return jnp.sum(rows.reshape(batch, hotness, width), axis=1)
 
@@ -417,10 +472,16 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None):
     )
     # Mixed-dtype dot (f32 M x storage-dtype head slice): measured 6x
     # over upcasting the slice to f32 first (gather_rates.py) — the MXU
-    # consumes the bf16 operand natively and accumulates f32.
+    # consumes the bf16 operand natively and accumulates f32. For k > 1
+    # the head slice unpacks by a contiguous (row-major) reshape: the
+    # first HEAD logical rows are exactly the first HEAD/k lines.
+    head_slice = (
+        table[:HEAD] if k == 1
+        else table[: HEAD // k].reshape(HEAD, width)
+    )
     out = out + jax.lax.dot_general(
         m,
-        table[:HEAD],
+        head_slice,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=acc_dt,
         precision=jax.lax.Precision.HIGHEST,

@@ -18,11 +18,17 @@ from cuembed_tpu.parallel.sharded_lookup import (
     row_sharded_lookup,
     column_sharded_lookup,
 )
-from cuembed_tpu.parallel.alltoall_lookup import alltoall_row_sharded_lookup
+from cuembed_tpu.parallel.alltoall_lookup import (
+    alltoall_row_sharded_lookup,
+    hybrid_tiered_lookup,
+    split_hybrid_table,
+)
 from cuembed_tpu.parallel import multihost
 
 __all__ = [
     "alltoall_row_sharded_lookup",
+    "hybrid_tiered_lookup",
+    "split_hybrid_table",
     "multihost",
     "make_mesh",
     "table_sharding",

@@ -53,6 +53,185 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
+def hybrid_tiered_lookup(
+    head_table: jax.Array,
+    tail_table: jax.Array,
+    indices: jax.Array,
+    weights: Optional[jax.Array] = None,
+    *,
+    mesh: Mesh,
+    mode: CombineMode = CombineMode.SUM,
+    capacity_factor: float = 2.0,
+    cold_frac: float = 1.0,
+    axis: str = MODEL_AXIS,
+) -> jax.Array:
+    """Replicated-hot-head + all-to-all-routed-cold-tail lookup.
+
+    The multi-chip expression of the tiered design (the layout
+    ``alltoall_row_sharded_lookup``'s docstring recommends): with a
+    frequency-ordered table, rows ``[0, hot)`` — the head that serves the
+    bulk of power-law traffic — are REPLICATED (one ``[hot, W]`` copy per
+    shard, VMEM-sized by construction), so ~90% of lookups are served
+    locally at VMEM gather rate with zero communication; only the cold
+    tail rows are row-sharded and routed all-to-all. Against full
+    routing, both the request/response payload volume and the serve-side
+    HBM gathers shrink by the head-traffic fraction.
+
+    Args:
+      head_table: ``[hot, W]`` the first ``hot`` frequency-ordered rows,
+        replicated (``P(None, None)``).
+      tail_table: ``[V_tail, W]`` rows ``hot ..`` of the same table,
+        row-sharded ``P(axis, None)``; ``V_tail`` divisible by the axis
+        size (pad with :func:`cuembed_tpu.parallel.sharding.pad_table_for_shards`).
+      indices: ``[batch, hotness]`` *remapped* (frequency-ordered) global
+        row ids, sharded ``P(axis, None)``.
+      weights: optional, like indices (SUM only).
+      mode: SUM or MEAN.
+      capacity_factor: static per-destination slot capacity as a multiple
+        of the balanced *cold* share ``cold_frac * nnz_local / n``.
+      cold_frac: calibrated fraction of lookups past the head (sizes the
+        capacity only; correctness never depends on it — overflow falls
+        back to full-capacity routing via ``lax.cond``).
+      axis: mesh axis to route over.
+
+    Returns:
+      ``[batch, width]`` pooled output, sharded ``P(axis, None)``.
+
+    Differentiable: gradients flow to both table parts (the replicated
+    head's gradient is psummed across shards by the shard_map transpose).
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("hybrid routing pools rows; CONCAT unsupported")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    n = mesh.shape[axis]
+    hot, width = head_table.shape
+    v_tail = tail_table.shape[0]
+    if v_tail % n != 0:
+        raise ValueError("pad tail rows to a multiple of the axis size")
+    rows_per = v_tail // n
+    batch, hotness = indices.shape
+    if batch % n != 0:
+        raise ValueError("batch must divide evenly across the axis")
+    nnz_l = (batch // n) * hotness
+    cap = int(nnz_l / n * min(max(cold_frac, 1e-3), 1.0) * capacity_factor)
+    cap = min(max(-(-cap // 8) * 8, 8), nnz_l)
+
+    in_specs = [P(None, None), P(axis, None), P(axis, None)]
+    args = [head_table, tail_table, indices.astype(jnp.int32)]
+    if weights is not None:
+        in_specs.append(P(axis, None))
+        args.append(weights)
+
+    def local(head_l, tail_l, idx_l, *rest):
+        w_l = rest[0] if weights is not None else None
+        b_l = idx_l.shape[0]
+        flat = idx_l.reshape(-1)  # [nnz_l] global remapped rows
+        coeff = (
+            w_l.reshape(-1).astype(jnp.float32)
+            if w_l is not None
+            else jnp.ones((nnz_l,), jnp.float32)
+        )
+        if mode == CombineMode.MEAN:
+            coeff = coeff / hotness
+        is_hot = flat < hot
+
+        # --- head: local VMEM-served pooled lookup, zero communication --
+        head_rows = jnp.take(
+            head_l, jnp.where(is_hot, flat, 0), axis=0
+        ).astype(jnp.float32)
+        head_rows = head_rows * jnp.where(is_hot, coeff, 0.0)[:, None]
+        out = jnp.sum(head_rows.reshape(b_l, hotness, width), axis=1)
+
+        # --- cold tail: bucket by owner (head positions excluded by an
+        # out-of-range owner, so they never consume a routing slot) -----
+        tail_idx = flat - hot
+        owner = jnp.where(
+            is_hot, n, jnp.clip(tail_idx // rows_per, 0, n - 1)
+        )
+        owner_s, pos_s = jax.lax.sort(
+            [owner, jnp.arange(nnz_l, dtype=jnp.int32)], num_keys=1
+        )
+        counts = jnp.sum(
+            owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None],
+            axis=1,
+        )  # [n]
+        starts = jnp.concatenate(
+            [
+                jnp.zeros((1,), jnp.int32),
+                jnp.cumsum(counts)[:-1].astype(jnp.int32),
+            ]
+        )
+        overflow = jnp.any(counts > cap)
+        rank_s = jnp.arange(nnz_l, dtype=jnp.int32) - jnp.take(
+            starts, jnp.clip(owner_s, 0, n - 1)
+        )
+        rank = jnp.zeros((nnz_l,), jnp.int32).at[pos_s].set(rank_s)
+
+        def route(c):
+            slot_src = (
+                starts[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+            )
+            slot_live = (
+                jnp.arange(c, dtype=jnp.int32)[None, :] < counts[:, None]
+            )
+            slot_pos = jnp.take(pos_s, jnp.clip(slot_src, 0, nnz_l - 1))
+            send_idx = jnp.where(
+                slot_live, jnp.take(tail_idx, slot_pos), -1
+            )
+            recv_idx = jax.lax.all_to_all(
+                send_idx, axis, split_axis=0, concat_axis=0, tiled=True
+            )
+            shard = jax.lax.axis_index(axis)
+            local_rows = jnp.clip(
+                recv_idx.reshape(-1) - shard * rows_per, 0, rows_per - 1
+            )
+            served = jnp.take(tail_l, local_rows, axis=0)
+            served = jnp.where(
+                (recv_idx.reshape(-1) >= 0)[:, None], served, 0
+            )
+            resp = jax.lax.all_to_all(
+                served.reshape(n, c, width),
+                axis, split_axis=0, concat_axis=0, tiled=True,
+            ).reshape(n * c, width)
+            slot_of_pos = jnp.clip(owner, 0, n - 1) * c + jnp.clip(
+                rank, 0, c - 1
+            )
+            rows = jnp.take(resp, slot_of_pos, axis=0).astype(jnp.float32)
+            rows = rows * jnp.where(is_hot, 0.0, coeff)[:, None]
+            return jnp.sum(rows.reshape(b_l, hotness, width), axis=1)
+
+        if cap >= nnz_l:
+            return (out + route(nnz_l)).astype(head_table.dtype)
+        overflow_any = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+        cold = jax.lax.cond(
+            overflow_any, lambda _: route(nnz_l), lambda _: route(cap), 0
+        )
+        return (out + cold).astype(head_table.dtype)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(*args)
+
+
+def split_hybrid_table(table, hot: int, n_shards: int):
+    """Split a frequency-ordered table into (head, padded tail) parts.
+
+    Host-side layout ceremony for :func:`hybrid_tiered_lookup`; place the
+    head with ``NamedSharding(mesh, P())`` (replicated) and the tail with
+    ``P(axis, None)``.
+    """
+    from cuembed_tpu.parallel.sharding import pad_table_for_shards
+
+    head = table[:hot]
+    tail = pad_table_for_shards(table[hot:], n_shards)
+    return head, tail
+
+
 def alltoall_row_sharded_lookup(
     table: jax.Array,
     indices: jax.Array,

@@ -48,6 +48,7 @@ def row_sharded_lookup(
     mesh: Mesh,
     mode: CombineMode = CombineMode.SUM,
     backend: str = "auto",
+    tiered_cfg=None,
     data_axis: str = DATA_AXIS,
     model_axis: str = MODEL_AXIS,
 ) -> jax.Array:
@@ -60,6 +61,16 @@ def row_sharded_lookup(
       indices: ``[batch, hotness]`` (or flat CSR with ``offsets``), sharded
         ``P(data, ...)``.
       weights/offsets/mode: as in :func:`embedding_lookup`.
+      tiered_cfg: optional :class:`cuembed_tpu.ops.tiered.TieredConfig`
+        for the LOCAL shard lookup, in local-slice row units
+        (``hot_rows <= num_categories / n_model``). Any contiguous slice
+        of a frequency-ordered table is itself frequency-ordered, so a
+        globally reordered + remapped table makes every local slice
+        tiered-servable with one shared config; foreign-row positions
+        enter the local engine as index 0 with coefficient 0 — inert MXU
+        head traffic that consumes no mid/cold slots. Size the static
+        capacities for the most skewed shard (calibrate per shard and
+        take maxima).
 
     Returns:
       Pooled output ``[batch, width]`` (or ``[batch*hotness, width]`` for
@@ -135,6 +146,11 @@ def row_sharded_lookup(
                     inv = jnp.where(counts == 0, 0.0, 1.0 / jnp.maximum(counts, 1.0))
                     sample = extract_row_ids_from_csr(offs_l, idx_l)
                     coeff = coeff * jnp.take(inv, sample)
+            eff_backend = backend
+            if tiered_cfg is not None and backend == "auto":
+                # an explicit local config opts the shard lookup into
+                # the tiered engine (same rule as single-chip dispatch)
+                eff_backend = "tiered"
             if offs_l is not None:
                 partial_out = embedding_lookup_csr(
                     table_l,
@@ -142,7 +158,8 @@ def row_sharded_lookup(
                     offs_l,
                     coeff,
                     mode=CombineMode.SUM,
-                    backend=backend,
+                    backend=eff_backend,
+                    tiered_cfg=tiered_cfg,
                 )
             else:
                 partial_out = embedding_lookup(
@@ -150,7 +167,8 @@ def row_sharded_lookup(
                     local_idx,
                     coeff,
                     mode=CombineMode.SUM,
-                    backend=backend,
+                    backend=eff_backend,
+                    tiered_cfg=tiered_cfg,
                 )
         out = jax.lax.psum(partial_out, model_axis)
         return out[None] if sharded_csr else out

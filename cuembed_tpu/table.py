@@ -60,8 +60,29 @@ class EmbeddingTable:
         mode: CombineMode = CombineMode.SUM,
         hot_bytes: int = DEFAULT_HOT_BYTES,
         low_precision_math: bool = False,
+        layout: str = "auto",
     ):
-        self.table = table
+        """``layout``: "auto" line-packs narrow tables (width < 128 with
+        128 % width == 0) at construction — the physical HBM footprint is
+        unchanged (TPU arrays are lane-padded either way) while gathers
+        run at the full 128-lane rate and the VMEM hot head holds
+        ``128/width`` x more logical rows; "raw" keeps the table as
+        given (``self.table`` is then ``[V, W]``); "packed" requires a
+        packable width. ``table`` must always be the *logical* ``[V, W]``
+        array — packing happens here.
+        """
+        if layout not in ("auto", "raw", "packed"):
+            raise ValueError(f"unknown layout: {layout}")
+        from cuembed_tpu.ops.narrow import pack_narrow, packing_factor
+
+        self._num_categories, self._width = table.shape
+        k = packing_factor(self._width)
+        if layout == "packed" and k == 1:
+            raise ValueError(
+                "layout='packed' needs width < 128 with 128 % width == 0"
+            )
+        self._pack_k = k if layout in ("auto", "packed") else 1
+        self.table = pack_narrow(table) if self._pack_k > 1 else table
         self.mode = mode
         self.hot_bytes = hot_bytes
         self.low_precision_math = low_precision_math
@@ -90,11 +111,17 @@ class EmbeddingTable:
 
     @property
     def num_categories(self) -> int:
-        return self.table.shape[0]
+        return self._num_categories
 
     @property
     def width(self) -> int:
-        return self.table.shape[1]
+        return self._width
+
+    def logical_table(self) -> jax.Array:
+        """The ``[V, W]`` view of the storage (unpacks narrow layouts)."""
+        if self._pack_k == 1:
+            return self.table
+        return self.table.reshape(-1, self._width)[: self._num_categories]
 
     # -- frequency statistics (host side) ----------------------------------
     def observe(self, indices) -> None:
@@ -110,14 +137,21 @@ class EmbeddingTable:
             self.counts = freq.decay_counts(self.counts, rate)
 
     # -- layout maintenance -------------------------------------------------
-    def refresh_layout(self, calibration_indices=None) -> None:
+    def refresh_layout(
+        self, calibration_indices=None, calibration_offsets=None
+    ) -> None:
         """Reorder storage by observed frequency and calibrate the tiers.
 
         ``lookup`` results are unchanged (the remap composes with the
         reorder); only speed changes. ``calibration_indices`` (original
         ids, any shape ``[..., hotness]``) tightens the static capacities
         to observed per-chunk maxima; defaults to capacity formulas from
-        the observed tier fractions.
+        the observed tier fractions. For CSR workloads pass
+        ``calibration_offsets`` (one representative ``[batch+1]`` offsets
+        array, with ``calibration_indices`` the matching flat values):
+        the average hotness then comes from the live count
+        ``offsets[-1]`` rather than the value-array capacity, which
+        over-estimates it on padded batches and mis-sizes the chunking.
         """
         if self.counts is None:
             raise ValueError("observe() at least one batch first")
@@ -126,15 +160,32 @@ class EmbeddingTable:
         # original ids, so the new remap replaces (not stacks on) the old.
         storage_perm = perm if self.remap is None else self._compose_perm(perm)
         # Reorder on device (one row gather, ~80 M rows/s) — a host
-        # round-trip of a multi-GB table would dwarf it.
-        self.table = jax.block_until_ready(
-            jnp.take(self.table, jnp.asarray(storage_perm), axis=0)
-        )
+        # round-trip of a multi-GB table would dwarf it. Packed layouts
+        # reorder through the logical view and re-pack (both reshapes).
+        if self._pack_k == 1:
+            self.table = jax.block_until_ready(
+                jnp.take(self.table, jnp.asarray(storage_perm), axis=0)
+            )
+        else:
+            from cuembed_tpu.ops.narrow import pack_narrow
+
+            self.table = jax.block_until_ready(
+                pack_narrow(
+                    jnp.take(
+                        self.logical_table(), jnp.asarray(storage_perm),
+                        axis=0,
+                    )
+                )
+            )
         self.remap = remap
         self._remap_dev = None
 
         hotness = 1
-        if calibration_indices is not None:
+        if calibration_offsets is not None:
+            off = np.asarray(calibration_offsets)
+            batch = max(1, off.shape[0] - 1)
+            hotness = max(1, int(round(float(off[-1]) / batch)))
+        elif calibration_indices is not None:
             ci = np.asarray(calibration_indices)
             if ci.ndim >= 2:
                 hotness = int(ci.shape[-1])
@@ -148,6 +199,13 @@ class EmbeddingTable:
         if cfg is not None and calibration_indices is not None:
             from cuembed_tpu.utils.calibration import refine_tiered_config
 
+            ci = np.asarray(calibration_indices)
+            if calibration_offsets is not None:
+                # Only live CSR values inform capacities; padding would
+                # skew the tier fractions toward whatever fills it.
+                ci = ci.reshape(-1)[
+                    : int(np.asarray(calibration_offsets)[-1])
+                ]
             head_f, cold_f = freq.tier_fractions(
                 ci, remap, cfg.mxu_head_rows, cfg.hot_rows, margin=1.15
             )
@@ -174,10 +232,19 @@ class EmbeddingTable:
         """
         return np.asarray(self.remap)[perm]
 
-    def calibrate(self, calibration_indices) -> None:
-        """One-call ceremony: observe + refresh_layout."""
-        self.observe(calibration_indices)
-        self.refresh_layout(calibration_indices)
+    def calibrate(self, calibration_indices, calibration_offsets=None) -> None:
+        """One-call ceremony: observe + refresh_layout.
+
+        For CSR pass the flat values plus ``calibration_offsets``; only
+        the live prefix (``offsets[-1]``) informs counts and capacities.
+        """
+        obs = np.asarray(calibration_indices)
+        if calibration_offsets is not None:
+            obs = obs.reshape(-1)[
+                : int(np.asarray(calibration_offsets)[-1])
+            ]
+        self.observe(obs)
+        self.refresh_layout(calibration_indices, calibration_offsets)
 
     # -- index translation --------------------------------------------------
     def remap_indices(self, indices: np.ndarray) -> np.ndarray:
@@ -206,11 +273,23 @@ class EmbeddingTable:
             if self._remap_dev is None:
                 self._remap_dev = jnp.asarray(self.remap)
             remap_dev = self._remap_dev
+        tiered = self.tiered_cfg if self.remap is not None else None
+        if self._pack_k > 1:
+            from cuembed_tpu.ops.narrow import narrow_lookup
+
+            if remap_dev is not None:
+                indices = jnp.take(remap_dev, jnp.asarray(indices), axis=0)
+            return narrow_lookup(
+                self.table, self._num_categories, self._width,
+                indices, weights, offsets, mode=self.mode,
+                low_precision_math=self.low_precision_math,
+                tiered_cfg=tiered,
+            )
         kwargs = dict(
             mode=self.mode,
             low_precision_math=self.low_precision_math,
             backend="auto",
-            tiered_cfg=self.tiered_cfg if self.remap is not None else None,
+            tiered_cfg=tiered,
             remap=remap_dev,
         )
         if offsets is not None:

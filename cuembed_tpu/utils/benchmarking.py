@@ -60,10 +60,11 @@ def chain_time(
 
     State threads through every call and never resets, so no
     (executable, input) pair repeats; a scalar readback fences each run.
-    With ``return_stats`` returns ``{"min": s, "median": s}`` — the
-    min-of-repeats slope is the headline (matches the reference's
-    best-iteration convention) and the median guards against the
-    min-of-mins flattering a noisy link.
+    With ``return_stats`` returns ``{"min": s, "median": s, "max": s}`` —
+    the min-of-repeats slope is the headline (matches the reference's
+    best-iteration convention), the median guards against the
+    min-of-mins flattering a noisy link, and max/min is the noise
+    indicator the sweep's outlier policy keys on.
     """
     state = [x0]
 
@@ -83,7 +84,11 @@ def chain_time(
         return max((red(hi) - red(lo)) / (k_hi - k_lo), 1e-9)
 
     if return_stats:
-        return {"min": slope(min), "median": slope(statistics.median)}
+        return {
+            "min": slope(min),
+            "median": slope(statistics.median),
+            "max": slope(max),
+        }
     return slope(min)
 
 
@@ -182,3 +187,22 @@ def backward_app_bytes(
 
 def lookups_per_sec(batch: int, hotness: int, seconds: float) -> float:
     return batch * hotness / seconds
+
+
+def stream_rate_gbps(mib: int = 512) -> float:
+    """Measured streaming-reduce bandwidth (GB/s) over a ``mib`` buffer.
+
+    The quiet-window gate (docs/PERF_NOTES.md #6): the dev tunnel has
+    degraded windows where every rate drops 10-20x for minutes. Known-good
+    v5e streams ~680 GB/s; callers should treat < ~half of
+    ``0.83 * detect_hbm_peak_gbps()`` as "degraded — do not trust or
+    commit measurements from this window".
+    """
+    n = mib * 1024 * 1024 // 4
+    big = jnp.arange(n, dtype=jnp.int32)
+
+    def step(c):
+        return c + jnp.sum(big + c.astype(jnp.int32)).astype(jnp.float32)
+
+    dt = chain_time(step, jnp.float32(0), k_lo=1, k_hi=4, repeats=2)
+    return mib * 1024 * 1024 / dt / 1e9

@@ -80,3 +80,101 @@ def test_alltoall_grad_matches_single_device(mesh):
     np.testing.assert_allclose(
         np.asarray(g_sharded), np.asarray(g_single), rtol=1e-5, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid replicated-head + routed-cold-tail lookup
+# ---------------------------------------------------------------------------
+
+def _skewed_idx(rng, batch, hotness, V):
+    """Power-law-ish draws so the head actually serves most traffic."""
+    r = rng.random((batch, hotness))
+    return np.minimum((r ** 4 * V).astype(np.int32), V - 1)
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_hybrid_matches_single_device(mesh, mode, weighted):
+    if weighted and mode != CombineMode.SUM:
+        pytest.skip("weights only with SUM")
+    from cuembed_tpu.parallel import hybrid_tiered_lookup, split_hybrid_table
+
+    rng = np.random.default_rng(5)
+    V, hot, B, H = 2048, 256, 64, 8
+    table = jnp.asarray(rng.standard_normal((V, 32)).astype(np.float32))
+    idx = jnp.asarray(_skewed_idx(rng, B, H, V))
+    w = (
+        jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+        if weighted
+        else None
+    )
+    head, tail = split_hybrid_table(table, hot, 8)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    xs = jax.device_put(idx, NamedSharding(mesh, P("model", None)))
+    ws = (
+        jax.device_put(w, NamedSharding(mesh, P("model", None)))
+        if w is not None
+        else None
+    )
+    got = hybrid_tiered_lookup(
+        hs, ts, xs, ws, mesh=mesh, mode=mode, cold_frac=0.5
+    )
+    want = embedding_lookup(table, idx, w, mode=mode, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_hybrid_overflow_falls_back_exactly(mesh):
+    """All cold traffic lands on one shard => buckets overflow the tiny
+    capacity; the full-capacity fallback must stay exact."""
+    from cuembed_tpu.parallel import hybrid_tiered_lookup, split_hybrid_table
+
+    rng = np.random.default_rng(6)
+    V, hot, B, H = 2048, 256, 64, 8
+    table = jnp.asarray(rng.standard_normal((V, 16)).astype(np.float32))
+    # cold rows all owned by the first tail shard
+    idx = jnp.asarray(rng.integers(hot, hot + 64, (B, H)).astype(np.int32))
+    head, tail = split_hybrid_table(table, hot, 8)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    xs = jax.device_put(idx, NamedSharding(mesh, P("model", None)))
+    got = hybrid_tiered_lookup(
+        hs, ts, xs, mesh=mesh, cold_frac=0.05, capacity_factor=1.0
+    )
+    want = embedding_lookup(table, idx, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_hybrid_grads_flow_to_both_parts(mesh):
+    from cuembed_tpu.parallel import hybrid_tiered_lookup, split_hybrid_table
+
+    rng = np.random.default_rng(7)
+    V, hot, B, H = 1024, 128, 32, 4
+    table = jnp.asarray(rng.standard_normal((V, 16)).astype(np.float32))
+    idx = jnp.asarray(_skewed_idx(rng, B, H, V))
+    gy = jnp.asarray(rng.standard_normal((B, 16)).astype(np.float32))
+    head, tail = split_hybrid_table(table, hot, 8)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    xs = jax.device_put(idx, NamedSharding(mesh, P("model", None)))
+
+    def loss_hybrid(h, t):
+        return jnp.sum(
+            hybrid_tiered_lookup(h, t, xs, mesh=mesh) * gy
+        )
+
+    def loss_plain(tab):
+        return jnp.sum(embedding_lookup(tab, idx, backend="xla") * gy)
+
+    gh, gt = jax.grad(loss_hybrid, argnums=(0, 1))(hs, ts)
+    g = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(
+        np.asarray(gh), np.asarray(g[:hot]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gt)[: V - hot], np.asarray(g[hot:]), rtol=1e-5, atol=1e-5
+    )

@@ -120,3 +120,30 @@ def test_column_sharded_matches_single_device(mesh, problem):
 def test_make_mesh_shapes():
     m = make_mesh()
     assert m.shape["data"] * m.shape["model"] == len(jax.devices())
+
+
+def test_row_sharded_tiered_local_engine(mesh):
+    """The tiered engine runs INSIDE shard_map on each local slice: any
+    contiguous slice of a frequency-ordered table is frequency-ordered,
+    and foreign positions enter as inert (coeff-0) MXU-head traffic."""
+    from cuembed_tpu.ops.tiered import TieredConfig
+
+    rng = np.random.default_rng(40)
+    V, W, B, H = 4096, 128, 64, 8
+    n_model = mesh.shape["model"]
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    # skewed (frequency-ordered) ids so tiers populate on shard 0
+    r = rng.random((B, H))
+    idx = jnp.asarray(np.minimum((r ** 4 * V).astype(np.int32), V - 1))
+    cfg = TieredConfig(
+        hot_rows=512, chunk_elems=64, cold_slots=64,
+        mxu_head_rows=64, mid_slots=64,
+    )  # local-slice units: hot_rows < V / n_model
+    assert cfg.hot_rows <= V // n_model
+    table_s = jax.device_put(table, table_sharding(mesh))
+    idx_s = jax.device_put(idx, batch_sharding(mesh))
+    got = row_sharded_lookup(table_s, idx_s, mesh=mesh, tiered_cfg=cfg)
+    want = embedding_lookup(table, idx, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )

@@ -102,3 +102,29 @@ def test_refresh_requires_observation():
     t = _make()
     with pytest.raises(ValueError):
         t.refresh_layout()
+
+
+def test_csr_calibration_uses_live_hotness():
+    """CSR calibration derives hotness from offsets[-1], not capacity."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cuembed_tpu.table import EmbeddingTable
+
+    rng = np.random.default_rng(31)
+    V, B, W = 4000, 64, 128
+    raw = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    t = EmbeddingTable(raw)
+    hots = rng.integers(0, 5, B)
+    offsets = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    cap = 16 * B  # heavy padding: capacity >> nnz
+    flat = rng.integers(0, V, cap).astype(np.int32)
+    t.calibrate(flat, offsets)
+    out = t.lookup(flat, offsets=jnp.asarray(offsets))
+    # parity against the plain path on the same (remapped) storage
+    from cuembed_tpu.ref.forward import embedding_forward_ref
+
+    nnz = int(offsets[-1])
+    ref = embedding_forward_ref(
+        np.asarray(raw), flat[:nnz], offsets=offsets,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-5)
