@@ -35,7 +35,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="small config (smoke)")
     p.add_argument("--backend", default="best",
-                   choices=["best", "auto", "tiered", "pallas", "xla"])
+                   choices=["best", "auto", "tiered", "tiered-int8",
+                            "pallas", "xla"])
     p.add_argument("--num-categories", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--hotness", type=int, default=None)
@@ -133,13 +134,55 @@ def main():
         batch=B, hotness=H, width=W, elem_bytes=elem, mode=CombineMode.SUM
     )
 
+    # --- opt-in int8 head (--backend tiered-int8): quantize ONCE at setup
+    # (a serving cache, like the frequency reorder) and recalibrate the
+    # slot capacities for the ~2x-larger VMEM-served band. Lossy —
+    # documented bound in ops/quant.py — and excluded from "best".
+    q_head, q_cfg = None, None
+    if args.backend == "tiered-int8":
+        if cfg is None:
+            raise SystemExit("tiered-int8 needs a >VMEM table (no head)")
+        from dataclasses import replace
+
+        from cuembed_tpu.ops.quant import int8_head_rows, quantize_head
+        from cuembed_tpu.utils.frequency import calibrate_capacities
+
+        q_rows = min(V // 8 * 8, int8_head_rows(W, cfg.hot_rows * W * elem))
+        mid_s, cold_s = calibrate_capacities(
+            idx_rm, None, cfg.mxu_head_rows, q_rows, cfg.chunk_elems,
+            margin=1.1,
+        )
+        q_cfg = replace(cfg, hot_rows=q_rows, mid_slots=mid_s,
+                        cold_slots=cold_s)
+        q_head = jax.block_until_ready(quantize_head(table[:q_rows]))
+        print(f"# int8 head: {q_rows} rows (vs {cfg.hot_rows} exact), "
+              f"mid/cold slots {mid_s}/{cold_s}", file=sys.stderr)
+
     def make_step(backend):
-        use_tiered = backend in ("auto", "tiered") and idx_tiered is not None
+        use_tiered = (
+            backend in ("auto", "tiered", "tiered-int8")
+            and idx_tiered is not None
+        )
         tiered = cfg if use_tiered else None
         sets = idx_tiered if use_tiered else idx_sets
 
         # table/idx_sets enter as jit arguments, NOT closure captures — a
         # captured GB-scale array would be baked into the HLO as a constant.
+        if backend == "tiered-int8":
+            from cuembed_tpu.ops.tiered import tiered_forward
+
+            @jax.jit
+            def step_int8(table, q_head, idx_sets, carry):
+                i, dep = carry
+                idx = idx_sets + (dep * 0).astype(jnp.int32)
+                out = tiered_forward(
+                    table, idx, mode=CombineMode.SUM, cfg=q_cfg,
+                    q_head=q_head,
+                )
+                return (i + 1, out[0, 0].astype(jnp.float32))
+
+            return lambda carry: step_int8(table, q_head, sets, carry)
+
         @jax.jit
         def step_impl(table, idx_sets, carry):
             i, dep = carry

@@ -128,8 +128,8 @@ def ab(alpha: float, V: int, B: int, H: int, dup_boost: int):
         jnp.asarray(
             np.random.default_rng(0)
             .standard_normal((C, W))
-            .astype(np.bfloat16)
-        )
+            .astype(np.float32)
+        ).astype(jnp.bfloat16)
     )
     xs_d = jnp.asarray(xs)
     ss_d = jnp.asarray(ss)

@@ -303,6 +303,26 @@ def main(argv):
         else None
     )
 
+    # Narrow widths: line-pack ONCE at setup (the layout a packed
+    # EmbeddingBag/EmbeddingTable owns) — packing is a full-table
+    # relayout and must never sit in the timed path. The packed table
+    # replaces the raw one for the forward stage; transpose/backward are
+    # COO-side and layout-independent.
+    from cuembed_tpu.ops.narrow import (
+        narrow_lookup, pack_narrow, packing_factor,
+    )
+
+    narrow_packed = None
+    if (
+        width < 128
+        and packing_factor(width) > 1
+        and FLAGS.backend in ("auto", "tiered")
+        and mode != CombineMode.CONCAT
+    ):
+        narrow_packed = jax.block_until_ready(pack_narrow(table_dev))
+        log(f"narrow width {width}: packed at setup "
+            f"({narrow_packed.shape[0]} lines x 128)")
+
     # ------------------------------------------------------------- forward
     # NB: device arrays enter every jitted step as ARGUMENTS, never as
     # closure captures — a captured GB-scale array would be baked into
@@ -311,7 +331,13 @@ def main(argv):
     def fwd_step_impl(table, idx0, off, w, carry):
         i, dep = carry
         idx = idx0 + (dep * 0).astype(jnp.int32)
-        if options.is_csr:
+        if narrow_packed is not None:
+            out = narrow_lookup(
+                table, FLAGS.num_categories, width, idx, w, off,
+                mode=mode, low_precision_math=FLAGS.fp16_math,
+                tiered_cfg=tiered_cfg,
+            )
+        elif options.is_csr:
             out = embedding_lookup_csr(
                 table, idx, off, w, mode=mode,
                 low_precision_math=FLAGS.fp16_math, backend=FLAGS.backend,
@@ -326,7 +352,10 @@ def main(argv):
         return (i + 1, out[0, 0].astype(jnp.float32))
 
     def fwd_step(carry):
-        return fwd_step_impl(table_dev, idx_dev, off_dev, w_dev, carry)
+        return fwd_step_impl(
+            table_dev if narrow_packed is None else narrow_packed,
+            idx_dev, off_dev, w_dev, carry,
+        )
     elapsed = chain_stage(fwd_step, n_iter, (jnp.int32(0), jnp.float32(0)), "forward")
     fwd_bytes = forward_app_bytes(
         batch=batch, hotness=options.hotness, width=width, elem_bytes=elem,

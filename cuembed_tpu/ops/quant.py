@@ -1,0 +1,101 @@
+"""Opt-in int8 hot head: 2x VMEM coverage at a stated, bounded error.
+
+The tiered engine's mid tier serves rows from a VMEM-resident head slice
+whose size is capped by the ~108 MB placement budget
+(``ops/tiered.py``). Storing that slice as per-row symmetric int8 fits
+~``2x`` (bf16) / ``~3.4x`` (f32) more rows in the same bytes, moving
+traffic from the HBM descriptor-rate cold tier (~13 ns/row) to the VMEM
+tier (~3.2 ns/row). This is the one remaining distribution-level lever
+on v5e identified by the round-2 profiling (docs/PERF_NOTES.md): the
+gathers are descriptor-bound, so only a larger VMEM-served fraction —
+not faster bytes — buys anything.
+
+Layout: ``[rows, width + 128]`` int8 — columns ``[0, width)`` hold the
+quantized values, the first 4 bytes of the 128-lane pad hold the f32
+scale (bitcast), so ONE gather fetches value row and scale together (a
+separate per-slot scale gather would cost ~12-17 ms at flagship scale —
+1-wide gathers run at ~150-200 M elem/s). The dequant multiply rides the
+one-hot combine coefficient (``coeff * scale`` per slot), so the only
+extra stream work is the int8->bf16 convert that feeds the MXU dot.
+
+Numerics (documented bound, tested in tests/test_quant.py): per-row
+symmetric quantization with ``scale = max|row| / 127`` gives elementwise
+error ``<= scale/2 = max|row|/254`` (~0.2% of the row's max-abs). A
+pooled SUM over ``h`` mid-tier hits errs at most
+``sum_hits max|row_i|/254``. This mode is opt-in and lossy — the exact
+path stays the default, and the bitwise-parity suite never routes
+through it. Forward/serving only: gradients do not flow through the
+quantized copy (train against the exact table, refresh the head
+periodically like any serving cache).
+
+The reference has no quantized mode; this matches its speed-of-light
+framing (``README.md:4``) on a chip whose "L2" (VMEM) must be managed
+explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+LANES = 128
+
+
+class QuantizedHead(NamedTuple):
+    """Int8 head slice with inline per-row scales (see module doc)."""
+
+    data: jax.Array  # [rows, width + 128] int8
+
+    @property
+    def rows(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[1] - LANES
+
+
+def int8_head_rows(width: int, hot_bytes: int) -> int:
+    """How many head rows fit the VMEM budget in the int8 layout."""
+    return max(8, hot_bytes // (width + LANES)) // 8 * 8
+
+
+@jax.jit
+def quantize_head(head_slice: jax.Array) -> QuantizedHead:
+    """Per-row symmetric int8 quantization of ``head_slice [rows, W]``.
+
+    ``W`` must be a multiple of 128 lanes (the tiered engine's int8 path
+    is for wide tables; narrow tables line-pack first, which also yields
+    a 128-multiple).
+    """
+    rows, width = head_slice.shape
+    if width % LANES != 0:
+        raise ValueError("int8 head needs width % 128 == 0")
+    f = head_slice.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f), axis=1, keepdims=True)  # [rows, 1]
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
+    scale_bytes = jax.lax.bitcast_convert_type(
+        scale.astype(jnp.float32), jnp.int8
+    ).reshape(rows, 4)
+    pad = jnp.zeros((rows, LANES - 4), jnp.int8)
+    return QuantizedHead(jnp.concatenate([q, scale_bytes, pad], axis=1))
+
+
+def dequant_rows(qh: QuantizedHead) -> jax.Array:
+    """Exact dequantized f32 rows (testing / golden-model use)."""
+    w = qh.width
+    q = qh.data[:, :w].astype(jnp.float32)
+    scale = extract_scales(qh.data)
+    return q * scale[:, None]
+
+
+def extract_scales(lines: jax.Array) -> jax.Array:
+    """Bitcast the inline f32 scale out of int8 line(s) ``[..., W+128]``."""
+    w = lines.shape[-1] - LANES
+    sb = lines[..., w : w + 4]
+    return jax.lax.bitcast_convert_type(sb, jnp.float32).reshape(
+        lines.shape[:-1]
+    )

@@ -214,6 +214,7 @@ def tiered_forward(
     cfg: TieredConfig,
     low_precision_math: bool = False,
     pack_k: int = 1,
+    q_head=None,
 ) -> jax.Array:
     """Tiered forward lookup. Same contract as ``embedding_forward_xla``
     minus CONCAT (a pure gather — tiering cannot help it).
@@ -245,6 +246,17 @@ def tiered_forward(
             "pack_k > 1 (line-packed narrow tiering) supports the "
             "fixed-hotness 3-tier path only"
         )
+    if q_head is not None:
+        # Opt-in lossy int8 mid tier (ops/quant.py): the VMEM head slice
+        # is the quantized copy, so the classing boundary is its row
+        # count, not cfg.hot_rows. Fixed-hotness 3-tier only.
+        if pack_k > 1 or offsets is not None or cfg.mxu_head_rows <= 0:
+            raise ValueError(
+                "q_head (int8 head) supports the fixed-hotness 3-tier "
+                "path only"
+            )
+        if q_head.width != table.shape[1]:
+            raise ValueError("q_head width must match the table")
     acc_dt = accumulation_dtype(table.dtype, low_precision_math)
     coeff = _combine_coeff(indices, weights, offsets, mode, acc_dt)
     if offsets is None and cfg.mxu_head_rows > 0:
@@ -256,7 +268,8 @@ def tiered_forward(
                 1.0 / indices.shape[1] if mode == CombineMode.MEAN else 1.0
             )
         return _forward_fixed_3tier(
-            table, indices, coeff, cfg, acc_dt, uniform, k=pack_k
+            table, indices, coeff, cfg, acc_dt, uniform, k=pack_k,
+            q_head=q_head,
         )
     # 2-tier uniform coefficient: any unweighted case whose coefficient
     # is one constant over LIVE positions (CSR MEAN varies per sample).
@@ -281,7 +294,7 @@ def tiered_forward(
 
 
 def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None,
-                         k=1):
+                         k=1, q_head=None):
     """Fixed-hotness forward over three tiers, one sort, no full-N gather.
 
     Positions are classed head (``idx < HEAD``), mid (``HEAD <= idx <
@@ -296,11 +309,20 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None,
     ``k > 1``: line-packed narrow table (see :func:`tiered_forward`);
     gathers fetch lines ``idx // k`` and the combine one-hot column is
     ``sample * k + idx % k``.
+
+    ``q_head``: opt-in int8 mid tier (:mod:`cuembed_tpu.ops.quant`) —
+    the VMEM slice is the quantized copy (covering ~2x the rows of the
+    exact slice for the same bytes), its inline per-row scale rides the
+    gathered line and folds into the one-hot combine coefficient. The
+    MXU head (rows < HEAD) and the cold tier stay exact; the overflow
+    fallback serves from the exact table (strictly more accurate).
     """
     batch, hotness = indices.shape
     width = table.shape[1] // k  # logical width (== table width if k == 1)
     v_logical = table.shape[0] * k
     C = cfg.hot_rows - cfg.hot_rows % k  # whole lines only
+    if q_head is not None:
+        C = q_head.rows  # int8 classing boundary: the quantized coverage
     HEAD = min(cfg.mxu_head_rows, C)
     HEAD -= HEAD % k
     E = cfg.chunk_elems
@@ -414,11 +436,24 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None,
         return jnp.take(src, i, axis=0).reshape(*idx2d.shape, k * width)
 
     def fast(_):
-        # mid tier: static front slice, gather from the VMEM hot head.
+        # mid tier: static front slice, gather from the VMEM hot head
+        # (the int8 copy when q_head is given — its inline per-row scale
+        # becomes a slot coefficient, so dequant costs no extra pass
+        # beyond the int8->bf16 convert feeding the MXU).
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (G, S_m), 1)
         m_live = iota_m < cnt_mid[:, None]
         m_idx = jnp.where(m_live, x_s[:, :S_m], 0)
-        m_rows = take_lines(table[: C // k], m_idx)
+        m_scale = None
+        if q_head is None:
+            m_rows = take_lines(table[: C // k], m_idx)
+        else:
+            from cuembed_tpu.ops.quant import extract_scales
+
+            m_lines = jnp.take(
+                q_head.data, m_idx.reshape(-1), axis=0
+            ).reshape(G, S_m, width + 128)
+            m_scale = extract_scales(m_lines)  # [G, S_m] f32
+            m_rows = m_lines[..., :width].astype(jnp.bfloat16)
         # cold tier: static back slice, gather from the full HBM table.
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (G, S_c), 1)
         c_live = iota_c >= (S_c - cnt_cold)[:, None]
@@ -430,9 +465,15 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None,
             # instead of every slot.
             m_sm = jnp.where(m_live, col_of(s_s[:, :S_m], m_idx), KGS)
             c_sm = jnp.where(c_live, col_of(s_s[:, E - S_c:], c_idx), KGS)
-            out = combine(m_rows, m_sm) + combine(c_rows, c_sm)
+            m_cf = (
+                None if m_scale is None
+                else jnp.where(m_live, m_scale, 0.0)
+            )
+            out = combine(m_rows, m_sm, m_cf) + combine(c_rows, c_sm)
             return out[:batch] * acc_dt(uniform)
         m_cf = jnp.where(m_live, w_s[:, :S_m], 0.0)
+        if m_scale is not None:
+            m_cf = m_cf * m_scale
         c_cf = jnp.where(c_live, w_s[:, E - S_c:], 0.0)
         out = combine(m_rows, col_of(s_s[:, :S_m], m_idx), m_cf) + combine(
             c_rows, col_of(s_s[:, E - S_c:], c_idx), c_cf

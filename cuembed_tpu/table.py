@@ -61,6 +61,7 @@ class EmbeddingTable:
         hot_bytes: int = DEFAULT_HOT_BYTES,
         low_precision_math: bool = False,
         layout: str = "auto",
+        vmem_table_bytes: int | None = None,
     ):
         """``layout``: "auto" line-packs narrow tables (width < 128 with
         128 % width == 0) at construction — the physical HBM footprint is
@@ -85,11 +86,17 @@ class EmbeddingTable:
         self.table = pack_narrow(table) if self._pack_k > 1 else table
         self.mode = mode
         self.hot_bytes = hot_bytes
+        # Tables at or below this byte size skip tiering entirely (XLA
+        # serves them from VMEM); override when porting to a chip with a
+        # different VMEM budget, or to force tiering in tests.
+        self.vmem_table_bytes = vmem_table_bytes
         self.low_precision_math = low_precision_math
         self.counts: Optional[np.ndarray] = None
         self.remap: Optional[np.ndarray] = None
         self._remap_dev: Optional[jax.Array] = None
         self.tiered_cfg: Optional[TieredConfig] = None
+        self._q_head = None  # ops.quant.QuantizedHead (opt-in, lossy)
+        self._q_cfg: Optional[TieredConfig] = None
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -189,12 +196,15 @@ class EmbeddingTable:
             ci = np.asarray(calibration_indices)
             if ci.ndim >= 2:
                 hotness = int(ci.shape[-1])
+        ac_kw = dict(hot_bytes=self.hot_bytes)
+        if self.vmem_table_bytes is not None:
+            ac_kw["vmem_table_bytes"] = self.vmem_table_bytes
         cfg = auto_config(
             self.num_categories,
             self.width,
             jnp.dtype(self.table.dtype).itemsize,
             hotness,
-            hot_bytes=self.hot_bytes,
+            **ac_kw,
         )
         if cfg is not None and calibration_indices is not None:
             from cuembed_tpu.utils.calibration import refine_tiered_config
@@ -216,7 +226,7 @@ class EmbeddingTable:
                 hotness,
                 cold_fraction=cold_f,
                 head_fraction=head_f,
-                hot_bytes=self.hot_bytes,
+                **ac_kw,
             )
             # One refinement pass sets slot capacities AND the backward
             # bounds (non-head fraction, MXU segment prefix).
@@ -246,6 +256,51 @@ class EmbeddingTable:
         self.observe(obs)
         self.refresh_layout(calibration_indices, calibration_offsets)
 
+    # -- opt-in int8 head (lossy serving mode) -------------------------------
+    def enable_int8_head(self, calibration_indices=None) -> None:
+        """Build the int8 VMEM head (:mod:`cuembed_tpu.ops.quant`).
+
+        Doubles the VMEM-served row coverage of the tiered mid tier at a
+        bounded per-row error (<= max|row|/254 per element) — an opt-in
+        LOSSY serving mode; the exact path stays the default. Call after
+        :meth:`calibrate`; re-call after :meth:`refresh_layout` or
+        training updates (it is a snapshot, like any serving cache).
+        ``calibration_indices`` (original ids) re-derives the slot
+        capacities for the larger hot band.
+        Lookups use it only when asked: ``lookup(use_int8_head=True)``
+        (forward/serving only — gradients do not flow through the
+        quantized copy).
+        """
+        from dataclasses import replace
+
+        from cuembed_tpu.ops.quant import int8_head_rows, quantize_head
+        from cuembed_tpu.utils.frequency import calibrate_capacities
+
+        if self.tiered_cfg is None or self.remap is None:
+            raise ValueError(
+                "calibrate()/refresh_layout() first — the int8 head "
+                "extends the tiered layout (or the table is VMEM-served "
+                "already and needs no head)"
+            )
+        if self._pack_k > 1:
+            raise ValueError("int8 head supports wide tables only")
+        rows = min(
+            self.num_categories // 8 * 8,
+            int8_head_rows(self.width, self.hot_bytes),
+        )
+        cfg = replace(self.tiered_cfg, hot_rows=rows)
+        if calibration_indices is not None:
+            remapped = self.remap[
+                np.asarray(calibration_indices).reshape(-1)
+            ]
+            mid_s, cold_s = calibrate_capacities(
+                remapped, None, cfg.mxu_head_rows, rows,
+                cfg.chunk_elems, margin=1.15,
+            )
+            cfg = replace(cfg, mid_slots=mid_s, cold_slots=cold_s)
+        self._q_head = quantize_head(self.table[:rows])
+        self._q_cfg = cfg
+
     # -- index translation --------------------------------------------------
     def remap_indices(self, indices: np.ndarray) -> np.ndarray:
         """Host-side id->row translation (use in the input pipeline)."""
@@ -261,13 +316,36 @@ class EmbeddingTable:
         offsets=None,
         *,
         assume_remapped: bool = False,
+        use_int8_head: bool = False,
     ) -> jax.Array:
         """Differentiable pooled lookup; tiered-fast once calibrated.
 
         ``assume_remapped=True`` promises the indices already went through
         :meth:`remap_indices` (the pipeline fast path); otherwise the
         remap (if any) is applied on device.
+
+        ``use_int8_head=True`` routes the mid tier through the quantized
+        head built by :meth:`enable_int8_head` — lossy (documented bound
+        there) and forward-only; fixed-hotness SUM/MEAN/weighted.
         """
+        if use_int8_head:
+            from cuembed_tpu.ops.tiered import tiered_forward
+
+            if self._q_head is None:
+                raise ValueError("enable_int8_head() first")
+            if offsets is not None:
+                raise ValueError("int8 head is fixed-hotness only")
+            idx = jnp.asarray(indices)
+            if self.remap is not None and not assume_remapped:
+                if self._remap_dev is None:
+                    self._remap_dev = jnp.asarray(self.remap)
+                idx = jnp.take(self._remap_dev, idx, axis=0)
+            return tiered_forward(
+                self.table, idx, None, weights, mode=self.mode,
+                cfg=self._q_cfg,
+                low_precision_math=self.low_precision_math,
+                q_head=self._q_head,
+            )
         remap_dev = None
         if self.remap is not None and not assume_remapped:
             if self._remap_dev is None:

@@ -1,0 +1,131 @@
+"""Int8 hot head: quantization bound + exact plumbing through the tiers."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cuembed_tpu.ops.lookup_xla import embedding_forward_xla
+from cuembed_tpu.ops.quant import (
+    dequant_rows,
+    extract_scales,
+    int8_head_rows,
+    quantize_head,
+)
+from cuembed_tpu.ops.tiered import TieredConfig, tiered_forward
+from cuembed_tpu.types import CombineMode
+
+
+def test_quantize_roundtrip_bound():
+    rng = np.random.default_rng(0)
+    rows = rng.standard_normal((64, 256)).astype(np.float32) * np.exp(
+        rng.standard_normal((64, 1))
+    )
+    qh = quantize_head(jnp.asarray(rows))
+    deq = np.asarray(dequant_rows(qh))
+    amax = np.abs(rows).max(axis=1, keepdims=True)
+    # documented bound: elementwise error <= max|row| / 254
+    assert (np.abs(deq - rows) <= amax / 254 + 1e-7).all()
+    # inline scales decode exactly
+    np.testing.assert_allclose(
+        np.asarray(extract_scales(qh.data)), amax[:, 0] / 127.0, rtol=1e-6
+    )
+
+
+def test_int8_head_rows_budget():
+    assert int8_head_rows(256, 108 * 1024 * 1024) * (256 + 128) <= (
+        108 * 1024 * 1024
+    )
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_tiered_int8_matches_dequant_golden(mode, weighted):
+    """The int8 path must equal the EXACT lookup against a composite
+    table (exact head/cold rows, dequantized mid rows) — this pins the
+    scale plumbing, not just a loose bound."""
+    if weighted and mode != CombineMode.SUM:
+        pytest.skip("weights only with SUM")
+    rng = np.random.default_rng(1)
+    V, B, H, W = 4000, 64, 8, 256
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    cfg = TieredConfig(
+        hot_rows=512, chunk_elems=64, cold_slots=64,
+        mxu_head_rows=64, mid_slots=64,
+    )
+    q_rows = 1024  # int8 coverage of 2x the exact hot budget
+    qh = quantize_head(jnp.asarray(table[:q_rows]))
+    r = rng.random((B, H))
+    idx = np.minimum((r ** 3 * V).astype(np.int32), V - 1)
+    w = (
+        jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+        if weighted
+        else None
+    )
+    got = tiered_forward(
+        jnp.asarray(table), jnp.asarray(idx), None, w,
+        mode=mode, cfg=cfg, q_head=qh,
+    )
+    composite = table.copy()
+    head = cfg.mxu_head_rows
+    composite[head:q_rows] = np.asarray(dequant_rows(qh))[head:q_rows]
+    want = embedding_forward_xla(
+        jnp.asarray(composite), jnp.asarray(idx), None, w, mode=mode
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_tiered_int8_error_bound_vs_exact():
+    """Pooled error vs the exact lookup obeys sum-of-row-bounds."""
+    rng = np.random.default_rng(2)
+    V, B, H, W = 4000, 48, 8, 256
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    cfg = TieredConfig(
+        hot_rows=512, chunk_elems=64, cold_slots=64,
+        mxu_head_rows=64, mid_slots=64,
+    )
+    q_rows = 1024
+    qh = quantize_head(jnp.asarray(table[:q_rows]))
+    r = rng.random((B, H))
+    idx = np.minimum((r ** 3 * V).astype(np.int32), V - 1)
+    got = np.asarray(
+        tiered_forward(
+            jnp.asarray(table), jnp.asarray(idx), mode=CombineMode.SUM,
+            cfg=cfg, q_head=qh,
+        )
+    )
+    want = np.asarray(
+        embedding_forward_xla(jnp.asarray(table), jnp.asarray(idx))
+    )
+    amax = np.abs(table).max(axis=1)
+    in_mid = (idx >= cfg.mxu_head_rows) & (idx < q_rows)
+    bound = (amax[idx] / 254 * in_mid).sum(axis=1) + 1e-4
+    assert (np.abs(got - want).max(axis=1) <= bound).all()
+
+
+def test_embedding_table_int8_flow():
+    from cuembed_tpu.table import EmbeddingTable
+
+    rng = np.random.default_rng(3)
+    V, B, H, W = 6000, 64, 8, 128
+    raw = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    # small hot budget so the int8 head is a strict subset of the table
+    t = EmbeddingTable(raw, hot_bytes=512 * W * 4,
+                       vmem_table_bytes=256 * 1024)
+    idx = np.minimum((rng.random((B, H)) ** 3 * V).astype(np.int32), V - 1)
+    t.calibrate(idx)
+    if t.tiered_cfg is None:
+        pytest.skip("table fits VMEM at this size")
+    t.enable_int8_head(idx)
+    assert t._q_cfg.hot_rows > t.tiered_cfg.hot_rows  # 2x+ coverage
+    exact = np.asarray(t.lookup(idx))
+    lossy = np.asarray(t.lookup(idx, use_int8_head=True))
+    # documented bound: sum over mid-tier hits of max|row|/254
+    logical = np.asarray(t.logical_table())
+    amax = np.abs(logical).max(axis=1)
+    rm = t.remap[idx]
+    in_mid = (rm >= t._q_cfg.mxu_head_rows) & (rm < t._q_cfg.hot_rows)
+    bound = (amax[rm] / 254 * in_mid).sum(axis=1) + 1e-4
+    assert (np.abs(lossy - exact).max(axis=1) <= bound).all()
