@@ -46,6 +46,12 @@ def main():
                    choices=[None, "float32", "float16", "bfloat16"])
     p.add_argument("--no-permute", action="store_true",
                    help="datagen without category permutation")
+    p.add_argument("--csr", action="store_true",
+                   help="flagship CSR point: per-sample hotness "
+                        "~ U{0..hotness} (reference "
+                        "embedding_allocation.cu:130-135), CSR 3-tier "
+                        "combine vs plain XLA, parity-checked on the "
+                        "first call")
     args = p.parse_args()
 
     import jax
@@ -99,6 +105,105 @@ def main():
     gen = PowerLawGenerator(V - 1, H, alpha, seed=7, permute=permute)
     idx_np = gen.sample(B).astype(np.int32)
     idx_sets = jnp.asarray(idx_np)
+
+    if args.csr:
+        # ---- flagship CSR point (VERDICT r2 ask 7) ---------------------
+        from cuembed_tpu.ops.api import embedding_lookup_csr
+        from cuembed_tpu.ops.tiered import auto_config
+        from cuembed_tpu.utils.calibration import refine_tiered_config
+        from cuembed_tpu.utils.frequency import (
+            count_frequencies, frequency_order,
+        )
+
+        elem = jnp.dtype(dtype).itemsize
+        rng = np.random.default_rng(11)
+        per = rng.integers(0, H + 1, size=B)
+        offs_np = np.zeros(B + 1, np.int64)
+        offs_np[1:] = np.cumsum(per)
+        cap = B * H
+        nnz_live = int(offs_np[-1])
+        mask = np.arange(H)[None, :] < per[:, None]
+        vals_np = np.zeros(cap, np.int32)
+        vals_np[:nnz_live] = idx_np[mask]
+        counts = None
+        for i in range(8):
+            g = PowerLawGenerator(V - 1, H, alpha, seed=900 + i,
+                                  permute=permute)
+            counts = count_frequencies(g.sample(B), V, counts)
+        _, remap = frequency_order(counts)
+        avg_hot = max(1, nnz_live // B)
+        cfg0 = auto_config(V, W, elem, avg_hot)
+        tiered = None
+        if cfg0 is not None:
+            vals_np[:nnz_live] = remap[vals_np[:nnz_live]]
+            tiered = refine_tiered_config(
+                cfg0, vals_np[:nnz_live], capacity_margin=1.1
+            )
+        vals = jnp.asarray(vals_np)
+        offs = jnp.asarray(offs_np.astype(np.int32))
+
+        def make_csr_step(backend, cfg_b):
+            @jax.jit
+            def step(table, vals, offs, carry):
+                i, dep = carry
+                vv = vals + (dep * 0).astype(jnp.int32)
+                out = embedding_lookup_csr(
+                    table, vv, offs, mode=CombineMode.SUM,
+                    backend=backend, tiered_cfg=cfg_b,
+                )
+                return (i + 1, out[0, 0].astype(jnp.float32))
+            return lambda carry: step(table, vals, offs, carry)
+
+        # parity: tiered vs plain XLA on the measured batch
+        if tiered is not None:
+            a = embedding_lookup_csr(table, vals, offs,
+                                     mode=CombineMode.SUM,
+                                     backend="tiered", tiered_cfg=tiered)
+            b = embedding_lookup_csr(table, vals, offs,
+                                     mode=CombineMode.SUM, backend="xla")
+            err = float(jnp.max(jnp.abs(
+                a.astype(jnp.float32) - b.astype(jnp.float32)
+            )))
+            print(f"# csr parity max|tiered-xla| = {err:.4f}",
+                  file=sys.stderr)
+            assert err < (0.25 if dtype == jnp.bfloat16 else 1e-3), err
+
+        results = {}
+        for backend, cfg_b in (
+            [("tiered", tiered)] if tiered is not None else []
+        ) + [("xla", None)]:
+            st = chain_time(
+                make_csr_step(backend, cfg_b),
+                (jnp.int32(0), jnp.float32(0)),
+                k_lo=1, k_hi=4, repeats=3, return_stats=True,
+            )
+            results[backend] = st["min"]
+        best_backend = min(results, key=results.get)
+        dt = results[best_backend]
+        app = forward_app_bytes(
+            batch=B, hotness=nnz_live / B, width=W, elem_bytes=elem,
+            mode=CombineMode.SUM,
+        )
+        gbps = app / dt / 1e9
+        peak = detect_hbm_peak_gbps()
+        print(json.dumps({
+            "metric": "forward_lookup_csr_app_bw",
+            "value": round(gbps, 2),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps / (0.80 * peak), 4),
+            "config": {
+                "num_categories": V, "batch": B, "max_hotness": H,
+                "avg_hotness": round(nnz_live / B, 2), "width": W,
+                "alpha": alpha, "dtype": str(jnp.dtype(dtype)),
+                "backend": best_backend,
+            },
+            "time_ms": round(dt * 1e3, 3),
+            "all_backends_ms": {
+                k: round(v * 1e3, 3) for k, v in results.items()
+            },
+            "hbm_peak_gbps": peak,
+        }))
+        return
 
     # --- tiered engine setup (frequency ordering + capacity calibration) --
     # Frequency statistics come from separate calibration draws of the same

@@ -66,6 +66,9 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--no-gate", action="store_true",
                    help="skip the degraded-window stream-rate gate")
+    p.add_argument("--csr", action="store_true",
+                   help="run the CSR (variable-hotness) slice instead of "
+                        "the fixed-hotness reference grid")
     args = p.parse_args()
 
     import jax
@@ -208,6 +211,200 @@ def main():
             ).reshape(B, H).astype(np.int32)
         g = PowerLawGenerator(V - 1, H, alpha, seed=seed, permute=False)
         return g.sample(B).astype(np.int32)
+
+    if args.csr:
+        # ---- CSR (variable-hotness) slice -----------------------------
+        # The reference benches CSR through the same harness as fixed
+        # (manual_benchmark.cu:563-659) but its committed sweep grid is
+        # fixed-hotness only; this slice is the CSR analog: per-sample
+        # hotness ~ U{0..H} (embedding_allocation.cu:130-135), value
+        # array at static capacity B*H with the live prefix defined by
+        # offsets, forward via the CSR 3-tier combine where calibrated.
+        from cuembed_tpu.ops.api import embedding_lookup_csr
+        from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
+
+        @functools.partial(jax.jit, static_argnames=("backend", "tiered"))
+        def cfwd_step(table, vals, offs, carry, *, backend, tiered):
+            i, dep = carry
+            vv = vals + (dep * 0).astype(jnp.int32)
+            out = embedding_lookup_csr(
+                table, vv, offs, mode=CombineMode.SUM,
+                backend=backend, tiered_cfg=tiered,
+            )
+            return (i + 1, out[0, 0].astype(jnp.float32))
+
+        @jax.jit
+        def ctrans_step(vals, offs, carry):
+            i, dep = carry
+            vv = vals + (dep * 0).astype(jnp.int32)
+            sids = extract_row_ids_from_csr(offs, vv).astype(jnp.int32)
+            live = (
+                jnp.arange(vv.shape[0], dtype=jnp.int32) < offs[-1]
+            )
+            masked = jnp.where(live, vv, jnp.iinfo(jnp.int32).max)
+            t_i, t_s, _ = transpose_op(sids, masked, None)
+            return (i + 1, (t_i[0] + t_s[0]).astype(jnp.float32))
+
+        @jax.jit
+        def cbwd_step(gy, t_i, t_s, carry):
+            i, dep = carry
+            g = gy + dep.astype(gy.dtype) * 0
+            out = embedding_backward_compressed_xla(g, t_i, t_s, None)
+            return (
+                i + 1,
+                out.rows[0, 0] + out.num_unique.astype(jnp.float32),
+            )
+
+        gate()
+        for V in CATS:
+            perm_rng = np.random.default_rng(12345)
+            permutation = perm_rng.permutation(V).astype(np.int32)
+            W = 128
+            elem = 4
+            parts = 8
+            table = jax.block_until_ready(jnp.concatenate([
+                jax.random.uniform(jax.random.key(i), (V // parts, W),
+                                   jnp.float32, -1, 1)
+                for i in range(parts)
+            ], axis=0))
+            V = V // parts * parts
+            use_tier = V * W * elem > 108 * 1024 * 1024
+            remap = None
+            if use_tier:
+                counts = None
+                for i, a in enumerate([1.05, 1.15]):
+                    for j in range(3):
+                        c = gen_batch(V, 16, a, 32768, 500 + i * 7 + j,
+                                      permutation)
+                        counts = count_frequencies(c, V, counts)
+                _, remap = frequency_order(counts)
+
+            csr_batches = [4096] if args.quick else [32768, 131072]
+            csr_hots = [16] if args.quick else [16, 64]
+            for B in csr_batches:
+                for H in csr_hots:
+                    cap = B * H
+                    for alpha in ALPHAS:
+                        t0 = time.time()
+                        rng = np.random.default_rng(11 + H)
+                        dense = gen_batch(V, H, alpha, B, 7, permutation)
+                        per = rng.integers(0, H + 1, size=B)
+                        offs_np = np.zeros(B + 1, np.int64)
+                        offs_np[1:] = np.cumsum(per)
+                        mask = np.arange(H)[None, :] < per[:, None]
+                        vals_np = np.zeros(cap, np.int32)
+                        nnz_live = int(offs_np[-1])
+                        vals_np[:nnz_live] = dense[mask]
+                        tiered = None
+                        if use_tier and alpha > 0:
+                            vals_np[:nnz_live] = remap[vals_np[:nnz_live]]
+                            avg_hot = max(1, nnz_live // B)
+                            cfg0 = auto_config(V, W, elem, avg_hot)
+                            if cfg0 is not None:
+                                tiered = refine_tiered_config(
+                                    cfg0, vals_np[:nnz_live],
+                                    capacity_margin=1.12,
+                                )
+                        vals = jnp.asarray(vals_np)
+                        offs = jnp.asarray(offs_np.astype(np.int32))
+                        backend = "tiered" if tiered is not None else "auto"
+
+                        def timed(step):
+                            def once(lo, hi):
+                                return chain_time(
+                                    step, (jnp.int32(0), jnp.float32(0)),
+                                    k_lo=lo, k_hi=hi, repeats=3,
+                                    return_stats=True,
+                                )
+                            st = once(1, max(2, args.iters))
+                            if st["median"] < 5e-4:
+                                st = once(8, 8 + 4 * args.iters)
+                            flag = ""
+                            spread = st["max"] / max(st["min"], 1e-9)
+                            if spread > 2.0:
+                                st2 = once(1, max(2, args.iters))
+                                s2 = st2["max"] / max(st2["min"], 1e-9)
+                                if s2 < spread:
+                                    st, spread = st2, s2
+                                if spread > 2.0:
+                                    flag = "!"
+                            return st["median"], flag
+
+                        def emit_csr(name, ms, bw_l2, bw_dram, flag=""):
+                            csv_f.write(
+                                f"{V},{B},{H},{alpha},{W},kSum,1,0,1,1,"
+                                f"{name}{flag},{args.iters},"
+                                f"{ms * args.iters:.2f},{ms:.2f},"
+                                f"{bw_l2:.2f},{bw_dram:.2f}\n"
+                            )
+
+                        dt, fl = timed(
+                            lambda c: cfwd_step(table, vals, offs, c,
+                                                backend=backend,
+                                                tiered=tiered)
+                        )
+                        # app bytes over LIVE entries (the reference's
+                        # CSR accounting uses hotness/2 on average —
+                        # manual_benchmark.cu:250-261); use the actual
+                        # live count for this draw.
+                        fb = forward_app_bytes(
+                            batch=B, hotness=nnz_live / B, width=W,
+                            elem_bytes=elem, mode=CombineMode.SUM,
+                        )
+                        emit_csr("forward", dt * 1e3, fb / dt / 1e9, 0.0,
+                                 fl)
+
+                        dt_t, fl = timed(
+                            lambda c: ctrans_step(vals, offs, c)
+                        )
+                        tb = transpose_app_bytes(
+                            nnz=cap, index_bytes=4, batch=B,
+                            compressed=True,
+                        )
+                        emit_csr("transpose", dt_t * 1e3,
+                                 tb / dt_t / 1e9, tb / dt_t / 1e9, fl)
+
+                        n_unique = int(np.unique(vals_np[:nnz_live]).size)
+                        SENT = np.iinfo(np.int32).max
+                        masked = vals_np.copy()
+                        masked[nnz_live:] = SENT
+                        sids = np.repeat(
+                            np.arange(B, dtype=np.int32), per
+                        )
+                        sids = np.pad(sids, (0, cap - nnz_live))
+                        order = np.argsort(masked, kind="stable")
+                        t_i = jnp.asarray(masked[order])
+                        t_s = jnp.asarray(sids[order])
+                        gy = jnp.asarray(
+                            np.random.default_rng(3)
+                            .integers(-10, 11, (B, W)).astype(np.float32)
+                        )
+                        dt_b, fl = timed(
+                            lambda c: cbwd_step(gy, t_i, t_s, c)
+                        )
+                        bd = backward_app_bytes(
+                            nnz=nnz_live, batch=B, width=W,
+                            num_unique=n_unique, elem_bytes=elem,
+                            index_bytes=4, mode=CombineMode.SUM,
+                        )
+                        bl = backward_app_bytes(
+                            nnz=nnz_live, batch=B, width=W,
+                            num_unique=n_unique, elem_bytes=elem,
+                            index_bytes=4, mode=CombineMode.SUM,
+                            l2_variant=True,
+                        )
+                        emit_csr("backward", dt_b * 1e3, bl / dt_b / 1e9,
+                                 bd / dt_b / 1e9, fl)
+                        log(
+                            f"CSR V={V} B={B} H<={H} a={alpha} "
+                            f"[{backend}] live={nnz_live} "
+                            f"fwd {dt*1e3:.2f} tr {dt_t*1e3:.2f} "
+                            f"bwd {dt_b*1e3:.2f} ms "
+                            f"({time.time()-t0:.0f}s)"
+                        )
+            del table
+        csv_f.close()
+        return
 
     gate()
     for V in CATS:

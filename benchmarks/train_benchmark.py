@@ -29,6 +29,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--chained", action="store_true",
+                   help="time k steps chained inside ONE jit call "
+                        "(amortizes per-call dispatch; production regime)")
+    p.add_argument("--num-categories", type=int, default=None)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--hotness", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
     args = p.parse_args()
 
     import jax
@@ -53,6 +60,10 @@ def main():
         V, B, H, W, dtype = 1_000_000, 8192, 32, 256, jnp.float32
     else:
         V, B, H, W, dtype = 10_000_000, 65_536, 64, 256, jnp.bfloat16
+    V = args.num_categories or V
+    B = args.batch or B
+    H = args.hotness or H
+    W = args.width or W
     alpha = 1.15
 
     table0 = jax.block_until_ready(jnp.zeros((V, W), dtype))
@@ -119,6 +130,44 @@ def main():
             unique_cap=unique_cap, overflow=overflow,
         )
 
+    def time_steps_chained(name, body, state):
+        """Per-step time with k steps chained INSIDE one jit call.
+
+        One dispatch per k steps (lax.fori_loop over the step body), so
+        per-call host/tunnel dispatch cost is amortized away — the
+        production regime, where steps run back-to-back from an input
+        queue and dispatch overlaps device compute. The k=1 vs k=4 delta
+        isolates pure device time per step (chain_time's methodology);
+        the standard `time_steps` numbers above it include the per-call
+        dispatch tax and bound the host-side overhead from above.
+        """
+        def run_k(state, k):
+            return jax.lax.fori_loop(0, k, lambda _, s: body(s), state)
+
+        jit_k = jax.jit(run_k, donate_argnums=0, static_argnums=1)
+
+        # compile both ks + warm
+        for k in (1, 4):
+            state = jit_k(state, k)
+        leaf = jax.tree_util.tree_leaves(state)[0]
+        _ = float(jnp.sum(leaf[0, :1].astype(jnp.float32)))
+        best = None
+        for _ in range(max(2, args.iters)):
+            t0 = time.perf_counter()
+            state = jit_k(state, 1)
+            leaf = jax.tree_util.tree_leaves(state)[0]
+            _ = float(jnp.sum(leaf[0, :1].astype(jnp.float32)))
+            t1 = time.perf_counter()
+            state = jit_k(state, 4)
+            leaf = jax.tree_util.tree_leaves(state)[0]
+            _ = float(jnp.sum(leaf[0, :1].astype(jnp.float32)))
+            t2 = time.perf_counter()
+            dt = ((t2 - t1) - (t1 - t0)) / 3
+            best = dt if best is None else min(best, dt)
+        print(f"{name:8s}: {best*1e3:8.2f} ms/step "
+              f"({B / best:,.0f} examples/s)  [on-device chained]")
+        del state
+
     def time_steps(name, step, state):
         def run(state, k):
             t0 = time.perf_counter()
@@ -135,6 +184,19 @@ def main():
         print(f"{name:8s}: {dt*1e3:8.2f} ms/step "
               f"({B / dt:,.0f} examples/s)")
         del state
+
+    if args.chained:
+        time_steps_chained(
+            "sparse", lambda t: step_sparse(t, idx), table0
+        )
+        table0 = jax.block_until_ready(jnp.zeros((V, W), dtype))
+        accum = rowwise_adagrad_init(V)
+        time_steps_chained(
+            "adagrad",
+            lambda s: step_adagrad(s[0], s[1], idx),
+            (table0, accum),
+        )
+        return
 
     time_steps("sparse", lambda t: step_sparse(t, idx), table0)
     table0 = jax.block_until_ready(jnp.zeros((V, W), dtype))

@@ -1,9 +1,11 @@
-"""Opt-in int8 hot head: 2x VMEM coverage at a stated, bounded error.
+"""Opt-in int8 hot head: larger VMEM coverage at a stated, bounded error.
 
 The tiered engine's mid tier serves rows from a VMEM-resident head slice
 whose size is capped by the ~108 MB placement budget
 (``ops/tiered.py``). Storing that slice as per-row symmetric int8 fits
-~``2x`` (bf16) / ``~3.4x`` (f32) more rows in the same bytes, moving
+``elem * W / (W + 128)`` times more rows in the same bytes (the 128-lane
+scale pad is forced by int8 tiling): 1.33x for bf16 / 2.67x for f32 at
+W=256, approaching 2x / 4x for wide rows. That moves the extra rows'
 traffic from the HBM descriptor-rate cold tier (~13 ns/row) to the VMEM
 tier (~3.2 ns/row). This is the one remaining distribution-level lever
 on v5e identified by the round-2 profiling (docs/PERF_NOTES.md): the

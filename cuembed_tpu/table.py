@@ -260,7 +260,8 @@ class EmbeddingTable:
     def enable_int8_head(self, calibration_indices=None) -> None:
         """Build the int8 VMEM head (:mod:`cuembed_tpu.ops.quant`).
 
-        Doubles the VMEM-served row coverage of the tiered mid tier at a
+        Grows the VMEM-served row coverage of the tiered mid tier by
+        ``elem * W / (W + 128)`` (1.33x bf16 / 2.67x f32 at W=256) at a
         bounded per-row error (<= max|row|/254 per element) — an opt-in
         LOSSY serving mode; the exact path stays the default. Call after
         :meth:`calibrate`; re-call after :meth:`refresh_layout` or
