@@ -42,12 +42,6 @@ def pallas_forward_supported(table, indices, offsets, weights, mode) -> bool:
     if mode == CombineMode.CONCAT:
         # Concat is a pure gather; XLA's gather lowering handles it well.
         return False
-    if offsets is not None:
-        # CSR densification pads every sample to the full nnz capacity
-        # (the only static bound) — gather amplification makes XLA's
-        # masked segment-sum the better default. A dedicated ragged CSR
-        # kernel can lift this.
-        return False
     if table.shape[1] % LANES != 0:
         return False
     if table.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
@@ -178,7 +172,7 @@ def forward(
         table, indices, offsets, weights, mode
     ):
         raise ValueError(
-            "backend='pallas' does not cover this call (CONCAT, CSR, "
+            "backend='pallas' does not cover this call (CONCAT, "
             "width % 128 != 0, or unsupported dtype); use backend='xla' "
             "or 'auto'"
         )

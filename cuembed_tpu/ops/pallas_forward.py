@@ -27,9 +27,12 @@ pipeline:
 
 Constraints (dispatch validates via ``pallas_forward_supported`` and
 rejects unsupported calls with an error):
-* ``width % 128 == 0`` (lane alignment) — pad tables for odd widths,
-* fixed-hotness layout; CSR is densified to ``[batch, max_hotness]`` +
-  coefficient mask first (:func:`csr_to_fixed`).
+* ``width % 128 == 0`` (lane alignment) — pad tables for odd widths.
+
+CSR (variable hotness) is served by a dedicated ragged kernel
+(:func:`embedding_forward_pallas_csr`): a sequential grid over the flat
+value stream with a carry-across-blocks sample accumulator — the forward
+mirror of the run-grouped backward kernel.
 """
 
 from __future__ import annotations
@@ -172,11 +175,15 @@ def embedding_forward_pallas(
             f"pallas kernel requires width % {LANES} == 0, got {table.shape[1]}"
         )
 
-    coeff = None
     if offsets is not None:
-        indices, coeff = csr_to_fixed(indices, offsets, weights, mode=mode)
-    elif weights is not None:
-        coeff = weights
+        # Ragged CSR: the dedicated carry-across-blocks kernel (the old
+        # densification path, csr_to_fixed, bounds every sample at the
+        # full value capacity — quadratic at scale).
+        return embedding_forward_pallas_csr(
+            table, indices, offsets, weights, mode=mode,
+            low_precision_math=low_precision_math, interpret=interpret,
+        )
+    coeff = weights
     batch, hotness = indices.shape
     width = table.shape[1]
     wtiles = width // LANES
@@ -238,6 +245,204 @@ def embedding_forward_pallas(
         )(idx, table3)
 
     return out[:batch] if padded_batch != batch else out
+
+
+SENTINEL = 2**31 - 1
+
+
+def _make_csr_fwd_kernel(nb: int, wtiles: int, batch: int, acc_dtype,
+                         has_coeff: bool):
+    """Ragged-CSR gather-combine: sequential grid over value blocks.
+
+    The CSR value stream is *sample-contiguous*, so this is the forward
+    mirror of the run-grouped backward (:mod:`pallas_backward`): walk
+    flat value positions, accumulate the current sample's rows in a VMEM
+    accumulator, and when the sample id changes write the finished row
+    to ``out[sid]`` with ONE plain store — no read-modify-write, no
+    atomics, every output row has exactly one writer. A sample that
+    spans a block boundary stays in the accumulator (scratch persists
+    across sequential grid steps). Mirrors the reference's dynamic
+    ``offsets[s]..offsets[s+1]`` loop
+    (``embedding_lookup_kernels.cuh:96-135``) without its
+    one-CTA-per-sample shape, which has no TPU analog.
+
+    Ref layout: idx SMEM [nb] (table rows, padding clamped to 0);
+    sid SMEM [nb] (sample ids, padding = SENTINEL); (coeff SMEM [nb]);
+    table ANY [rows, wtiles, 128]; out0 ANY aliased to out (zeros —
+    zero-hotness samples are never written and must read 0).
+    """
+
+    def kernel(idx_ref, sid_ref, *rest):
+        if has_coeff:
+            (coeff_ref, table_ref, _, out_ref, acc_ref, out_buf, row_buf,
+             carry_ref, sem_row, sem_out) = rest
+        else:
+            (table_ref, _, out_ref, acc_ref, out_buf, row_buf,
+             carry_ref, sem_row, sem_out) = rest
+
+        g = pl.program_id(0)
+        n_blocks = pl.num_programs(0)
+
+        @pl.when(g == 0)
+        def _init():
+            carry_ref[0] = SENTINEL  # no open sample
+            acc_ref[...] = jnp.zeros_like(acc_ref[...])
+
+        def row_dma(slot, p):
+            return pltpu.make_async_copy(
+                table_ref.at[idx_ref[p]], row_buf.at[slot], sem_row.at[slot]
+            )
+
+        def flush(sid):
+            """Write the finished sample row (single writer per sample)."""
+            out_buf[...] = acc_ref[...].astype(out_buf.dtype)
+            pltpu.make_async_copy(out_buf, out_ref.at[sid], sem_out).start()
+            pltpu.make_async_copy(out_buf, out_ref.at[sid], sem_out).wait()
+            acc_ref[...] = jnp.zeros_like(acc_ref[...])
+
+        row_dma(0, 0).start()
+
+        def body(p, _):
+            slot = jax.lax.rem(p, NBUF)
+
+            @pl.when(p + 1 < nb)
+            def _():
+                row_dma(jax.lax.rem(p + 1, NBUF), p + 1).start()
+
+            sid = sid_ref[p]
+            live = (sid >= 0) & (sid < batch)
+            open_sid = carry_ref[0]
+
+            @pl.when(live & (open_sid != sid) & (open_sid != SENTINEL))
+            def _flush_prev():
+                flush(open_sid)
+
+            row_dma(slot, p).wait()
+
+            @pl.when(live)
+            def _accumulate():
+                carry_ref[0] = sid
+                contrib = row_buf[slot].astype(acc_dtype)
+                if has_coeff:
+                    contrib = contrib * coeff_ref[p]  # SMEM scalar FMA
+                acc_ref[...] = acc_ref[...] + contrib
+
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0)
+
+        @pl.when(g == n_blocks - 1)
+        def _final():
+            open_sid = carry_ref[0]
+
+            @pl.when(open_sid != SENTINEL)
+            def _():
+                flush(open_sid)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "low_precision_math",
+                                             "interpret"))
+def embedding_forward_pallas_csr(
+    table: jax.Array,
+    indices: jax.Array,
+    offsets: jax.Array,
+    weights: Optional[jax.Array] = None,
+    *,
+    mode: CombineMode = CombineMode.SUM,
+    low_precision_math: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Ragged-CSR forward on the carry-across-blocks Pallas kernel.
+
+    Same contract as the CSR branch of
+    :func:`cuembed_tpu.ops.lookup_xla.embedding_forward_xla`: ``indices``
+    is the flat value array at static capacity, entries at or beyond
+    ``offsets[-1]`` are padding; zero-hotness MEAN rows are 0. Unlike
+    the old densification path (:func:`csr_to_fixed`, whose static
+    worst-case bound is the full capacity per sample), this processes
+    the ragged stream directly. Like the other Pallas kernels it is an
+    explicit opt-in: per-row DMA issue costs the scalar core ~30 ns, so
+    the XLA/tiered paths win at production shapes (docs/PERF_NOTES.md).
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("CSR does not support CONCAT")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    width = table.shape[1]
+    if width % LANES != 0:
+        raise ValueError(
+            f"pallas kernel requires width % {LANES} == 0, got {width}"
+        )
+    from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
+
+    batch = offsets.shape[0] - 1
+    cap = indices.shape[0]
+    wtiles = width // LANES
+    acc_dt = accumulation_dtype(table.dtype, low_precision_math)
+
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    live = pos < offsets[-1]
+    sids = extract_row_ids_from_csr(offsets, indices).astype(jnp.int32)
+    sid_arr = jnp.where(live, sids, SENTINEL)
+    vals = jnp.where(live, indices.astype(jnp.int32), 0)
+
+    coeff = None
+    if weights is not None:
+        coeff = weights.astype(jnp.float32)
+    if mode == CombineMode.MEAN:
+        counts = (offsets[1:] - offsets[:-1]).astype(jnp.float32)
+        inv = jnp.where(counts == 0, 0.0, 1.0 / jnp.maximum(counts, 1.0))
+        per_pos = jnp.take(inv, jnp.clip(sids, 0, batch - 1))
+        coeff = per_pos if coeff is None else coeff * per_pos
+    if coeff is not None:
+        coeff = jnp.where(live, coeff, 0.0)
+
+    nb = min(cap, 512)
+    pad = (-cap) % nb
+    if pad:
+        vals = jnp.pad(vals, (0, pad))
+        sid_arr = jnp.pad(sid_arr, (0, pad), constant_values=SENTINEL)
+        if coeff is not None:
+            coeff = jnp.pad(coeff, (0, pad))
+    n_blocks = vals.shape[0] // nb
+
+    table3 = table.reshape(table.shape[0], wtiles, LANES)
+    out0 = jnp.zeros((batch, wtiles, LANES), table.dtype)
+
+    in_specs = [
+        pl.BlockSpec((nb,), lambda g: (g,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((nb,), lambda g: (g,), memory_space=pltpu.SMEM),
+    ]
+    args = [vals, sid_arr]
+    if coeff is not None:
+        in_specs.append(
+            pl.BlockSpec((nb,), lambda g: (g,), memory_space=pltpu.SMEM)
+        )
+        args.append(coeff.astype(acc_dt))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # table
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # aliased out0
+    args += [table3, out0]
+
+    out = pl.pallas_call(
+        _make_csr_fwd_kernel(nb, wtiles, batch, acc_dt, coeff is not None),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((batch, wtiles, LANES), table.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((wtiles, LANES), acc_dt),          # accumulator
+            pltpu.VMEM((wtiles, LANES), table.dtype),     # out write buf
+            pltpu.VMEM((NBUF, wtiles, LANES), table.dtype),  # row stream
+            pltpu.SMEM((1,), jnp.int32),                  # open sample id
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        input_output_aliases={len(args) - 1: 0},
+        interpret=interpret,
+    )(*args)
+    return out.reshape(batch, width)
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))

@@ -121,6 +121,56 @@ def test_block_boundary_padding():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-6, atol=1e-6)
 
 
+def test_csr_block_boundary_carry():
+    """A sample spanning multiple 512-position kernel blocks accumulates
+    across sequential grid steps (the carry), and heavy padding past
+    offsets[-1] contributes nothing."""
+    rng = np.random.default_rng(8)
+    V, B = 300, 5
+    table = rng.integers(-8, 9, size=(V, 128)).astype(np.float32)
+    # sample 1 alone holds 700 values -> crosses the 512 block boundary
+    per = np.array([100, 700, 0, 400, 30])
+    offsets = np.zeros(B + 1, np.int32)
+    offsets[1:] = np.cumsum(per)
+    cap = int(offsets[-1]) + 137  # ragged padding tail
+    idx = np.zeros(cap, np.int32)
+    idx[: offsets[-1]] = rng.integers(0, V, offsets[-1])
+    got = embedding_forward_pallas(table, idx, offsets, interpret=True)
+    ref = embedding_forward_ref(table, idx, offsets=offsets)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_csr_weighted_and_wide():
+    o = AllocationOptions(
+        num_categories=120,
+        batch_size=21,
+        hotness=9,
+        embed_width=256,  # wtiles = 2
+        is_csr=True,
+        is_weighted=True,
+    )
+    got, ref = _run(o)
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=1e-6)
+
+
+def test_csr_bf16_storage():
+    import ml_dtypes
+
+    rng = np.random.default_rng(9)
+    table = rng.integers(-4, 5, size=(60, 128)).astype(ml_dtypes.bfloat16)
+    per = rng.integers(0, 6, size=11)
+    offsets = np.zeros(12, np.int32)
+    offsets[1:] = np.cumsum(per)
+    idx = np.zeros(66, np.int32)
+    idx[: offsets[-1]] = rng.integers(0, 60, offsets[-1])
+    got = embedding_forward_pallas(table, idx, offsets, interpret=True)
+    ref = embedding_forward_ref(table, idx, offsets=offsets)
+    assert np.asarray(got).dtype == table.dtype
+    np.testing.assert_array_equal(
+        np.asarray(got).astype(np.float32), ref.astype(np.float32)
+    )
+
+
 def test_csr_to_fixed_roundtrip():
     offsets = np.array([0, 2, 2, 5], dtype=np.int32)
     idx = np.array([7, 3, 1, 2, 9, 0, 0], dtype=np.int32)  # cap 7, nnz 5

@@ -101,6 +101,27 @@ def test_csr_forward_backward_on_chip():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_pallas_csr_forward_on_chip_compiled():
+    """The ragged-CSR Pallas forward in real Mosaic lowering, incl. a
+    sample spanning the 512-position block boundary."""
+    from cuembed_tpu.ops.pallas_forward import embedding_forward_pallas_csr
+
+    rng = np.random.default_rng(5)
+    V, B = 400, 6
+    table = rng.integers(-8, 9, size=(V, 128)).astype(np.float32)
+    per = np.array([40, 600, 0, 200, 17, 5])
+    offsets = np.zeros(B + 1, np.int32)
+    offsets[1:] = np.cumsum(per)
+    cap = int(offsets[-1]) + 61
+    idx = np.zeros(cap, np.int32)
+    idx[: offsets[-1]] = rng.integers(0, V, offsets[-1])
+    got = embedding_forward_pallas_csr(
+        jnp.asarray(table), jnp.asarray(idx), jnp.asarray(offsets)
+    )
+    ref = embedding_forward_ref(table, idx, offsets=offsets)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
 def test_pallas_backward_on_chip_compiled():
     """The run-grouped Pallas backward in real Mosaic lowering."""
     from cuembed_tpu.ops.lookup_xla import embedding_backward_xla
