@@ -69,6 +69,9 @@ def main():
     p.add_argument("--csr", action="store_true",
                    help="run the CSR (variable-hotness) slice instead of "
                         "the fixed-hotness reference grid")
+    p.add_argument("--resume", action="store_true",
+                   help="skip configs whose 3 stage rows already exist in "
+                        "--out (restart-friendly across tunnel flaps)")
     args = p.parse_args()
 
     import jax
@@ -172,6 +175,25 @@ def main():
         HOTS = [1, 16, 64]
 
     write_header = not os.path.exists(args.out)
+    done = set()
+    if args.resume and not write_header:
+        import csv as _csv
+
+        with open(args.out) as f:
+            for row in _csv.DictReader(f):
+                done.add((
+                    int(row["num_categories"]), int(row["batch_size"]),
+                    int(row["hotness"]), float(row["alpha"]),
+                    int(row["embed_width"]), int(row["is_csr"]),
+                    row["name"].rstrip("!"),
+                ))
+
+    def config_done(V, B, H, alpha, W, is_csr):
+        return all(
+            (V, B, H, float(alpha), W, is_csr, s) in done
+            for s in ("forward", "transpose", "backward")
+        )
+
     csv_f = open(args.out, "a", buffering=1)
     if write_header:
         csv_f.write(CSV_HEADER + "\n")
@@ -285,6 +307,10 @@ def main():
                 for H in csr_hots:
                     cap = B * H
                     for alpha in ALPHAS:
+                        if config_done(V, B, H, alpha, W, 1):
+                            log(f"skip (resume) CSR V={V} B={B} H<={H} "
+                                f"a={alpha}")
+                            continue
                         t0 = time.time()
                         rng = np.random.default_rng(11 + H)
                         dense = gen_batch(V, H, alpha, B, 7, permutation)
@@ -481,6 +507,10 @@ def main():
                 for H in HOTS:
                     nnz = B * H
                     for alpha in ALPHAS:
+                        if config_done(V, B, H, alpha, W, 0):
+                            log(f"skip (resume) V={V} W={W} B={B} H={H} "
+                                f"a={alpha}")
+                            continue
                         t0 = time.time()
                         idx_np = gen_batch(V, H, alpha, B, 7, permutation)
                         tiered = (
