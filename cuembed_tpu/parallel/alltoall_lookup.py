@@ -53,6 +53,32 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
+def _quant_rows_int8(rows: jax.Array) -> jax.Array:
+    """Per-row symmetric int8 with the f32 scale inline: [m, W] -> [m, W+4].
+
+    The comm-payload analog of :mod:`cuembed_tpu.ops.quant` (same scheme,
+    no 128-lane pad — an all_to_all payload has no VMEM tiling
+    constraint). Elementwise error <= max|row|/254.
+    """
+    f = rows.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
+    sb = jax.lax.bitcast_convert_type(
+        scale.astype(jnp.float32), jnp.int8
+    ).reshape(-1, 4)
+    return jnp.concatenate([q, sb], axis=1)
+
+
+def _dequant_rows_int8(qrows: jax.Array, width: int) -> jax.Array:
+    """Inverse of :func:`_quant_rows_int8`: [m, W+4] int8 -> [m, W] f32."""
+    q = qrows[:, :width].astype(jnp.float32)
+    scale = jax.lax.bitcast_convert_type(
+        qrows[:, width : width + 4], jnp.float32
+    ).reshape(-1)
+    return q * scale[:, None]
+
+
 def hybrid_tiered_lookup(
     head_table: jax.Array,
     tail_table: jax.Array,
@@ -64,8 +90,18 @@ def hybrid_tiered_lookup(
     capacity_factor: float = 2.0,
     cold_frac: float = 1.0,
     axis: str = MODEL_AXIS,
+    compress: str = "none",
 ) -> jax.Array:
     """Replicated-hot-head + all-to-all-routed-cold-tail lookup.
+
+    ``compress="int8"`` quantizes the response payload (the routed rows
+    coming back over ICI) to per-row symmetric int8 with inline f32
+    scales — (4*W)/(W+4)x less ICI return traffic for an f32 table
+    (~3.9x at W=256), elementwise error <= max|row|/254 on routed rows
+    only (head-served lookups stay exact). Like the int8 VMEM head
+    (:mod:`cuembed_tpu.ops.quant`) this is an opt-in LOSSY serving mode:
+    forward only — the quantization round is not differentiable, so
+    train with ``compress="none"`` and turn it on for inference.
 
     The multi-chip expression of the tiered design (the layout
     ``alltoall_row_sharded_lookup``'s docstring recommends): with a
@@ -104,6 +140,8 @@ def hybrid_tiered_lookup(
         raise ValueError("hybrid routing pools rows; CONCAT unsupported")
     if weights is not None and mode != CombineMode.SUM:
         raise ValueError("weights are only supported with CombineMode.SUM")
+    if compress not in ("none", "int8"):
+        raise ValueError("compress must be 'none' or 'int8'")
     n = mesh.shape[axis]
     hot, width = head_table.shape
     v_tail = tail_table.shape[0]
@@ -190,10 +228,17 @@ def hybrid_tiered_lookup(
             served = jnp.where(
                 (recv_idx.reshape(-1) >= 0)[:, None], served, 0
             )
-            resp = jax.lax.all_to_all(
-                served.reshape(n, c, width),
-                axis, split_axis=0, concat_axis=0, tiled=True,
-            ).reshape(n * c, width)
+            if compress == "int8":
+                qr = jax.lax.all_to_all(
+                    _quant_rows_int8(served).reshape(n, c, width + 4),
+                    axis, split_axis=0, concat_axis=0, tiled=True,
+                ).reshape(n * c, width + 4)
+                resp = _dequant_rows_int8(qr, width)
+            else:
+                resp = jax.lax.all_to_all(
+                    served.reshape(n, c, width),
+                    axis, split_axis=0, concat_axis=0, tiled=True,
+                ).reshape(n * c, width)
             slot_of_pos = jnp.clip(owner, 0, n - 1) * c + jnp.clip(
                 rank, 0, c - 1
             )
@@ -242,8 +287,13 @@ def alltoall_row_sharded_lookup(
     mode: CombineMode = CombineMode.SUM,
     capacity_factor: float = 2.0,
     axis: str = MODEL_AXIS,
+    compress: str = "none",
 ) -> jax.Array:
     """Pooled lookup with all-to-all index routing.
+
+    ``compress="int8"`` quantizes the response rows over ICI (see
+    :func:`hybrid_tiered_lookup` — same scheme, same error bound, same
+    forward/serving-only caveat).
 
     Args:
       table: ``[num_categories, width]``, rows divisible by the axis size,
@@ -267,6 +317,8 @@ def alltoall_row_sharded_lookup(
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("all-to-all routing pools rows; CONCAT unsupported")
+    if compress not in ("none", "int8"):
+        raise ValueError("compress must be 'none' or 'int8'")
     n = mesh.shape[axis]
     num_rows, width = table.shape
     if num_rows % n != 0:
@@ -373,10 +425,17 @@ def alltoall_row_sharded_lookup(
             served = jnp.where(
                 (recv_idx.reshape(-1) >= 0)[:, None], served, 0
             )
-            resp = jax.lax.all_to_all(
-                served.reshape(n, c, width),
-                axis, split_axis=0, concat_axis=0, tiled=True,
-            ).reshape(n * c, width)  # my requests, answered, dest-major
+            if compress == "int8":
+                qr = jax.lax.all_to_all(
+                    _quant_rows_int8(served).reshape(n, c, width + 4),
+                    axis, split_axis=0, concat_axis=0, tiled=True,
+                ).reshape(n * c, width + 4)
+                resp = _dequant_rows_int8(qr, width)
+            else:
+                resp = jax.lax.all_to_all(
+                    served.reshape(n, c, width),
+                    axis, split_axis=0, concat_axis=0, tiled=True,
+                ).reshape(n * c, width)  # my requests, answered, dest-major
 
             # combine: position p's response sits at owner[p] * c + rank[p]
             slot_of_pos = owner * c + jnp.clip(rank, 0, c - 1)

@@ -178,3 +178,59 @@ def test_hybrid_grads_flow_to_both_parts(mesh):
     np.testing.assert_allclose(
         np.asarray(gt)[: V - hot], np.asarray(g[hot:]), rtol=1e-5, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8-compressed response payloads (lossy serving mode)
+# ---------------------------------------------------------------------------
+
+def test_alltoall_int8_compress_within_bound(mesh):
+    """compress='int8' must match the exact route within the documented
+    per-row bound (sum over routed hits of max|row|/254)."""
+    rng = np.random.default_rng(8)
+    V, B, H, W = 1024, 64, 8, 32
+    table_np = rng.standard_normal((V, W)).astype(np.float32)
+    idx_np = rng.integers(0, V, (B, H)).astype(np.int32)
+    table = jnp.asarray(table_np)
+    idx = jnp.asarray(idx_np)
+    ts, xs, _ = _place(mesh, table, idx)
+    exact = np.asarray(
+        alltoall_row_sharded_lookup(ts, xs, mesh=mesh)
+    )
+    lossy = np.asarray(
+        alltoall_row_sharded_lookup(ts, xs, mesh=mesh, compress="int8")
+    )
+    amax = np.abs(table_np).max(axis=1)
+    bound = (amax[idx_np] / 254).sum(axis=1) + 1e-5
+    assert (np.abs(lossy - exact).max(axis=1) <= bound).all()
+    # and it is genuinely close (not garbage)
+    np.testing.assert_allclose(lossy, exact, rtol=0.02, atol=0.05)
+
+
+def test_hybrid_int8_compress_head_stays_exact(mesh):
+    """Hybrid + compress='int8': head-served lookups remain EXACT; only
+    routed cold rows carry the quantization error."""
+    from cuembed_tpu.parallel import hybrid_tiered_lookup, split_hybrid_table
+
+    rng = np.random.default_rng(9)
+    V, hot, B, H, W = 2048, 256, 64, 8, 32
+    table_np = rng.standard_normal((V, W)).astype(np.float32)
+    idx_np = _skewed_idx(rng, B, H, V)
+    table = jnp.asarray(table_np)
+    idx = jnp.asarray(idx_np)
+    head, tail = split_hybrid_table(table, hot, 8)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    xs = jax.device_put(idx, NamedSharding(mesh, P("model", None)))
+    exact = np.asarray(hybrid_tiered_lookup(hs, ts, xs, mesh=mesh))
+    lossy = np.asarray(
+        hybrid_tiered_lookup(hs, ts, xs, mesh=mesh, compress="int8")
+    )
+    amax = np.abs(table_np).max(axis=1)
+    cold = idx_np >= hot
+    bound = (amax[idx_np] / 254 * cold).sum(axis=1) + 1e-5
+    assert (np.abs(lossy - exact).max(axis=1) <= bound).all()
+    # samples with zero cold hits are bit-identical
+    all_hot = ~cold.any(axis=1)
+    if all_hot.any():
+        np.testing.assert_array_equal(lossy[all_hot], exact[all_hot])
