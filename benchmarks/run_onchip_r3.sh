@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Round-3 on-chip measurement runbook. Run on a quiet tunnel window:
+#
+#     bash benchmarks/run_onchip_r3.sh [fast]
+#
+# Sequences every measurement the round-3 asks still need from the chip.
+# Each stage is restart-friendly (the sweep uses --resume); rerun the
+# script after a tunnel flap and completed work is skipped. "fast" skips
+# the full sweep regeneration (stages 2-3) for a quick spot check.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+FAST="${1:-}"
+log() { printf '\n=== [%s] %s ===\n' "$(date +%H:%M:%S)" "$*"; }
+
+log "stage 1: on-chip test lane (pytest -m tpu)"
+JAX_PLATFORMS=tpu python -m pytest tests/ -m tpu -q || exit 1
+
+if [ "$FAST" != "fast" ]; then
+  log "stage 2: full reference grid resweep (20 iters, stream gate)"
+  python benchmarks/sweep_runner.py --out benchmarks/results_v5e_r3.csv \
+    --iters 20 --resume || exit 1
+
+  log "stage 3: CSR slice"
+  python benchmarks/sweep_runner.py --csr \
+    --out benchmarks/results_v5e_r3_csr.csv --iters 20 --resume || exit 1
+fi
+
+log "stage 4: headline bench (best backend)"
+python bench.py | tee /tmp/bench_r3_best.json
+
+log "stage 4b: headline bench (tiered-int8 serving mode)"
+python bench.py --backend tiered-int8 | tee /tmp/bench_r3_int8.json
+
+log "stage 4c: CSR flagship point"
+python bench.py --csr | tee /tmp/bench_r3_csr.json
+
+log "stage 5: train-step profile (SGD/AdaGrad device vs wall)"
+python benchmarks/profile_train.py
+
+log "stage 6: train benchmark, chained (production dispatch regime)"
+python benchmarks/train_benchmark.py --chained
+
+log "done — commit results_v5e_r3*.csv + update SWEEP_SUMMARY/PERF_NOTES"
