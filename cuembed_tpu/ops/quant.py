@@ -64,6 +64,30 @@ def int8_head_rows(width: int, hot_bytes: int) -> int:
     return max(8, hot_bytes // (width + LANES)) // 8 * 8
 
 
+@jax.custom_jvp
+def serving_only_guard(x: jax.Array) -> jax.Array:
+    """Identity that refuses differentiation.
+
+    Every int8-quantized serving path (the VMEM head here, the
+    compressed all-to-all payload in :mod:`cuembed_tpu.parallel`) has a
+    quantization round whose gradient is zero everywhere, so ``jax.grad``
+    through it would *silently* drop part of the table gradient while
+    the exact-path part still flows — easy to miss. Fail loudly at trace
+    time instead: these modes are forward/serving only.
+    """
+    return x
+
+
+@serving_only_guard.defjvp
+def _serving_only_guard_jvp(primals, tangents):
+    raise NotImplementedError(
+        "int8-quantized lookups are a forward/serving-only mode: the "
+        "quantization round is not differentiable and jax.grad would "
+        "silently zero the quantized rows' table gradient. Train against "
+        "the exact path (no q_head / compress='none')."
+    )
+
+
 @jax.jit
 def quantize_head(head_slice: jax.Array) -> QuantizedHead:
     """Per-row symmetric int8 quantization of ``head_slice [rows, W]``.

@@ -267,10 +267,19 @@ def tiered_forward(
             uniform = (
                 1.0 / indices.shape[1] if mode == CombineMode.MEAN else 1.0
             )
-        return _forward_fixed_3tier(
+        out = _forward_fixed_3tier(
             table, indices, coeff, cfg, acc_dt, uniform, k=pack_k,
             q_head=q_head,
         )
+        if q_head is not None:
+            # Forward/serving only: jax.grad through the quantized mid
+            # tier would silently drop its table-gradient contribution
+            # (the quantization round's gradient is zero) — refuse at
+            # trace time instead (ops/quant.py).
+            from cuembed_tpu.ops.quant import serving_only_guard
+
+            out = serving_only_guard(out)
+        return out
     # 2-tier uniform coefficient: any unweighted case whose coefficient
     # is one constant over LIVE positions (CSR MEAN varies per sample).
     uniform2 = None

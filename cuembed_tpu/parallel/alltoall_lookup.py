@@ -44,6 +44,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+# Refuses differentiation: compress="int8" is forward/serving-only, and a
+# silent zero-gradient on the routed rows (while the replicated head's
+# gradient still flows) would be easy to miss.
+from cuembed_tpu.ops.quant import serving_only_guard as _serving_only_guard
 from cuembed_tpu.parallel.sharding import MODEL_AXIS
 from cuembed_tpu.types import CombineMode
 
@@ -77,6 +81,8 @@ def _dequant_rows_int8(qrows: jax.Array, width: int) -> jax.Array:
         qrows[:, width : width + 4], jnp.float32
     ).reshape(-1)
     return q * scale[:, None]
+
+
 
 
 def hybrid_tiered_lookup(
@@ -230,7 +236,9 @@ def hybrid_tiered_lookup(
             )
             if compress == "int8":
                 qr = jax.lax.all_to_all(
-                    _quant_rows_int8(served).reshape(n, c, width + 4),
+                    _quant_rows_int8(_serving_only_guard(served)).reshape(
+                        n, c, width + 4
+                    ),
                     axis, split_axis=0, concat_axis=0, tiled=True,
                 ).reshape(n * c, width + 4)
                 resp = _dequant_rows_int8(qr, width)
@@ -427,7 +435,9 @@ def alltoall_row_sharded_lookup(
             )
             if compress == "int8":
                 qr = jax.lax.all_to_all(
-                    _quant_rows_int8(served).reshape(n, c, width + 4),
+                    _quant_rows_int8(_serving_only_guard(served)).reshape(
+                        n, c, width + 4
+                    ),
                     axis, split_axis=0, concat_axis=0, tiled=True,
                 ).reshape(n * c, width + 4)
                 resp = _dequant_rows_int8(qr, width)

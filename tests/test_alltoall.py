@@ -234,3 +234,22 @@ def test_hybrid_int8_compress_head_stays_exact(mesh):
     all_hot = ~cold.any(axis=1)
     if all_hot.any():
         np.testing.assert_array_equal(lossy[all_hot], exact[all_hot])
+
+
+def test_int8_compress_refuses_grad(mesh):
+    """Forward/serving only: jax.grad through compress='int8' must raise
+    (a silent zero-gradient on routed rows would corrupt training)."""
+    rng = np.random.default_rng(10)
+    V, B, H, W = 1024, 64, 8, 32
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    ts, xs, _ = _place(mesh, table, idx)
+
+    def loss(t):
+        return jnp.sum(
+            alltoall_row_sharded_lookup(t, xs, mesh=mesh, compress="int8")
+            ** 2
+        )
+
+    with pytest.raises(NotImplementedError, match="serving-only"):
+        jax.grad(loss)(ts)

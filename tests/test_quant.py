@@ -129,3 +129,27 @@ def test_embedding_table_int8_flow():
     in_mid = (rm >= t._q_cfg.mxu_head_rows) & (rm < t._q_cfg.hot_rows)
     bound = (amax[rm] / 254 * in_mid).sum(axis=1) + 1e-4
     assert (np.abs(lossy - exact).max(axis=1) <= bound).all()
+
+
+def test_int8_head_refuses_grad():
+    """tiered_forward(q_head=...) is forward-only: jax.grad must raise,
+    not silently drop the quantized mid tier's table gradient."""
+    import jax
+
+    from cuembed_tpu.ops.quant import quantize_head
+    from cuembed_tpu.ops.tiered import TieredConfig, tiered_forward
+
+    rng = np.random.default_rng(4)
+    V, B, H, W = 512, 32, 4, 128
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    cfg = TieredConfig(hot_rows=64, chunk_elems=128, cold_slots=128,
+                       mxu_head_rows=32, mid_slots=128)
+    qh = quantize_head(table[:128])
+
+    def loss(t):
+        return jnp.sum(tiered_forward(t, idx, None, None, cfg=cfg,
+                                      q_head=qh) ** 2)
+
+    with pytest.raises(NotImplementedError, match="serving-only"):
+        jax.grad(loss)(table)
