@@ -164,6 +164,31 @@ def main():
             out.rows[0, 0] + out.num_unique.astype(jnp.float32),
         )
 
+    def timed(step):
+        """Median-of-repeats + outlier policy (shared by the fixed and CSR
+        slices): a point whose slope spread (max/min) exceeds 2x is
+        re-measured once and flagged '!' in the name column if still
+        unstable; sub-resolution points re-time over a longer chain."""
+        def once(lo, hi):
+            return chain_time(
+                step, (jnp.int32(0), jnp.float32(0)),
+                k_lo=lo, k_hi=hi, repeats=3, return_stats=True,
+            )
+
+        st = once(1, max(2, args.iters))
+        if st["median"] < 5e-4:
+            st = once(8, 8 + 4 * args.iters)
+        flag = ""
+        spread = st["max"] / max(st["min"], 1e-9)
+        if spread > 2.0:
+            st2 = once(1, max(2, args.iters))
+            s2 = st2["max"] / max(st2["min"], 1e-9)
+            if s2 < spread:
+                st, spread = st2, s2
+            if spread > 2.0:
+                flag = "!"
+        return st["median"], flag
+
     if args.quick:
         ALPHAS, CATS, WIDTHS = [0.0, 1.15], [1_000_000], [32, 128]
         BATCHES, HOTS = [1024, 32768], [1, 16]
@@ -179,14 +204,40 @@ def main():
     if args.resume and not write_header:
         import csv as _csv
 
+        # A config is resumable only when all 3 stage rows landed; rows
+        # of partially-completed configs (tunnel flap mid-config) are
+        # PRUNED here — otherwise the rerun would append a second copy
+        # of the stages that did land, leaving contradictory duplicate
+        # measurements in the committed CSV.
         with open(args.out) as f:
-            for row in _csv.DictReader(f):
-                done.add((
-                    int(row["num_categories"]), int(row["batch_size"]),
-                    int(row["hotness"]), float(row["alpha"]),
-                    int(row["embed_width"]), int(row["is_csr"]),
-                    row["name"].rstrip("!"),
-                ))
+            lines = f.readlines()
+        stages_of = {}
+        row_keys = []
+        for row, line in zip(_csv.DictReader(lines), lines[1:]):
+            ck = (
+                int(row["num_categories"]), int(row["batch_size"]),
+                int(row["hotness"]), float(row["alpha"]),
+                int(row["embed_width"]), int(row["is_csr"]),
+            )
+            stages_of.setdefault(ck, set()).add(row["name"].rstrip("!"))
+            row_keys.append((ck, line))
+        complete = {
+            ck for ck, st in stages_of.items()
+            if {"forward", "transpose", "backward"} <= st
+        }
+        kept = [line for ck, line in row_keys if ck in complete]
+        if len(kept) != len(row_keys):
+            print(
+                f"[resume] pruning {len(row_keys) - len(kept)} rows of "
+                f"partially-completed configs",
+                file=sys.stderr,
+            )
+            with open(args.out, "w") as f:
+                f.write(lines[0])
+                f.writelines(kept)
+        for ck in complete:
+            for stage in ("forward", "transpose", "backward"):
+                done.add(ck + (stage,))
 
     def config_done(V, B, H, alpha, W, is_csr):
         return all(
@@ -334,27 +385,6 @@ def main():
                         vals = jnp.asarray(vals_np)
                         offs = jnp.asarray(offs_np.astype(np.int32))
                         backend = "tiered" if tiered is not None else "auto"
-
-                        def timed(step):
-                            def once(lo, hi):
-                                return chain_time(
-                                    step, (jnp.int32(0), jnp.float32(0)),
-                                    k_lo=lo, k_hi=hi, repeats=3,
-                                    return_stats=True,
-                                )
-                            st = once(1, max(2, args.iters))
-                            if st["median"] < 5e-4:
-                                st = once(8, 8 + 4 * args.iters)
-                            flag = ""
-                            spread = st["max"] / max(st["min"], 1e-9)
-                            if spread > 2.0:
-                                st2 = once(1, max(2, args.iters))
-                                s2 = st2["max"] / max(st2["min"], 1e-9)
-                                if s2 < spread:
-                                    st, spread = st2, s2
-                                if spread > 2.0:
-                                    flag = "!"
-                            return st["median"], flag
 
                         def emit_csr(name, ms, bw_l2, bw_dram, flag=""):
                             csv_f.write(
@@ -523,32 +553,6 @@ def main():
                         backend = "tiered" if tiered is not None else "auto"
 
                         # ---------------- forward ----------------
-                        def timed(step):
-                            """Median-of-repeats + outlier policy: a
-                            point whose slope spread (max/min) exceeds
-                            2x is re-measured once and flagged '!' in
-                            the name column if still unstable."""
-                            def once(lo, hi):
-                                return chain_time(
-                                    step, (jnp.int32(0), jnp.float32(0)),
-                                    k_lo=lo, k_hi=hi, repeats=3,
-                                    return_stats=True,
-                                )
-
-                            st = once(1, max(2, args.iters))
-                            if st["median"] < 5e-4:  # sub-resolution
-                                st = once(8, 8 + 4 * args.iters)
-                            flag = ""
-                            spread = st["max"] / max(st["min"], 1e-9)
-                            if spread > 2.0:
-                                st2 = once(1, max(2, args.iters))
-                                s2 = st2["max"] / max(st2["min"], 1e-9)
-                                if s2 < spread:
-                                    st, spread = st2, s2
-                                if spread > 2.0:
-                                    flag = "!"
-                            return st["median"], flag
-
                         if narrow:
                             # tiering amortizes its per-chunk sort only
                             # past ~64K lookups; small batches take the

@@ -141,24 +141,27 @@ def main():
         the standard `time_steps` numbers above it include the per-call
         dispatch tax and bound the host-side overhead from above.
         """
-        def run_k(state, k):
-            return jax.lax.fori_loop(0, k, lambda _, s: body(s), state)
+        # idx enters as a jit ARGUMENT (closure capture would bake the
+        # ~17 MB device array into the HLO as a constant — the pattern
+        # bench.py/manual_benchmark.py forbid).
+        def run_k(state, idx, k):
+            return jax.lax.fori_loop(0, k, lambda _, s: body(s, idx), state)
 
-        jit_k = jax.jit(run_k, donate_argnums=0, static_argnums=1)
+        jit_k = jax.jit(run_k, donate_argnums=0, static_argnums=2)
 
         # compile both ks + warm
         for k in (1, 4):
-            state = jit_k(state, k)
+            state = jit_k(state, idx, k)
         leaf = jax.tree_util.tree_leaves(state)[0]
         _ = float(jnp.sum(leaf[0, :1].astype(jnp.float32)))
         best = None
         for _ in range(max(2, args.iters)):
             t0 = time.perf_counter()
-            state = jit_k(state, 1)
+            state = jit_k(state, idx, 1)
             leaf = jax.tree_util.tree_leaves(state)[0]
             _ = float(jnp.sum(leaf[0, :1].astype(jnp.float32)))
             t1 = time.perf_counter()
-            state = jit_k(state, 4)
+            state = jit_k(state, idx, 4)
             leaf = jax.tree_util.tree_leaves(state)[0]
             _ = float(jnp.sum(leaf[0, :1].astype(jnp.float32)))
             t2 = time.perf_counter()
@@ -187,13 +190,13 @@ def main():
 
     if args.chained:
         time_steps_chained(
-            "sparse", lambda t: step_sparse(t, idx), table0
+            "sparse", lambda t, ix: step_sparse(t, ix), table0
         )
         table0 = jax.block_until_ready(jnp.zeros((V, W), dtype))
         accum = rowwise_adagrad_init(V)
         time_steps_chained(
             "adagrad",
-            lambda s: step_adagrad(s[0], s[1], idx),
+            lambda s, ix: step_adagrad(s[0], s[1], ix),
             (table0, accum),
         )
         return

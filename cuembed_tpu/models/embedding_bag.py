@@ -87,11 +87,13 @@ class EmbeddingBag:
             )
         if offsets is not None:
             out = embedding_lookup_csr(
-                table, indices, offsets, weights, mode=self.mode, backend=backend
+                table, indices, offsets, weights, mode=self.mode,
+                backend=backend, tiered_cfg=tiered_cfg,
             )
         else:
             out = embedding_lookup(
-                table, indices, weights, mode=self.mode, backend=backend
+                table, indices, weights, mode=self.mode, backend=backend,
+                tiered_cfg=tiered_cfg,
             )
         if self.stored_width != self.width:
             out = out[:, : self.width]

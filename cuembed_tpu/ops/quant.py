@@ -88,6 +88,38 @@ def _serving_only_guard_jvp(primals, tangents):
     )
 
 
+def quantize_rows(rows: jax.Array, pad: int = 4) -> jax.Array:
+    """Per-row symmetric int8 with the f32 scale inline: [m, W] -> [m, W+pad].
+
+    ``scale = max|row| / 127`` bitcast into the first 4 pad bytes; the
+    elementwise error bound ``<= scale/2 = max|row|/254`` holds for every
+    consumer (VMEM head, all-to-all payload). ``pad >= 4``; the VMEM head
+    uses ``pad = 128`` (int8 tiling), comm payloads the minimal 4.
+    """
+    if pad < 4:
+        raise ValueError("pad must hold the 4-byte f32 scale")
+    f = rows.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f), axis=1, keepdims=True)  # [m, 1]
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
+    scale_bytes = jax.lax.bitcast_convert_type(
+        scale.astype(jnp.float32), jnp.int8
+    ).reshape(-1, 4)
+    parts = [q, scale_bytes]
+    if pad > 4:
+        parts.append(jnp.zeros((f.shape[0], pad - 4), jnp.int8))
+    return jnp.concatenate(parts, axis=1)
+
+
+def dequantize_rows(qrows: jax.Array, width: int) -> jax.Array:
+    """Inverse of :func:`quantize_rows`: [m, W+pad] int8 -> [m, W] f32."""
+    q = qrows[:, :width].astype(jnp.float32)
+    scale = jax.lax.bitcast_convert_type(
+        qrows[:, width : width + 4], jnp.float32
+    ).reshape(-1)
+    return q * scale[:, None]
+
+
 @jax.jit
 def quantize_head(head_slice: jax.Array) -> QuantizedHead:
     """Per-row symmetric int8 quantization of ``head_slice [rows, W]``.
@@ -96,26 +128,14 @@ def quantize_head(head_slice: jax.Array) -> QuantizedHead:
     is for wide tables; narrow tables line-pack first, which also yields
     a 128-multiple).
     """
-    rows, width = head_slice.shape
-    if width % LANES != 0:
+    if head_slice.shape[1] % LANES != 0:
         raise ValueError("int8 head needs width % 128 == 0")
-    f = head_slice.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(f), axis=1, keepdims=True)  # [rows, 1]
-    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
-    q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
-    scale_bytes = jax.lax.bitcast_convert_type(
-        scale.astype(jnp.float32), jnp.int8
-    ).reshape(rows, 4)
-    pad = jnp.zeros((rows, LANES - 4), jnp.int8)
-    return QuantizedHead(jnp.concatenate([q, scale_bytes, pad], axis=1))
+    return QuantizedHead(quantize_rows(head_slice, pad=LANES))
 
 
 def dequant_rows(qh: QuantizedHead) -> jax.Array:
     """Exact dequantized f32 rows (testing / golden-model use)."""
-    w = qh.width
-    q = qh.data[:, :w].astype(jnp.float32)
-    scale = extract_scales(qh.data)
-    return q * scale[:, None]
+    return dequantize_rows(qh.data, qh.width)
 
 
 def extract_scales(lines: jax.Array) -> jax.Array:

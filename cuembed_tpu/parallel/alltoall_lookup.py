@@ -44,10 +44,16 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-# Refuses differentiation: compress="int8" is forward/serving-only, and a
-# silent zero-gradient on the routed rows (while the replicated head's
-# gradient still flows) would be easy to miss.
-from cuembed_tpu.ops.quant import serving_only_guard as _serving_only_guard
+# compress="int8" shares ops/quant.py's per-row symmetric scheme (minimal
+# 4-byte scale pad — an all_to_all payload has no VMEM tiling constraint);
+# serving_only_guard refuses differentiation, since a silent zero-gradient
+# on the routed rows (while the head's gradient still flows) would be easy
+# to miss.
+from cuembed_tpu.ops.quant import (
+    dequantize_rows as _dequant_rows_int8,
+    quantize_rows,
+    serving_only_guard as _serving_only_guard,
+)
 from cuembed_tpu.parallel.sharding import MODEL_AXIS
 from cuembed_tpu.types import CombineMode
 
@@ -55,33 +61,6 @@ try:  # jax >= 0.8
     from jax import shard_map
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
-
-
-def _quant_rows_int8(rows: jax.Array) -> jax.Array:
-    """Per-row symmetric int8 with the f32 scale inline: [m, W] -> [m, W+4].
-
-    The comm-payload analog of :mod:`cuembed_tpu.ops.quant` (same scheme,
-    no 128-lane pad — an all_to_all payload has no VMEM tiling
-    constraint). Elementwise error <= max|row|/254.
-    """
-    f = rows.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
-    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
-    q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
-    sb = jax.lax.bitcast_convert_type(
-        scale.astype(jnp.float32), jnp.int8
-    ).reshape(-1, 4)
-    return jnp.concatenate([q, sb], axis=1)
-
-
-def _dequant_rows_int8(qrows: jax.Array, width: int) -> jax.Array:
-    """Inverse of :func:`_quant_rows_int8`: [m, W+4] int8 -> [m, W] f32."""
-    q = qrows[:, :width].astype(jnp.float32)
-    scale = jax.lax.bitcast_convert_type(
-        qrows[:, width : width + 4], jnp.float32
-    ).reshape(-1)
-    return q * scale[:, None]
-
 
 
 
@@ -236,7 +215,7 @@ def hybrid_tiered_lookup(
             )
             if compress == "int8":
                 qr = jax.lax.all_to_all(
-                    _quant_rows_int8(_serving_only_guard(served)).reshape(
+                    quantize_rows(_serving_only_guard(served), pad=4).reshape(
                         n, c, width + 4
                     ),
                     axis, split_axis=0, concat_axis=0, tiled=True,
@@ -435,7 +414,7 @@ def alltoall_row_sharded_lookup(
             )
             if compress == "int8":
                 qr = jax.lax.all_to_all(
-                    _quant_rows_int8(_serving_only_guard(served)).reshape(
+                    quantize_rows(_serving_only_guard(served), pad=4).reshape(
                         n, c, width + 4
                     ),
                     axis, split_axis=0, concat_axis=0, tiled=True,

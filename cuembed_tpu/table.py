@@ -186,6 +186,12 @@ class EmbeddingTable:
             )
         self.remap = remap
         self._remap_dev = None
+        # The int8 head (if any) is a snapshot of the PREVIOUS physical
+        # ordering; serving it against the new remap would return rows of
+        # entirely different categories. Drop it — the existing
+        # "enable_int8_head() first" check then fails loudly instead.
+        self._q_head = None
+        self._q_cfg = None
 
         hotness = 1
         if calibration_offsets is not None:
@@ -299,6 +305,20 @@ class EmbeddingTable:
                 cfg.chunk_elems, margin=1.15,
             )
             cfg = replace(cfg, mid_slots=mid_s, cold_slots=cold_s)
+        else:
+            # The wider band [mxu_head_rows, rows) absorbs rows the exact
+            # layout classed cold, so the calibrated mid_slots no longer
+            # bounds it — per-chunk mid counts would chronically overflow
+            # and the lax.cond fallback would silently serve every batch
+            # from the exact full-gather path. Sound static bound without
+            # fresh calibration: mid'(chunk) <= mid(chunk) + cold(chunk).
+            cfg = replace(
+                cfg,
+                mid_slots=min(
+                    cfg.chunk_elems,
+                    -(-(cfg.mid_slots + cfg.cold_slots) // 8) * 8,
+                ),
+            )
         self._q_head = quantize_head(self.table[:rows])
         self._q_cfg = cfg
 
@@ -336,6 +356,12 @@ class EmbeddingTable:
                 raise ValueError("enable_int8_head() first")
             if offsets is not None:
                 raise ValueError("int8 head is fixed-hotness only")
+            if weights is not None and self.mode != CombineMode.SUM:
+                # Same contract every other lookup path enforces
+                # (api._validate, narrow_lookup, hybrid_tiered_lookup).
+                raise ValueError(
+                    "weights are only supported with CombineMode.SUM"
+                )
             idx = jnp.asarray(indices)
             if self.remap is not None and not assume_remapped:
                 if self._remap_dev is None:

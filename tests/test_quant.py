@@ -153,3 +153,66 @@ def test_int8_head_refuses_grad():
 
     with pytest.raises(NotImplementedError, match="serving-only"):
         jax.grad(loss)(table)
+
+
+def _calibrated_table(rng, V=6000, W=128):
+    from cuembed_tpu.table import EmbeddingTable
+
+    raw = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    t = EmbeddingTable(raw, hot_bytes=512 * W * 4,
+                       vmem_table_bytes=256 * 1024)
+    idx = np.minimum((rng.random((64, 8)) ** 3 * V).astype(np.int32), V - 1)
+    t.calibrate(idx)
+    if t.tiered_cfg is None:
+        pytest.skip("table fits VMEM at this size")
+    return t, idx
+
+
+def test_refresh_layout_invalidates_int8_head():
+    """A reorder changes the physical row <-> category mapping; serving
+    the stale int8 snapshot would return wrong categories. It must be
+    dropped so the 'enable_int8_head() first' check fails loudly."""
+    rng = np.random.default_rng(5)
+    t, idx = _calibrated_table(rng)
+    t.enable_int8_head(idx)
+    assert t._q_head is not None
+    t.observe(idx[::-1])
+    t.refresh_layout(idx)
+    assert t._q_head is None
+    with pytest.raises(ValueError, match="enable_int8_head"):
+        t.lookup(idx, use_int8_head=True)
+
+
+def test_int8_lookup_validates_weights_mode():
+    """use_int8_head must enforce the same weights-with-SUM contract as
+    every other lookup path."""
+    from cuembed_tpu.table import EmbeddingTable
+    from cuembed_tpu.types import CombineMode
+
+    rng = np.random.default_rng(6)
+    V, W = 6000, 128
+    raw = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    t = EmbeddingTable(raw, mode=CombineMode.MEAN,
+                       hot_bytes=512 * W * 4, vmem_table_bytes=256 * 1024)
+    idx = np.minimum((rng.random((64, 8)) ** 3 * V).astype(np.int32), V - 1)
+    t.calibrate(idx)
+    if t.tiered_cfg is None:
+        pytest.skip("table fits VMEM at this size")
+    t.enable_int8_head(idx)
+    w = np.ones_like(idx, np.float32)
+    with pytest.raises(ValueError, match="CombineMode.SUM"):
+        t.lookup(idx, weights=w, use_int8_head=True)
+
+
+def test_enable_int8_head_uncalibrated_widens_mid_slots():
+    """Without fresh calibration the wider mid band must not inherit the
+    exact layout's (smaller-band) mid_slots — that would chronically
+    overflow and silently serve every batch from the exact fallback."""
+    rng = np.random.default_rng(7)
+    t, idx = _calibrated_table(rng)
+    base = t.tiered_cfg
+    t.enable_int8_head()  # no calibration indices
+    assert t._q_cfg.hot_rows > base.hot_rows
+    want = min(base.chunk_elems,
+               -(-(base.mid_slots + base.cold_slots) // 8) * 8)
+    assert t._q_cfg.mid_slots == want
