@@ -23,12 +23,18 @@ from cuembed_tpu.parallel.alltoall_lookup import (
     hybrid_tiered_lookup,
     split_hybrid_table,
 )
+from cuembed_tpu.parallel.train import (
+    sharded_sgd_sparse_update,
+    sharded_rowwise_adagrad_sparse_update,
+)
 from cuembed_tpu.parallel import multihost
 
 __all__ = [
     "alltoall_row_sharded_lookup",
     "hybrid_tiered_lookup",
     "split_hybrid_table",
+    "sharded_sgd_sparse_update",
+    "sharded_rowwise_adagrad_sparse_update",
     "multihost",
     "make_mesh",
     "table_sharding",

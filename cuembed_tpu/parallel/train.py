@@ -1,0 +1,319 @@
+"""Sparse optimizer updates for row-sharded embedding tables.
+
+Completes the multi-chip training story: the forward is served by
+:func:`cuembed_tpu.parallel.alltoall_row_sharded_lookup` (or the hybrid
+head/tail layout), and the update travels the same wire in the opposite
+direction — (row id, gradient row) pairs are routed over ICI to the
+shard that OWNS the row, which applies them with the single-chip sparse
+machinery (sorted segment sums + row-sparse scatters, deterministic, no
+atomics). Neither a dense ``[V, W]`` gradient nor a dense per-shard
+``[V/n, W]`` gradient is ever materialized — the routed payload is
+``O(nnz * W / n)`` per shard, exactly like the forward responses.
+
+The reference is single-GPU (``/root/reference/README.md:110``); its
+per-device backward contract (COO transpose + scatter,
+``embedding_lookup_kernels.cuh:175-286``) is what each shard runs
+locally here after routing.
+
+Layouts match the router: table ``P(axis, None)`` row-sharded, batch
+``P(axis, None)`` data-sharded over the same axis, optimizer state
+sharded with the table (row-wise AdaGrad: ``P(axis)``).
+
+Capacity: static per-destination slot count, ``capacity_factor`` times
+the balanced share, with the router's collective-safe ``lax.cond``
+fallback to full capacity on overflow — always exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cuembed_tpu.ops.lookup_xla import _segment_partials
+from cuembed_tpu.parallel.sharding import MODEL_AXIS
+from cuembed_tpu.types import CombineMode
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+def _route_grad_rows(idx_l, gy_l, coeff, n, rows_per, cap, axis, width):
+    """Bucket per-position gradient rows by owner shard and exchange.
+
+    Returns ``(local_rows [n*cap], grad_rows [n*cap, W])`` — the update
+    stream addressed to MY table shard (local row space), dead slots
+    marked with ``_SENTINEL`` rows and zero gradient.
+    """
+    nnz_l = idx_l.size
+    flat = idx_l.reshape(-1)
+    owner = jnp.clip(flat // rows_per, 0, n - 1)
+    owner_s, pos_s = jax.lax.sort(
+        [owner, jnp.arange(nnz_l, dtype=jnp.int32)], num_keys=1
+    )
+    counts = jnp.sum(
+        owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None], axis=1
+    )
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+
+    slot_src = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    slot_live = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    slot_pos = jnp.take(pos_s, jnp.clip(slot_src, 0, nnz_l - 1))
+    send_idx = jnp.where(slot_live, jnp.take(flat, slot_pos), -1)
+
+    # Per-slot gradient row: coeff_p * grad_y[sample_p] (the position's
+    # exact dense-gradient contribution).
+    sample_of = slot_pos // idx_l.shape[1]
+    g = jnp.take(gy_l, sample_of.reshape(-1), axis=0).astype(jnp.float32)
+    if coeff is not None:
+        g = g * jnp.take(coeff, slot_pos.reshape(-1))[:, None]
+    g = jnp.where(slot_live.reshape(-1)[:, None], g, 0.0)
+
+    recv_idx = jax.lax.all_to_all(
+        send_idx, axis, split_axis=0, concat_axis=0, tiled=True
+    ).reshape(-1)
+    recv_g = jax.lax.all_to_all(
+        g.reshape(n, cap, width), axis, split_axis=0, concat_axis=0,
+        tiled=True,
+    ).reshape(n * cap, width)
+
+    shard = jax.lax.axis_index(axis)
+    local_rows = jnp.where(
+        recv_idx >= 0, recv_idx - shard * rows_per, _SENTINEL
+    )
+    return local_rows, recv_g
+
+
+def _coeff_and_gy(indices, grad_y, weights, mode):
+    """Uniform-coefficient folding shared by both updates (the single-chip
+    convention, :func:`cuembed_tpu.train.sgd_sparse_update`)."""
+    gy = grad_y.astype(jnp.float32)
+    coeff = None
+    if weights is not None:
+        coeff = weights.reshape(-1).astype(jnp.float32)
+        if mode == CombineMode.MEAN:
+            coeff = coeff / indices.shape[1]
+    elif mode == CombineMode.MEAN:
+        gy = gy * (1.0 / indices.shape[1])
+    return coeff, gy
+
+
+def _compressed_local(local_rows, grad_rows):
+    """Sorted per-unique-row gradient sums of the routed update stream."""
+    m = local_rows.shape[0]
+    rows_s, order = jax.lax.sort(
+        [local_rows, jnp.arange(m, dtype=jnp.int32)], num_keys=1
+    )
+    return _segment_partials(grad_rows, rows_s, order, None, None)
+
+
+def sharded_sgd_sparse_update(
+    table: jax.Array,
+    indices: jax.Array,
+    grad_y: jax.Array,
+    *,
+    mesh: Mesh,
+    lr: float,
+    weights: Optional[jax.Array] = None,
+    mode: CombineMode = CombineMode.SUM,
+    capacity_factor: float = 2.0,
+    axis: str = MODEL_AXIS,
+) -> jax.Array:
+    """One sparse SGD step on a row-sharded table (fixed hotness).
+
+    Exactly ``table - lr * dense_grad`` (up to fp reassociation) with the
+    gradient routed to owner shards — the update mirror of
+    :func:`alltoall_row_sharded_lookup`.
+
+    Args:
+      table: ``[V, W]``, rows divisible by the axis size, ``P(axis, None)``.
+      indices: ``[batch, hotness]`` global ids, ``P(axis, None)``.
+      grad_y: ``[batch, W]`` pooled-output gradient, ``P(axis, None)``.
+      weights / mode: the forward's combine spec (SUM/MEAN; weighted SUM).
+      capacity_factor: static per-destination slots as a multiple of the
+        balanced share; overflow falls back to full capacity (exact).
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("routed updates pool rows; CONCAT unsupported")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    n = mesh.shape[axis]
+    num_rows, width = table.shape
+    if num_rows % n != 0:
+        raise ValueError("pad table rows to a multiple of the axis size")
+    rows_per = num_rows // n
+    batch, hotness = indices.shape
+    if batch % n != 0:
+        raise ValueError("batch must divide evenly across the axis")
+    nnz_l = (batch // n) * hotness
+    cap = int(nnz_l / n * capacity_factor) + 1
+    cap = min(-(-cap // 8) * 8, nnz_l)
+
+    in_specs = [P(axis, None), P(axis, None), P(axis, None)]
+    args = [table, indices.astype(jnp.int32), grad_y]
+    if weights is not None:
+        in_specs.append(P(axis, None))
+        args.append(weights)
+
+    def local(table_l, idx_l, gy_l, *rest):
+        coeff, gy = _coeff_and_gy(
+            idx_l, gy_l, rest[0] if weights is not None else None, mode
+        )
+
+        def apply(c):
+            local_rows, grad_rows = _route_grad_rows(
+                idx_l, gy, coeff, n, rows_per, c, axis, width
+            )
+            m = local_rows.shape[0]
+            rows_s, order = jax.lax.sort(
+                [local_rows, jnp.arange(m, dtype=jnp.int32)], num_keys=1
+            )
+            g = jnp.take(grad_rows, order, axis=0)
+            # Sorted scatter-add; sentinel rows drop out of range.
+            return table_l.at[rows_s].add(
+                (-lr * g).astype(table_l.dtype), mode="drop",
+                indices_are_sorted=True,
+            )
+
+        if cap >= nnz_l:
+            return apply(nnz_l)
+        flat = idx_l.reshape(-1)
+        owner = jnp.clip(flat // rows_per, 0, n - 1)
+        counts = jnp.sum(
+            owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None],
+            axis=1,
+        )
+        overflow_any = (
+            jax.lax.psum(
+                jnp.any(counts > cap).astype(jnp.int32), axis
+            ) > 0
+        )
+        return jax.lax.cond(
+            overflow_any, lambda _: apply(nnz_l), lambda _: apply(cap), 0
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(*args)
+
+
+def sharded_rowwise_adagrad_sparse_update(
+    table: jax.Array,
+    accum: jax.Array,
+    indices: jax.Array,
+    grad_y: jax.Array,
+    *,
+    mesh: Mesh,
+    lr: float,
+    eps: float = 1e-8,
+    weights: Optional[jax.Array] = None,
+    mode: CombineMode = CombineMode.SUM,
+    capacity_factor: float = 2.0,
+    axis: str = MODEL_AXIS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-wise AdaGrad on a row-sharded table + co-sharded accumulator.
+
+    Per touched row r (with total gradient row G_r across ALL shards'
+    batches): ``accum[r] += mean(G_r^2)``;
+    ``table[r] -= lr * G_r / sqrt(accum[r] + eps)`` — identical semantics
+    to the single-chip :func:`cuembed_tpu.train.rowwise_adagrad_sparse_update`
+    because the routing delivers every shard's contribution to the owner
+    BEFORE the per-row sum, so G_r is the global row gradient.
+
+    ``accum``: ``[V]`` fp32, sharded ``P(axis)`` (row-aligned with the
+    table).
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("routed updates pool rows; CONCAT unsupported")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    n = mesh.shape[axis]
+    num_rows, width = table.shape
+    if num_rows % n != 0:
+        raise ValueError("pad table rows to a multiple of the axis size")
+    if accum.shape[0] != num_rows:
+        raise ValueError("accum must be row-aligned with the table")
+    rows_per = num_rows // n
+    batch, hotness = indices.shape
+    if batch % n != 0:
+        raise ValueError("batch must divide evenly across the axis")
+    nnz_l = (batch // n) * hotness
+    cap = int(nnz_l / n * capacity_factor) + 1
+    cap = min(-(-cap // 8) * 8, nnz_l)
+
+    in_specs = [P(axis, None), P(axis), P(axis, None), P(axis, None)]
+    args = [table, accum, indices.astype(jnp.int32), grad_y]
+    if weights is not None:
+        in_specs.append(P(axis, None))
+        args.append(weights)
+
+    def local(table_l, accum_l, idx_l, gy_l, *rest):
+        coeff, gy = _coeff_and_gy(
+            idx_l, gy_l, rest[0] if weights is not None else None, mode
+        )
+
+        def apply(c):
+            local_rows, grad_rows = _route_grad_rows(
+                idx_l, gy, coeff, n, rows_per, c, axis, width
+            )
+            rows, uniq, nu = _compressed_local(local_rows, grad_rows)
+            k = rows.shape[0]
+            rid = jnp.arange(k, dtype=jnp.int32)
+            valid = rid < nu
+            safe = jnp.where(valid, uniq, 0)
+            g2 = jnp.mean(rows * rows, axis=1) * valid
+            new_acc_rows = jnp.take(accum_l, safe) + g2
+            # Distinct out-of-range targets for dropped slots keep the
+            # scatter index vector unique and ascending (the single-chip
+            # convention, cuembed_tpu/train.py).
+            droppable = (~valid) | (uniq >= accum_l.shape[0])
+            scat = jnp.where(droppable, accum_l.shape[0] + rid, uniq)
+            new_accum = accum_l.at[scat].set(
+                new_acc_rows, mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )
+            scale = jnp.where(
+                valid, -lr / jnp.sqrt(new_acc_rows + eps), 0.0
+            )
+            new_table = table_l.at[scat].add(
+                (rows * scale[:, None]).astype(table_l.dtype),
+                mode="drop", indices_are_sorted=True, unique_indices=True,
+            )
+            return new_table, new_accum
+
+        if cap >= nnz_l:
+            return apply(nnz_l)
+        flat = idx_l.reshape(-1)
+        owner = jnp.clip(flat // rows_per, 0, n - 1)
+        counts = jnp.sum(
+            owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None],
+            axis=1,
+        )
+        overflow_any = (
+            jax.lax.psum(
+                jnp.any(counts > cap).astype(jnp.int32), axis
+            ) > 0
+        )
+        return jax.lax.cond(
+            overflow_any, lambda _: apply(nnz_l), lambda _: apply(cap), 0
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(axis, None), P(axis)),
+        check_vma=False,
+    )(*args)

@@ -1,0 +1,159 @@
+"""Routed sparse optimizer updates on the virtual 8-device CPU mesh.
+
+The sharded updates must match the single-chip sparse updates (which are
+themselves validated against the dense ``jax.grad`` path in
+tests/test_train.py) up to fp reassociation: the routing delivers every
+shard's (row, gradient-row) contributions to the owner before the
+per-row sum, so semantics are identical.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cuembed_tpu import CombineMode
+from cuembed_tpu.parallel import (
+    sharded_rowwise_adagrad_sparse_update,
+    sharded_sgd_sparse_update,
+)
+from cuembed_tpu.train import (
+    rowwise_adagrad_init,
+    rowwise_adagrad_sparse_update,
+    sgd_sparse_update,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+N = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:N]), ("model",))
+
+
+def _problem(rng, V=1024, W=32, B=64, H=8, weighted=False):
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    w = (
+        jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+        if weighted
+        else None
+    )
+    return table, idx, gy, w
+
+
+def _place(mesh, *arrs):
+    out = []
+    for a in arrs:
+        if a is None:
+            out.append(None)
+        elif a.ndim == 2:
+            out.append(jax.device_put(a, NamedSharding(mesh, P("model", None))))
+        else:
+            out.append(jax.device_put(a, NamedSharding(mesh, P("model"))))
+    return out
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_sharded_sgd_matches_single_chip(mesh, mode, weighted):
+    if weighted and mode != CombineMode.SUM:
+        pytest.skip("weights only with SUM")
+    rng = np.random.default_rng(0)
+    table, idx, gy, w = _problem(rng, weighted=weighted)
+    want = sgd_sparse_update(
+        table, idx, gy, lr=0.1, weights=w, mode=mode
+    )
+    ts, xs, gys, ws = _place(mesh, table, idx, gy, w)
+    got = sharded_sgd_sparse_update(
+        ts, xs, gys, mesh=mesh, lr=0.1, weights=ws, mode=mode
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_sgd_overflow_falls_back_exactly(mesh):
+    """All indices owned by shard 0 — tiny capacity must trigger the
+    collective-safe full-capacity fallback, not drop updates."""
+    rng = np.random.default_rng(1)
+    table, _, gy, _ = _problem(rng)
+    idx = jnp.asarray(rng.integers(0, 128, (64, 8)).astype(np.int32))
+    want = sgd_sparse_update(table, idx, gy, lr=0.1)
+    ts, xs, gys = _place(mesh, table, idx, gy)
+    got = sharded_sgd_sparse_update(
+        ts, xs, gys, mesh=mesh, lr=0.1, capacity_factor=0.25
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+def test_sharded_adagrad_matches_single_chip(mesh, mode):
+    rng = np.random.default_rng(2)
+    table, idx, gy, _ = _problem(rng)
+    accum0 = rowwise_adagrad_init(table.shape[0]) + 0.01
+    want_t, want_a = rowwise_adagrad_sparse_update(
+        table, accum0, idx, gy, lr=0.1, mode=mode
+    )
+    ts, xs, gys = _place(mesh, table, idx, gy)
+    as_ = jax.device_put(accum0, NamedSharding(mesh, P("model")))
+    got_t, got_a = sharded_rowwise_adagrad_sparse_update(
+        ts, as_, xs, gys, mesh=mesh, lr=0.1, mode=mode
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_a), np.asarray(want_a), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_t), np.asarray(want_t), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_adagrad_weighted_and_repeat_steps(mesh):
+    """Two chained steps with weighted SUM: accumulator state carries
+    across steps identically to the single-chip path."""
+    rng = np.random.default_rng(3)
+    table, idx, gy, w = _problem(rng, weighted=True)
+    accum = rowwise_adagrad_init(table.shape[0])
+    want_t, want_a = table, accum
+    for _ in range(2):
+        want_t, want_a = rowwise_adagrad_sparse_update(
+            want_t, want_a, idx, gy, lr=0.05, weights=w
+        )
+    ts, xs, gys, ws = _place(mesh, table, idx, gy, w)
+    as_ = jax.device_put(accum, NamedSharding(mesh, P("model")))
+    got_t, got_a = ts, as_
+    for _ in range(2):
+        got_t, got_a = sharded_rowwise_adagrad_sparse_update(
+            got_t, got_a, xs, gys, mesh=mesh, lr=0.05, weights=ws
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_a), np.asarray(want_a), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_t), np.asarray(want_t), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_sgd_update_is_jittable_with_donation(mesh):
+    """The production calling convention: donated table, one jit."""
+    rng = np.random.default_rng(4)
+    table, idx, gy, _ = _problem(rng)
+    ts, xs, gys = _place(mesh, table, idx, gy)
+
+    @jax.jit
+    def step(t):
+        return sharded_sgd_sparse_update(t, xs, gys, mesh=mesh, lr=0.1)
+
+    out = jax.block_until_ready(step(ts))
+    want = sgd_sparse_update(table, idx, gy, lr=0.1)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
