@@ -26,6 +26,7 @@ from cuembed_tpu.parallel.alltoall_lookup import (
 from cuembed_tpu.parallel.train import (
     sharded_sgd_sparse_update,
     sharded_rowwise_adagrad_sparse_update,
+    sharded_hybrid_sgd_sparse_update,
 )
 from cuembed_tpu.parallel import multihost
 
@@ -35,6 +36,7 @@ __all__ = [
     "split_hybrid_table",
     "sharded_sgd_sparse_update",
     "sharded_rowwise_adagrad_sparse_update",
+    "sharded_hybrid_sgd_sparse_update",
     "multihost",
     "make_mesh",
     "table_sharding",

@@ -44,16 +44,22 @@ except ImportError:  # pragma: no cover
 _SENTINEL = jnp.iinfo(jnp.int32).max
 
 
-def _route_grad_rows(idx_l, gy_l, coeff, n, rows_per, cap, axis, width):
+def _route_grad_rows(
+    flat, hotness, gy_l, coeff, n, rows_per, cap, axis, width, valid=None
+):
     """Bucket per-position gradient rows by owner shard and exchange.
 
+    ``flat [nnz_l]`` is in ROUTED row space (global for the plain layout,
+    tail space for hybrid); ``valid`` optionally masks positions that
+    must not route (hybrid head hits) — they never consume a slot.
     Returns ``(local_rows [n*cap], grad_rows [n*cap, W])`` — the update
     stream addressed to MY table shard (local row space), dead slots
     marked with ``_SENTINEL`` rows and zero gradient.
     """
-    nnz_l = idx_l.size
-    flat = idx_l.reshape(-1)
+    nnz_l = flat.shape[0]
     owner = jnp.clip(flat // rows_per, 0, n - 1)
+    if valid is not None:
+        owner = jnp.where(valid, owner, n)  # sorts last, never in a slot
     owner_s, pos_s = jax.lax.sort(
         [owner, jnp.arange(nnz_l, dtype=jnp.int32)], num_keys=1
     )
@@ -71,7 +77,7 @@ def _route_grad_rows(idx_l, gy_l, coeff, n, rows_per, cap, axis, width):
 
     # Per-slot gradient row: coeff_p * grad_y[sample_p] (the position's
     # exact dense-gradient contribution).
-    sample_of = slot_pos // idx_l.shape[1]
+    sample_of = slot_pos // hotness
     g = jnp.take(gy_l, sample_of.reshape(-1), axis=0).astype(jnp.float32)
     if coeff is not None:
         g = g * jnp.take(coeff, slot_pos.reshape(-1))[:, None]
@@ -170,7 +176,8 @@ def sharded_sgd_sparse_update(
 
         def apply(c):
             local_rows, grad_rows = _route_grad_rows(
-                idx_l, gy, coeff, n, rows_per, c, axis, width
+                idx_l.reshape(-1), idx_l.shape[1], gy, coeff, n,
+                rows_per, c, axis, width,
             )
             m = local_rows.shape[0]
             rows_s, order = jax.lax.sort(
@@ -266,7 +273,8 @@ def sharded_rowwise_adagrad_sparse_update(
 
         def apply(c):
             local_rows, grad_rows = _route_grad_rows(
-                idx_l, gy, coeff, n, rows_per, c, axis, width
+                idx_l.reshape(-1), idx_l.shape[1], gy, coeff, n,
+                rows_per, c, axis, width,
             )
             rows, uniq, nu = _compressed_local(local_rows, grad_rows)
             k = rows.shape[0]
@@ -315,5 +323,113 @@ def sharded_rowwise_adagrad_sparse_update(
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=(P(axis, None), P(axis)),
+        check_vma=False,
+    )(*args)
+
+
+def sharded_hybrid_sgd_sparse_update(
+    head_table: jax.Array,
+    tail_table: jax.Array,
+    indices: jax.Array,
+    grad_y: jax.Array,
+    *,
+    mesh: Mesh,
+    lr: float,
+    weights: Optional[jax.Array] = None,
+    mode: CombineMode = CombineMode.SUM,
+    capacity_factor: float = 2.0,
+    cold_frac: float = 1.0,
+    axis: str = MODEL_AXIS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse SGD on the hybrid layout: replicated head + routed tail.
+
+    The update mirror of :func:`hybrid_tiered_lookup`. Head hits (row <
+    ``hot``) never touch the wire: each shard computes its local batch's
+    head gradient as ONE one-hot MXU matmul (:func:`cuembed_tpu.ops.head.
+    head_grad` — the same machinery the single-chip tiered backward
+    uses), a ``psum`` over the axis makes it the global head gradient,
+    and the replicated head updates densely (zero rows update by zero —
+    identical to the row-sparse semantics). Only cold-tail (row, gradient
+    row) pairs are routed to their owner shard.
+
+    Returns ``(new_head [hot, W] replicated, new_tail sharded)``.
+    """
+    from cuembed_tpu.ops.head import head_grad
+
+    if mode == CombineMode.CONCAT:
+        raise ValueError("routed updates pool rows; CONCAT unsupported")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    n = mesh.shape[axis]
+    hot, width = head_table.shape
+    v_tail = tail_table.shape[0]
+    if v_tail % n != 0:
+        raise ValueError("pad tail rows to a multiple of the axis size")
+    rows_per = v_tail // n
+    batch, hotness = indices.shape
+    if batch % n != 0:
+        raise ValueError("batch must divide evenly across the axis")
+    nnz_l = (batch // n) * hotness
+    cap = int(nnz_l / n * min(max(cold_frac, 1e-3), 1.0) * capacity_factor)
+    cap = min(max(-(-cap // 8) * 8, 8), nnz_l)
+
+    in_specs = [P(None, None), P(axis, None), P(axis, None), P(axis, None)]
+    args = [head_table, tail_table, indices.astype(jnp.int32), grad_y]
+    if weights is not None:
+        in_specs.append(P(axis, None))
+        args.append(weights)
+
+    def local(head_l, tail_l, idx_l, gy_l, *rest):
+        coeff, gy = _coeff_and_gy(
+            idx_l, gy_l, rest[0] if weights is not None else None, mode
+        )
+        coeff2d = None if coeff is None else coeff.reshape(idx_l.shape)
+
+        # -- head: one-hot MXU gradient, global via psum ---------------
+        hg = head_grad(idx_l, coeff2d, gy, hot, jnp.float32)
+        hg = jax.lax.psum(hg, axis)
+        new_head = head_l - (lr * hg).astype(head_l.dtype)
+
+        # -- tail: route cold positions to their owner -----------------
+        flat = idx_l.reshape(-1)
+        is_cold = flat >= hot
+
+        def apply(c):
+            local_rows, grad_rows = _route_grad_rows(
+                flat - hot, hotness, gy, coeff, n, rows_per, c, axis,
+                width, valid=is_cold,
+            )
+            m = local_rows.shape[0]
+            rows_s, order = jax.lax.sort(
+                [local_rows, jnp.arange(m, dtype=jnp.int32)], num_keys=1
+            )
+            g = jnp.take(grad_rows, order, axis=0)
+            return tail_l.at[rows_s].add(
+                (-lr * g).astype(tail_l.dtype), mode="drop",
+                indices_are_sorted=True,
+            )
+
+        if cap >= nnz_l:
+            return new_head, apply(nnz_l)
+        owner = jnp.where(
+            is_cold, jnp.clip((flat - hot) // rows_per, 0, n - 1), n
+        )
+        counts = jnp.sum(
+            owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None],
+            axis=1,
+        )
+        overflow_any = (
+            jax.lax.psum(jnp.any(counts > cap).astype(jnp.int32), axis) > 0
+        )
+        new_tail = jax.lax.cond(
+            overflow_any, lambda _: apply(nnz_l), lambda _: apply(cap), 0
+        )
+        return new_head, new_tail
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, None), P(axis, None)),
         check_vma=False,
     )(*args)

@@ -157,3 +157,64 @@ def test_sharded_sgd_update_is_jittable_with_donation(mesh):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_hybrid_sgd_matches_single_chip(mesh, weighted):
+    """Hybrid update (psum'd MXU head grad + routed tail) must equal the
+    single-chip sparse SGD on the concatenated table."""
+    from cuembed_tpu.parallel import (
+        sharded_hybrid_sgd_sparse_update,
+        split_hybrid_table,
+    )
+
+    rng = np.random.default_rng(5)
+    V, hot, B, H, W = 1024, 256, 64, 8, 32
+    table, _, gy, w = _problem(rng, V=V, W=W, B=B, H=H, weighted=weighted)
+    # skew toward the head so both branches carry real traffic
+    idx = jnp.asarray(
+        np.minimum((rng.random((B, H)) ** 2 * V).astype(np.int32), V - 1)
+    )
+    want = sgd_sparse_update(table, idx, gy, lr=0.1, weights=w)
+
+    head, tail = split_hybrid_table(table, hot, N)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    xs = jax.device_put(idx, NamedSharding(mesh, P("model", None)))
+    gys = jax.device_put(gy, NamedSharding(mesh, P("model", None)))
+    ws = (
+        jax.device_put(w, NamedSharding(mesh, P("model", None)))
+        if weighted else None
+    )
+    nh, nt = sharded_hybrid_sgd_sparse_update(
+        hs, ts, xs, gys, mesh=mesh, lr=0.1, weights=ws, cold_frac=0.9
+    )
+    got = np.concatenate([np.asarray(nh), np.asarray(nt)])[:V]
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_hybrid_sgd_overflow_falls_back_exactly(mesh):
+    from cuembed_tpu.parallel import (
+        sharded_hybrid_sgd_sparse_update,
+        split_hybrid_table,
+    )
+
+    rng = np.random.default_rng(6)
+    V, hot, B, H, W = 1024, 128, 64, 8, 16
+    table, _, _, _ = _problem(rng, V=V, W=W, B=B, H=H)
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    # every cold index owned by tail shard 0 -> guaranteed overflow
+    idx = jnp.asarray(
+        (hot + rng.integers(0, 64, (B, H))).astype(np.int32)
+    )
+    want = sgd_sparse_update(table, idx, gy, lr=0.1)
+    head, tail = split_hybrid_table(table, hot, N)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    xs = jax.device_put(idx, NamedSharding(mesh, P("model", None)))
+    gys = jax.device_put(gy, NamedSharding(mesh, P("model", None)))
+    nh, nt = sharded_hybrid_sgd_sparse_update(
+        hs, ts, xs, gys, mesh=mesh, lr=0.1, capacity_factor=0.25
+    )
+    got = np.concatenate([np.asarray(nh), np.asarray(nt)])[:V]
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-5)
