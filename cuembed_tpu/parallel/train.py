@@ -45,13 +45,15 @@ _SENTINEL = jnp.iinfo(jnp.int32).max
 
 
 def _route_grad_rows(
-    flat, hotness, gy_l, coeff, n, rows_per, cap, axis, width, valid=None
+    flat, sample_ids, gy_l, coeff, n, rows_per, cap, axis, width, valid=None
 ):
     """Bucket per-position gradient rows by owner shard and exchange.
 
     ``flat [nnz_l]`` is in ROUTED row space (global for the plain layout,
-    tail space for hybrid); ``valid`` optionally masks positions that
-    must not route (hybrid head hits) — they never consume a slot.
+    tail space for hybrid); ``sample_ids [nnz_l]`` maps each position to
+    its ``gy_l`` row (``pos // hotness`` fixed, CSR row ids ragged);
+    ``valid`` optionally masks positions that must not route (hybrid
+    head hits, CSR padding) — they never consume a slot.
     Returns ``(local_rows [n*cap], grad_rows [n*cap, W])`` — the update
     stream addressed to MY table shard (local row space), dead slots
     marked with ``_SENTINEL`` rows and zero gradient.
@@ -77,7 +79,7 @@ def _route_grad_rows(
 
     # Per-slot gradient row: coeff_p * grad_y[sample_p] (the position's
     # exact dense-gradient contribution).
-    sample_of = slot_pos // hotness
+    sample_of = jnp.take(sample_ids, slot_pos)
     g = jnp.take(gy_l, sample_of.reshape(-1), axis=0).astype(jnp.float32)
     if coeff is not None:
         g = g * jnp.take(coeff, slot_pos.reshape(-1))[:, None]
@@ -98,18 +100,32 @@ def _route_grad_rows(
     return local_rows, recv_g
 
 
-def _coeff_and_gy(indices, grad_y, weights, mode):
-    """Uniform-coefficient folding shared by both updates (the single-chip
-    convention, :func:`cuembed_tpu.train.sgd_sparse_update`)."""
-    gy = grad_y.astype(jnp.float32)
-    coeff = None
-    if weights is not None:
-        coeff = weights.reshape(-1).astype(jnp.float32)
-        if mode == CombineMode.MEAN:
-            coeff = coeff / indices.shape[1]
-    elif mode == CombineMode.MEAN:
-        gy = gy * (1.0 / indices.shape[1])
-    return coeff, gy
+def _prep_coo(idx_l, offs_l, w_l, mode, gy_l):
+    """Per-position (flat_idx, sample_ids, coeff, gy, valid).
+
+    Shares the single-chip COO flattening (:func:`cuembed_tpu.train.
+    _flatten_coo`): fixed hotness or sharded-CSR block, weights / MEAN /
+    CSR liveness folded into ``coeff`` (uniform unweighted coefficients
+    fold into ``gy`` instead, saving the per-slot multiply). ``valid``
+    masks zero-coefficient positions (CSR padding, zero weights) out of
+    the routing slots.
+    """
+    from cuembed_tpu.train import _flatten_coo
+
+    gy = gy_l.astype(jnp.float32)
+    if offs_l is None:
+        if w_l is None and mode == CombineMode.MEAN:
+            gy = gy * (1.0 / idx_l.shape[1])
+        flat, sids, coeff = _flatten_coo(
+            idx_l, None, w_l, mode, jnp.float32
+        )
+    else:
+        flat, sids, coeff = _flatten_coo(
+            idx_l.reshape(-1), offs_l.reshape(-1),
+            None if w_l is None else w_l.reshape(-1), mode, jnp.float32,
+        )
+    valid = None if coeff is None else (coeff != 0)
+    return flat, sids, coeff, gy, valid
 
 
 def _compressed_local(local_rows, grad_rows):
@@ -121,6 +137,38 @@ def _compressed_local(local_rows, grad_rows):
     return _segment_partials(grad_rows, rows_s, order, None, None)
 
 
+def _overflowed(flat, valid, n, rows_per, cap, axis):
+    """Collective-safe overflow predicate, matching the router's counts."""
+    owner = jnp.clip(flat // rows_per, 0, n - 1)
+    if valid is not None:
+        owner = jnp.where(valid, owner, n)
+    counts = jnp.sum(
+        owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None], axis=1
+    )
+    return jax.lax.psum(jnp.any(counts > cap).astype(jnp.int32), axis) > 0
+
+
+def _update_shapes(table, indices, offsets, n, capacity_factor):
+    """Shared validation + capacity sizing for the routed updates."""
+    num_rows, width = table.shape
+    if num_rows % n != 0:
+        raise ValueError("pad table rows to a multiple of the axis size")
+    if offsets is not None:
+        if indices.ndim != 2 or indices.shape[0] != n:
+            raise ValueError(
+                "sharded CSR wants indices [n_shards, cap]; see shard_csr"
+            )
+        nnz_l = indices.shape[1]
+    else:
+        batch, hotness = indices.shape
+        if batch % n != 0:
+            raise ValueError("batch must divide evenly across the axis")
+        nnz_l = (batch // n) * hotness
+    cap = int(nnz_l / n * capacity_factor) + 1
+    cap = min(-(-cap // 8) * 8, nnz_l)
+    return num_rows // n, width, nnz_l, cap
+
+
 def sharded_sgd_sparse_update(
     table: jax.Array,
     indices: jax.Array,
@@ -128,12 +176,13 @@ def sharded_sgd_sparse_update(
     *,
     mesh: Mesh,
     lr: float,
+    offsets: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
     mode: CombineMode = CombineMode.SUM,
     capacity_factor: float = 2.0,
     axis: str = MODEL_AXIS,
 ) -> jax.Array:
-    """One sparse SGD step on a row-sharded table (fixed hotness).
+    """One sparse SGD step on a row-sharded table.
 
     Exactly ``table - lr * dense_grad`` (up to fp reassociation) with the
     gradient routed to owner shards — the update mirror of
@@ -141,8 +190,11 @@ def sharded_sgd_sparse_update(
 
     Args:
       table: ``[V, W]``, rows divisible by the axis size, ``P(axis, None)``.
-      indices: ``[batch, hotness]`` global ids, ``P(axis, None)``.
+      indices: ``[batch, hotness]`` global ids, ``P(axis, None)``; with
+        ``offsets``, the sharded-CSR layout ``[n, cap]`` (see
+        :func:`cuembed_tpu.parallel.sharding.shard_csr`).
       grad_y: ``[batch, W]`` pooled-output gradient, ``P(axis, None)``.
+      offsets: optional sharded-CSR offsets ``[n, local_batch + 1]``.
       weights / mode: the forward's combine spec (SUM/MEAN; weighted SUM).
       capacity_factor: static per-destination slots as a multiple of the
         balanced share; overflow falls back to full capacity (exact).
@@ -152,32 +204,31 @@ def sharded_sgd_sparse_update(
     if weights is not None and mode != CombineMode.SUM:
         raise ValueError("weights are only supported with CombineMode.SUM")
     n = mesh.shape[axis]
-    num_rows, width = table.shape
-    if num_rows % n != 0:
-        raise ValueError("pad table rows to a multiple of the axis size")
-    rows_per = num_rows // n
-    batch, hotness = indices.shape
-    if batch % n != 0:
-        raise ValueError("batch must divide evenly across the axis")
-    nnz_l = (batch // n) * hotness
-    cap = int(nnz_l / n * capacity_factor) + 1
-    cap = min(-(-cap // 8) * 8, nnz_l)
+    rows_per, width, nnz_l, cap = _update_shapes(
+        table, indices, offsets, n, capacity_factor
+    )
 
     in_specs = [P(axis, None), P(axis, None), P(axis, None)]
     args = [table, indices.astype(jnp.int32), grad_y]
     if weights is not None:
         in_specs.append(P(axis, None))
         args.append(weights)
+    if offsets is not None:
+        in_specs.append(P(axis, None))
+        args.append(offsets.astype(jnp.int32))
 
     def local(table_l, idx_l, gy_l, *rest):
-        coeff, gy = _coeff_and_gy(
-            idx_l, gy_l, rest[0] if weights is not None else None, mode
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        offs_l = rest.pop(0) if offsets is not None else None
+        flat, sids, coeff, gy, valid = _prep_coo(
+            idx_l, offs_l, w_l, mode, gy_l
         )
 
         def apply(c):
             local_rows, grad_rows = _route_grad_rows(
-                idx_l.reshape(-1), idx_l.shape[1], gy, coeff, n,
-                rows_per, c, axis, width,
+                flat, sids, gy, coeff, n, rows_per, c, axis, width,
+                valid=valid,
             )
             m = local_rows.shape[0]
             rows_s, order = jax.lax.sort(
@@ -192,19 +243,9 @@ def sharded_sgd_sparse_update(
 
         if cap >= nnz_l:
             return apply(nnz_l)
-        flat = idx_l.reshape(-1)
-        owner = jnp.clip(flat // rows_per, 0, n - 1)
-        counts = jnp.sum(
-            owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None],
-            axis=1,
-        )
-        overflow_any = (
-            jax.lax.psum(
-                jnp.any(counts > cap).astype(jnp.int32), axis
-            ) > 0
-        )
         return jax.lax.cond(
-            overflow_any, lambda _: apply(nnz_l), lambda _: apply(cap), 0
+            _overflowed(flat, valid, n, rows_per, cap, axis),
+            lambda _: apply(nnz_l), lambda _: apply(cap), 0,
         )
 
     return shard_map(
@@ -225,6 +266,7 @@ def sharded_rowwise_adagrad_sparse_update(
     mesh: Mesh,
     lr: float,
     eps: float = 1e-8,
+    offsets: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
     mode: CombineMode = CombineMode.SUM,
     capacity_factor: float = 2.0,
@@ -247,34 +289,33 @@ def sharded_rowwise_adagrad_sparse_update(
     if weights is not None and mode != CombineMode.SUM:
         raise ValueError("weights are only supported with CombineMode.SUM")
     n = mesh.shape[axis]
-    num_rows, width = table.shape
-    if num_rows % n != 0:
-        raise ValueError("pad table rows to a multiple of the axis size")
-    if accum.shape[0] != num_rows:
+    if accum.shape[0] != table.shape[0]:
         raise ValueError("accum must be row-aligned with the table")
-    rows_per = num_rows // n
-    batch, hotness = indices.shape
-    if batch % n != 0:
-        raise ValueError("batch must divide evenly across the axis")
-    nnz_l = (batch // n) * hotness
-    cap = int(nnz_l / n * capacity_factor) + 1
-    cap = min(-(-cap // 8) * 8, nnz_l)
+    rows_per, width, nnz_l, cap = _update_shapes(
+        table, indices, offsets, n, capacity_factor
+    )
 
     in_specs = [P(axis, None), P(axis), P(axis, None), P(axis, None)]
     args = [table, accum, indices.astype(jnp.int32), grad_y]
     if weights is not None:
         in_specs.append(P(axis, None))
         args.append(weights)
+    if offsets is not None:
+        in_specs.append(P(axis, None))
+        args.append(offsets.astype(jnp.int32))
 
     def local(table_l, accum_l, idx_l, gy_l, *rest):
-        coeff, gy = _coeff_and_gy(
-            idx_l, gy_l, rest[0] if weights is not None else None, mode
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        offs_l = rest.pop(0) if offsets is not None else None
+        flat, sids, coeff, gy, pvalid = _prep_coo(
+            idx_l, offs_l, w_l, mode, gy_l
         )
 
         def apply(c):
             local_rows, grad_rows = _route_grad_rows(
-                idx_l.reshape(-1), idx_l.shape[1], gy, coeff, n,
-                rows_per, c, axis, width,
+                flat, sids, gy, coeff, n, rows_per, c, axis, width,
+                valid=pvalid,
             )
             rows, uniq, nu = _compressed_local(local_rows, grad_rows)
             k = rows.shape[0]
@@ -303,19 +344,9 @@ def sharded_rowwise_adagrad_sparse_update(
 
         if cap >= nnz_l:
             return apply(nnz_l)
-        flat = idx_l.reshape(-1)
-        owner = jnp.clip(flat // rows_per, 0, n - 1)
-        counts = jnp.sum(
-            owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None],
-            axis=1,
-        )
-        overflow_any = (
-            jax.lax.psum(
-                jnp.any(counts > cap).astype(jnp.int32), axis
-            ) > 0
-        )
         return jax.lax.cond(
-            overflow_any, lambda _: apply(nnz_l), lambda _: apply(cap), 0
+            _overflowed(flat, pvalid, n, rows_per, cap, axis),
+            lambda _: apply(nnz_l), lambda _: apply(cap), 0,
         )
 
     return shard_map(
@@ -380,8 +411,9 @@ def sharded_hybrid_sgd_sparse_update(
         args.append(weights)
 
     def local(head_l, tail_l, idx_l, gy_l, *rest):
-        coeff, gy = _coeff_and_gy(
-            idx_l, gy_l, rest[0] if weights is not None else None, mode
+        flat, sids, coeff, gy, _ = _prep_coo(
+            idx_l, None, rest[0] if weights is not None else None, mode,
+            gy_l,
         )
         coeff2d = None if coeff is None else coeff.reshape(idx_l.shape)
 
@@ -391,12 +423,11 @@ def sharded_hybrid_sgd_sparse_update(
         new_head = head_l - (lr * hg).astype(head_l.dtype)
 
         # -- tail: route cold positions to their owner -----------------
-        flat = idx_l.reshape(-1)
         is_cold = flat >= hot
 
         def apply(c):
             local_rows, grad_rows = _route_grad_rows(
-                flat - hot, hotness, gy, coeff, n, rows_per, c, axis,
+                flat - hot, sids, gy, coeff, n, rows_per, c, axis,
                 width, valid=is_cold,
             )
             m = local_rows.shape[0]

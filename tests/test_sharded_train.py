@@ -218,3 +218,69 @@ def test_hybrid_sgd_overflow_falls_back_exactly(mesh):
     )
     got = np.concatenate([np.asarray(nh), np.asarray(nt)])[:V]
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+def test_sharded_sgd_csr_matches_single_chip(mesh, mode):
+    """Sharded-CSR blocks through the routed update must equal the
+    single-chip CSR sparse SGD on the global batch."""
+    from cuembed_tpu.parallel import shard_csr
+
+    rng = np.random.default_rng(7)
+    V, W, B = 1024, 32, 64
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    hots = rng.integers(0, 9, B)
+    offs = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    vals = rng.integers(0, V, max(int(offs[-1]), 1)).astype(np.int32)
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+
+    want = sgd_sparse_update(
+        table, jnp.asarray(vals), gy, lr=0.1,
+        offsets=jnp.asarray(offs), mode=mode,
+    )
+
+    ib, ob, _ = shard_csr(vals, offs, N)
+    ts = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    ibs = jax.device_put(jnp.asarray(ib), NamedSharding(mesh, P("model", None)))
+    obs = jax.device_put(jnp.asarray(ob), NamedSharding(mesh, P("model", None)))
+    gys = jax.device_put(gy, NamedSharding(mesh, P("model", None)))
+    got = sharded_sgd_sparse_update(
+        ts, ibs, gys, mesh=mesh, lr=0.1, offsets=obs, mode=mode
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_adagrad_csr_matches_single_chip(mesh):
+    from cuembed_tpu.parallel import shard_csr
+
+    rng = np.random.default_rng(8)
+    V, W, B = 1024, 16, 64
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    hots = rng.integers(0, 6, B)
+    offs = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    vals = rng.integers(0, V, max(int(offs[-1]), 1)).astype(np.int32)
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    accum0 = rowwise_adagrad_init(V)
+
+    want_t, want_a = rowwise_adagrad_sparse_update(
+        table, accum0, jnp.asarray(vals), gy, lr=0.1,
+        offsets=jnp.asarray(offs),
+    )
+
+    ib, ob, _ = shard_csr(vals, offs, N)
+    ts = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    as_ = jax.device_put(accum0, NamedSharding(mesh, P("model")))
+    ibs = jax.device_put(jnp.asarray(ib), NamedSharding(mesh, P("model", None)))
+    obs = jax.device_put(jnp.asarray(ob), NamedSharding(mesh, P("model", None)))
+    gys = jax.device_put(gy, NamedSharding(mesh, P("model", None)))
+    got_t, got_a = sharded_rowwise_adagrad_sparse_update(
+        ts, as_, ibs, gys, mesh=mesh, lr=0.1, offsets=obs
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_a), np.asarray(want_a), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_t), np.asarray(want_t), rtol=1e-5, atol=1e-5
+    )
