@@ -36,13 +36,20 @@ def main():
     p.add_argument("--per-device-batch", type=int, default=4096)
     p.add_argument("--alpha", type=float, default=1.15)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--train", action="store_true",
+                   help="measure the full sparse train step (routed "
+                        "forward + routed row-wise AdaGrad update) "
+                        "instead of the forward alone")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from cuembed_tpu.parallel import alltoall_row_sharded_lookup
+    from cuembed_tpu.parallel import (
+        alltoall_row_sharded_lookup,
+        sharded_rowwise_adagrad_sparse_update,
+    )
     from cuembed_tpu.utils.datagen import PowerLawGenerator
 
     all_devices = jax.devices()
@@ -71,23 +78,50 @@ def main():
             NamedSharding(mesh, P("model", None)),
         )
 
-        @jax.jit
-        def step(table, idx, carry):
-            i, dep = carry
-            out = alltoall_row_sharded_lookup(
-                table, idx + (dep * 0).astype(jnp.int32), mesh=mesh
+        if args.train:
+            accum = jax.device_put(
+                jnp.zeros((rows,), jnp.float32),
+                NamedSharding(mesh, P("model")),
             )
-            return (i + 1, out[0, 0].astype(jnp.float32))
 
-        state = (jnp.int32(0), jnp.float32(0))
-        state = step(table, idx, state)  # compile + warm
-        _ = float(state[1])
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state = step(table, idx, state)
-        _ = float(state[1])
-        dt = (time.perf_counter() - t0) / args.iters
-        rate = batch / dt
+            @jax.jit
+            def tstep(table, accum, idx):
+                pooled = alltoall_row_sharded_lookup(
+                    table, idx, mesh=mesh
+                )
+                gy = jax.grad(
+                    lambda q: jnp.sum(q.astype(jnp.float32) ** 2) * 1e-9
+                )(pooled)
+                return sharded_rowwise_adagrad_sparse_update(
+                    table, accum, idx, gy, mesh=mesh, lr=1e-6
+                )
+
+            table, accum = tstep(table, accum, idx)  # compile + warm
+            _ = float(jnp.sum(table[0, :1]))
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                table, accum = tstep(table, accum, idx)
+            _ = float(jnp.sum(table[0, :1]))
+            dt = (time.perf_counter() - t0) / args.iters
+            rate = batch / dt
+        else:
+            @jax.jit
+            def step(table, idx, carry):
+                i, dep = carry
+                out = alltoall_row_sharded_lookup(
+                    table, idx + (dep * 0).astype(jnp.int32), mesh=mesh
+                )
+                return (i + 1, out[0, 0].astype(jnp.float32))
+
+            state = (jnp.int32(0), jnp.float32(0))
+            state = step(table, idx, state)  # compile + warm
+            _ = float(state[1])
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                state = step(table, idx, state)
+            _ = float(state[1])
+            dt = (time.perf_counter() - t0) / args.iters
+            rate = batch / dt
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * nd)
