@@ -284,3 +284,92 @@ def test_sharded_adagrad_csr_matches_single_chip(mesh):
     np.testing.assert_allclose(
         np.asarray(got_t), np.asarray(want_t), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_sharded_updates_match_single_chip(mesh, trial):
+    """Randomized shapes/modes/capacities: the routed updates must agree
+    with the single-chip sparse updates on every draw."""
+    from cuembed_tpu.parallel import shard_csr
+
+    rng = np.random.default_rng(2000 + trial)
+    W = int(rng.choice([8, 16, 32]))
+    V = int(rng.integers(2, 40)) * N * 8
+    B = int(rng.integers(1, 9)) * N
+    H = int(rng.integers(1, 9))
+    mode = [CombineMode.SUM, CombineMode.MEAN][rng.integers(0, 2)]
+    weighted = bool(rng.integers(0, 2)) and mode == CombineMode.SUM
+    csr = bool(rng.integers(0, 2))
+    capf = float(rng.choice([0.5, 1.0, 2.0]))
+    adagrad = bool(rng.integers(0, 2))
+    lr = 0.07
+
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    ts = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    gys = jax.device_put(gy, NamedSharding(mesh, P("model", None)))
+
+    if csr:
+        hots = rng.integers(0, H + 1, B)
+        offs = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+        vals = rng.integers(0, V, max(int(offs[-1]), 1)).astype(np.int32)
+        w = (
+            rng.standard_normal(vals.shape[0]).astype(np.float32)
+            if weighted else None
+        )
+        ib, ob, wb = shard_csr(vals, offs, N, w)
+        kw = dict(offsets=jnp.asarray(offs), weights=None if w is None
+                  else jnp.asarray(w), mode=mode)
+        skw = dict(
+            offsets=jax.device_put(
+                jnp.asarray(ob), NamedSharding(mesh, P("model", None))
+            ),
+            weights=None if wb is None else jax.device_put(
+                jnp.asarray(wb), NamedSharding(mesh, P("model", None))
+            ),
+            mode=mode,
+        )
+        idx_single = jnp.asarray(vals)
+        idx_sharded = jax.device_put(
+            jnp.asarray(ib), NamedSharding(mesh, P("model", None))
+        )
+    else:
+        idx = rng.integers(0, V, (B, H)).astype(np.int32)
+        w = (
+            rng.standard_normal((B, H)).astype(np.float32)
+            if weighted else None
+        )
+        kw = dict(weights=None if w is None else jnp.asarray(w), mode=mode)
+        skw = dict(
+            weights=None if w is None else jax.device_put(
+                jnp.asarray(w), NamedSharding(mesh, P("model", None))
+            ),
+            mode=mode,
+        )
+        idx_single = jnp.asarray(idx)
+        idx_sharded = jax.device_put(
+            idx_single, NamedSharding(mesh, P("model", None))
+        )
+
+    if adagrad:
+        accum0 = rowwise_adagrad_init(V) + 0.005
+        want_t, want_a = rowwise_adagrad_sparse_update(
+            table, accum0, idx_single, gy, lr=lr, **kw
+        )
+        as_ = jax.device_put(accum0, NamedSharding(mesh, P("model")))
+        got_t, got_a = sharded_rowwise_adagrad_sparse_update(
+            ts, as_, idx_sharded, gys, mesh=mesh, lr=lr,
+            capacity_factor=capf, **skw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_a), np.asarray(want_a), rtol=1e-4, atol=1e-6
+        )
+    else:
+        want_t = sgd_sparse_update(table, idx_single, gy, lr=lr, **kw)
+        got_t = sharded_sgd_sparse_update(
+            ts, idx_sharded, gys, mesh=mesh, lr=lr,
+            capacity_factor=capf, **skw,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_t), np.asarray(want_t), rtol=1e-4, atol=1e-5
+    )
