@@ -42,3 +42,43 @@ def test_collection_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["counts"]["a"]), counts["a"]
     )
+
+
+def test_sharded_table_state_roundtrip(tmp_path):
+    """Row-sharded table + co-sharded AdaGrad accumulator round-trip
+    with their shardings preserved (the multi-chip resume path)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("model",))
+    rng = np.random.default_rng(0)
+    table = jax.device_put(
+        jnp.asarray(rng.standard_normal((256, 16)).astype(np.float32)),
+        NamedSharding(mesh, P("model", None)),
+    )
+    accum = jax.device_put(
+        jnp.asarray(rng.random(256).astype(np.float32)),
+        NamedSharding(mesh, P("model")),
+    )
+    state = {"table": table, "accum": accum}
+
+    path = tmp_path / "ckpt_sharded"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    # Restore with the target shardings (abstract pytree), as a fresh
+    # process would after re-creating the mesh.
+    target = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        state,
+    )
+    restored = ckptr.restore(path, target)
+    np.testing.assert_array_equal(
+        np.asarray(restored["table"]), np.asarray(table)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored["accum"]), np.asarray(accum)
+    )
+    assert restored["table"].sharding == table.sharding
+    assert restored["accum"].sharding == accum.sharding
