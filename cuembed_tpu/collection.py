@@ -197,6 +197,130 @@ class EmbeddingCollection:
             for name, c in self.configs.items()
         }
 
+    # -- multi-chip (row-sharded tables over a mesh axis) --------------------
+    def shard(
+        self, tables: Dict[str, jax.Array], mesh, *, axis: str = "model"
+    ) -> Dict[str, jax.Array]:
+        """Place every table row-sharded ``P(axis, None)`` over ``mesh``.
+
+        Rows are padded to a multiple of the axis size (padding rows are
+        never addressed — ids stay in ``[0, num_categories)``). Feed the
+        result to :meth:`apply_sharded` / :meth:`adagrad_update_sharded`.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cuembed_tpu.parallel import pad_table_for_shards
+
+        n = mesh.shape[axis]
+        sh = NamedSharding(mesh, P(axis, None))
+        return {
+            name: jax.device_put(pad_table_for_shards(t, n), sh)
+            for name, t in tables.items()
+        }
+
+    def adagrad_init_sharded(
+        self, mesh, *, axis: str = "model"
+    ) -> Dict[str, jax.Array]:
+        """Accumulators row-aligned with :meth:`shard`'s padded tables."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = mesh.shape[axis]
+        sh = NamedSharding(mesh, P(axis))
+        return {
+            name: jax.device_put(
+                jnp.zeros((-(-c.num_categories // n) * n,), jnp.float32), sh
+            )
+            for name, c in self.configs.items()
+        }
+
+    def apply_sharded(
+        self,
+        tables: Dict[str, jax.Array],
+        indices: Dict[str, jax.Array],
+        weights: Optional[Dict[str, jax.Array]] = None,
+        offsets: Optional[Dict[str, jax.Array]] = None,
+        *,
+        mesh,
+        axis: str = "model",
+    ) -> Dict[str, jax.Array]:
+        """All-to-all routed pooled lookup for every table in ``indices``.
+
+        Tables from :meth:`shard`; batch data-sharded ``P(axis, None)``
+        on the same axis (sharded-CSR blocks with ``offsets`` — see
+        :func:`cuembed_tpu.parallel.sharding.shard_csr`).
+        """
+        from cuembed_tpu.parallel import alltoall_row_sharded_lookup
+
+        out = {}
+        for name, idx in indices.items():
+            c = self.configs[name]
+            out[name] = alltoall_row_sharded_lookup(
+                tables[name], idx,
+                weights.get(name) if weights else None,
+                offsets.get(name) if offsets else None,
+                mesh=mesh, mode=c.mode, axis=axis,
+            )
+        return out
+
+    def sgd_update_sharded(
+        self,
+        tables: Dict[str, jax.Array],
+        indices: Dict[str, jax.Array],
+        grads_y: Dict[str, jax.Array],
+        *,
+        mesh,
+        lr: float,
+        weights: Optional[Dict[str, jax.Array]] = None,
+        offsets: Optional[Dict[str, jax.Array]] = None,
+        axis: str = "model",
+    ) -> Dict[str, jax.Array]:
+        """Routed sparse SGD for every table in ``grads_y``."""
+        from cuembed_tpu.parallel import sharded_sgd_sparse_update
+
+        new = dict(tables)
+        for name, gy in grads_y.items():
+            c = self.configs[name]
+            new[name] = sharded_sgd_sparse_update(
+                tables[name], indices[name], gy, mesh=mesh, lr=lr,
+                offsets=offsets.get(name) if offsets else None,
+                weights=weights.get(name) if weights else None,
+                mode=c.mode, axis=axis,
+            )
+        return new
+
+    def adagrad_update_sharded(
+        self,
+        tables: Dict[str, jax.Array],
+        accums: Dict[str, jax.Array],
+        indices: Dict[str, jax.Array],
+        grads_y: Dict[str, jax.Array],
+        *,
+        mesh,
+        lr: float,
+        eps: float = 1e-8,
+        weights: Optional[Dict[str, jax.Array]] = None,
+        offsets: Optional[Dict[str, jax.Array]] = None,
+        axis: str = "model",
+    ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+        """Routed row-wise AdaGrad for every table in ``grads_y``."""
+        from cuembed_tpu.parallel import (
+            sharded_rowwise_adagrad_sparse_update,
+        )
+
+        new_t, new_a = dict(tables), dict(accums)
+        for name, gy in grads_y.items():
+            c = self.configs[name]
+            new_t[name], new_a[name] = (
+                sharded_rowwise_adagrad_sparse_update(
+                    tables[name], accums[name], indices[name], gy,
+                    mesh=mesh, lr=lr, eps=eps,
+                    offsets=offsets.get(name) if offsets else None,
+                    weights=weights.get(name) if weights else None,
+                    mode=c.mode, axis=axis,
+                )
+            )
+        return new_t, new_a
+
     def adagrad_update(
         self,
         tables: Dict[str, jax.Array],

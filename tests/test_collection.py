@@ -121,3 +121,58 @@ def test_hot_budget_split():
     assert coll.tiered["big"] is not None
     assert coll.tiered["small"] is None
     assert coll.tiered["big"].hot_rows * 256 * 2 <= 84 * 1024 * 1024
+
+
+def test_collection_sharded_flow():
+    """shard -> apply_sharded -> adagrad_update_sharded matches the
+    single-chip collection path."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("model",))
+    coll = EmbeddingCollection(
+        [TableConfig("a", 777, 16), TableConfig("b", 512, 32)]
+    )
+    tables = coll.init(jax.random.key(0))
+    accums = coll.adagrad_init()
+    rng = np.random.default_rng(0)
+    idx = {
+        "a": rng.integers(0, 777, (64, 4)).astype(np.int32),
+        "b": rng.integers(0, 512, (64, 2)).astype(np.int32),
+    }
+    want_out = coll.apply(tables, {k: jnp.asarray(v) for k, v in idx.items()})
+    gy = {
+        k: jnp.asarray(rng.standard_normal(np.asarray(v).shape).astype(np.float32))
+        for k, v in want_out.items()
+    }
+    want_t, want_a = coll.adagrad_update(
+        tables, accums, {k: jnp.asarray(v) for k, v in idx.items()}, gy,
+        lr=0.1,
+    )
+
+    st = coll.shard(tables, mesh)
+    sa = coll.adagrad_init_sharded(mesh)
+    sh2 = NamedSharding(mesh, P("model", None))
+    sidx = {k: jax.device_put(jnp.asarray(v), sh2) for k, v in idx.items()}
+    sgy = {k: jax.device_put(v, sh2) for k, v in gy.items()}
+    got_out = coll.apply_sharded(st, sidx, mesh=mesh)
+    for k in idx:
+        np.testing.assert_allclose(
+            np.asarray(got_out[k]), np.asarray(want_out[k]),
+            rtol=1e-5, atol=1e-5,
+        )
+    got_t, got_a = coll.adagrad_update_sharded(
+        st, sa, sidx, sgy, mesh=mesh, lr=0.1
+    )
+    for k in idx:
+        V = coll.configs[k].num_categories
+        np.testing.assert_allclose(
+            np.asarray(got_t[k])[:V], np.asarray(want_t[k]),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_a[k])[:V], np.asarray(want_a[k]),
+            rtol=1e-5, atol=1e-6,
+        )
