@@ -27,6 +27,8 @@ from cuembed_tpu.parallel.train import (
     sharded_sgd_sparse_update,
     sharded_rowwise_adagrad_sparse_update,
     sharded_hybrid_sgd_sparse_update,
+    column_sharded_sgd_sparse_update,
+    column_sharded_rowwise_adagrad_sparse_update,
 )
 from cuembed_tpu.parallel import multihost
 
@@ -37,6 +39,8 @@ __all__ = [
     "sharded_sgd_sparse_update",
     "sharded_rowwise_adagrad_sparse_update",
     "sharded_hybrid_sgd_sparse_update",
+    "column_sharded_sgd_sparse_update",
+    "column_sharded_rowwise_adagrad_sparse_update",
     "multihost",
     "make_mesh",
     "table_sharding",

@@ -464,3 +464,150 @@ def sharded_hybrid_sgd_sparse_update(
         out_specs=(P(None, None), P(axis, None)),
         check_vma=False,
     )(*args)
+
+
+def column_sharded_sgd_sparse_update(
+    table: jax.Array,
+    indices: jax.Array,
+    grad_y: jax.Array,
+    *,
+    mesh: Mesh,
+    lr: float,
+    weights: Optional[jax.Array] = None,
+    mode: CombineMode = CombineMode.SUM,
+    data_axis: str = "data",
+    model_axis: str = MODEL_AXIS,
+) -> jax.Array:
+    """Sparse SGD on a column-sharded table (``P(None, model)``).
+
+    The update mirror of :func:`cuembed_tpu.parallel.column_sharded_lookup`:
+    the batch COO is all-gathered over the data axis (same volume as a
+    data-parallel activation exchange), then every shard applies the
+    identical single-chip sparse update to its width slice — replicas of
+    the table along the data axis stay bit-identical by construction.
+    Row-sharding + routed updates is the production layout; this exists
+    for the column layout's symmetry (wide tables whose single rows
+    exceed one chip's comfortable tile).
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("pooled updates only; CONCAT unsupported")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    from cuembed_tpu.train import sgd_sparse_update as _sgd
+
+    in_specs = [
+        P(None, model_axis), P(data_axis, None), P(data_axis, model_axis),
+    ]
+    args = [table, indices.astype(jnp.int32), grad_y]
+    if weights is not None:
+        in_specs.append(P(data_axis, None))
+        args.append(weights)
+
+    def local(table_l, idx_l, gy_l, *rest):
+        w_l = rest[0] if weights is not None else None
+        idx_g = jax.lax.all_gather(idx_l, data_axis, axis=0, tiled=True)
+        gy_g = jax.lax.all_gather(gy_l, data_axis, axis=0, tiled=True)
+        w_g = (
+            jax.lax.all_gather(w_l, data_axis, axis=0, tiled=True)
+            if w_l is not None
+            else None
+        )
+        return _sgd(table_l, idx_g, gy_g, lr=lr, weights=w_g, mode=mode)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(None, model_axis),
+        check_vma=False,
+    )(*args)
+
+
+def column_sharded_rowwise_adagrad_sparse_update(
+    table: jax.Array,
+    accum: jax.Array,
+    indices: jax.Array,
+    grad_y: jax.Array,
+    *,
+    mesh: Mesh,
+    lr: float,
+    eps: float = 1e-8,
+    weights: Optional[jax.Array] = None,
+    mode: CombineMode = CombineMode.SUM,
+    data_axis: str = "data",
+    model_axis: str = MODEL_AXIS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-wise AdaGrad on a column-sharded table.
+
+    The per-row statistic ``mean(G_r^2)`` spans the FULL row, but each
+    model shard holds only a width slice — so every shard computes its
+    slice's compressed per-row sums from the (all-gathered) global COO
+    and the squared-sum is ``psum``-ed over the model axis before the
+    accumulator update. The deterministic sort makes the unique-row
+    ordering identical on every shard, so the psum-ed vectors align.
+    ``accum``: ``[V]`` fp32 replicated (``P(None)``).
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("pooled updates only; CONCAT unsupported")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    full_width = table.shape[1]
+
+    in_specs = [
+        P(None, model_axis), P(None), P(data_axis, None),
+        P(data_axis, model_axis),
+    ]
+    args = [table, accum, indices.astype(jnp.int32), grad_y]
+    if weights is not None:
+        in_specs.append(P(data_axis, None))
+        args.append(weights)
+
+    def local(table_l, accum_l, idx_l, gy_l, *rest):
+        w_l = rest[0] if weights is not None else None
+        idx_g = jax.lax.all_gather(idx_l, data_axis, axis=0, tiled=True)
+        gy_g = jax.lax.all_gather(gy_l, data_axis, axis=0, tiled=True)
+        w_g = (
+            jax.lax.all_gather(w_l, data_axis, axis=0, tiled=True)
+            if w_l is not None
+            else None
+        )
+        flat, sids, coeff, gy, _ = _prep_coo(idx_g, None, w_g, mode, gy_g)
+        m = flat.shape[0]
+        rows_s, order = jax.lax.sort(
+            [flat, jnp.arange(m, dtype=jnp.int32)], num_keys=1
+        )
+        g_sorted = jnp.take(gy, jnp.take(sids, order), axis=0)
+        if coeff is not None:
+            g_sorted = g_sorted * jnp.take(coeff, order)[:, None]
+        rows, uniq, nu = _segment_partials(
+            g_sorted, rows_s, jnp.arange(m, dtype=jnp.int32), None, None
+        )
+        rid = jnp.arange(rows.shape[0], dtype=jnp.int32)
+        valid = rid < nu
+        safe = jnp.where(valid, uniq, 0)
+        # Row statistic over the FULL row: psum the slice's squared sum.
+        g2 = (
+            jax.lax.psum(jnp.sum(rows * rows, axis=1), model_axis)
+            / full_width
+        ) * valid
+        new_acc_rows = jnp.take(accum_l, safe) + g2
+        droppable = (~valid) | (uniq >= accum_l.shape[0])
+        scat = jnp.where(droppable, accum_l.shape[0] + rid, uniq)
+        new_accum = accum_l.at[scat].set(
+            new_acc_rows, mode="drop", indices_are_sorted=True,
+            unique_indices=True,
+        )
+        scale = jnp.where(valid, -lr / jnp.sqrt(new_acc_rows + eps), 0.0)
+        new_table = table_l.at[scat].add(
+            (rows * scale[:, None]).astype(table_l.dtype),
+            mode="drop", indices_are_sorted=True, unique_indices=True,
+        )
+        return new_table, new_accum
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, model_axis), P(None)),
+        check_vma=False,
+    )(*args)

@@ -373,3 +373,58 @@ def test_fuzz_sharded_updates_match_single_chip(mesh, trial):
     np.testing.assert_allclose(
         np.asarray(got_t), np.asarray(want_t), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    return Mesh(devs, ("data", "model"))
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_column_sharded_sgd_matches_single_chip(mesh2d, weighted):
+    from cuembed_tpu.parallel import column_sharded_sgd_sparse_update
+
+    rng = np.random.default_rng(9)
+    table, idx, gy, w = _problem(rng, V=512, W=64, weighted=weighted)
+    want = sgd_sparse_update(table, idx, gy, lr=0.1, weights=w)
+    ts = jax.device_put(table, NamedSharding(mesh2d, P(None, "model")))
+    xs = jax.device_put(idx, NamedSharding(mesh2d, P("data", None)))
+    gys = jax.device_put(gy, NamedSharding(mesh2d, P("data", "model")))
+    ws = (
+        jax.device_put(w, NamedSharding(mesh2d, P("data", None)))
+        if weighted else None
+    )
+    got = column_sharded_sgd_sparse_update(
+        ts, xs, gys, mesh=mesh2d, lr=0.1, weights=ws
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+def test_column_sharded_adagrad_matches_single_chip(mesh2d, mode):
+    from cuembed_tpu.parallel import (
+        column_sharded_rowwise_adagrad_sparse_update,
+    )
+
+    rng = np.random.default_rng(10)
+    table, idx, gy, _ = _problem(rng, V=512, W=64)
+    accum0 = rowwise_adagrad_init(512) + 0.02
+    want_t, want_a = rowwise_adagrad_sparse_update(
+        table, accum0, idx, gy, lr=0.1, mode=mode
+    )
+    ts = jax.device_put(table, NamedSharding(mesh2d, P(None, "model")))
+    as_ = jax.device_put(accum0, NamedSharding(mesh2d, P(None)))
+    xs = jax.device_put(idx, NamedSharding(mesh2d, P("data", None)))
+    gys = jax.device_put(gy, NamedSharding(mesh2d, P("data", "model")))
+    got_t, got_a = column_sharded_rowwise_adagrad_sparse_update(
+        ts, as_, xs, gys, mesh=mesh2d, lr=0.1, mode=mode
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_a), np.asarray(want_a), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_t), np.asarray(want_t), rtol=1e-5, atol=1e-5
+    )
