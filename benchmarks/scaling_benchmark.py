@@ -84,7 +84,9 @@ def main():
                 NamedSharding(mesh, P("model")),
             )
 
-            @jax.jit
+            import functools
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
             def tstep(table, accum, idx):
                 pooled = alltoall_row_sharded_lookup(
                     table, idx, mesh=mesh

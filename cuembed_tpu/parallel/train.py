@@ -44,25 +44,21 @@ except ImportError:  # pragma: no cover
 _SENTINEL = jnp.iinfo(jnp.int32).max
 
 
-def _route_grad_rows(
-    flat, sample_ids, gy_l, coeff, n, rows_per, cap, axis, width, valid=None
-):
-    """Bucket per-position gradient rows by owner shard and exchange.
+def _bucket(flat, valid, n, rows_per):
+    """Owner bucketing, computed ONCE per update (shared by both
+    lax.cond branches and the overflow predicate — the forward router's
+    structure, ``alltoall_lookup.py``).
 
-    ``flat [nnz_l]`` is in ROUTED row space (global for the plain layout,
-    tail space for hybrid); ``sample_ids [nnz_l]`` maps each position to
-    its ``gy_l`` row (``pos // hotness`` fixed, CSR row ids ragged);
-    ``valid`` optionally masks positions that must not route (hybrid
-    head hits, CSR padding) — they never consume a slot.
-    Returns ``(local_rows [n*cap], grad_rows [n*cap, W])`` — the update
-    stream addressed to MY table shard (local row space), dead slots
-    marked with ``_SENTINEL`` rows and zero gradient.
+    Returns ``(pos_s, counts, starts)``: positions sorted by owner shard,
+    per-owner counts, and each owner's run start. Invalid positions
+    (hybrid head hits, CSR padding) get owner ``n`` — they sort last and
+    never land in a slot or a count.
     """
     nnz_l = flat.shape[0]
     owner = jnp.clip(flat // rows_per, 0, n - 1)
     if valid is not None:
-        owner = jnp.where(valid, owner, n)  # sorts last, never in a slot
-    owner_s, pos_s = jax.lax.sort(
+        owner = jnp.where(valid, owner, n)
+    _, pos_s = jax.lax.sort(
         [owner, jnp.arange(nnz_l, dtype=jnp.int32)], num_keys=1
     )
     counts = jnp.sum(
@@ -71,6 +67,25 @@ def _route_grad_rows(
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
     )
+    return pos_s, counts, starts
+
+
+def _route_grad_rows(
+    flat, sample_ids, gy_l, coeff, n, rows_per, cap, axis, width, bucket
+):
+    """Exchange per-position gradient rows with the owner shards.
+
+    ``flat [nnz_l]`` is in ROUTED row space (global for the plain layout,
+    tail space for hybrid); ``sample_ids [nnz_l]`` maps each position to
+    its ``gy_l`` row (``pos // hotness`` fixed, CSR row ids ragged);
+    ``bucket`` is :func:`_bucket`'s result, computed once outside the
+    capacity ``lax.cond``.
+    Returns ``(local_rows [n*cap], grad_rows [n*cap, W])`` — the update
+    stream addressed to MY table shard (local row space), dead slots
+    marked with ``_SENTINEL`` rows and zero gradient.
+    """
+    nnz_l = flat.shape[0]
+    pos_s, counts, starts = bucket
 
     slot_src = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
     slot_live = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
@@ -137,14 +152,8 @@ def _compressed_local(local_rows, grad_rows):
     return _segment_partials(grad_rows, rows_s, order, None, None)
 
 
-def _overflowed(flat, valid, n, rows_per, cap, axis):
-    """Collective-safe overflow predicate, matching the router's counts."""
-    owner = jnp.clip(flat // rows_per, 0, n - 1)
-    if valid is not None:
-        owner = jnp.where(valid, owner, n)
-    counts = jnp.sum(
-        owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None], axis=1
-    )
+def _overflowed(counts, cap, axis):
+    """Collective-safe overflow predicate on :func:`_bucket`'s counts."""
     return jax.lax.psum(jnp.any(counts > cap).astype(jnp.int32), axis) > 0
 
 
@@ -224,11 +233,11 @@ def sharded_sgd_sparse_update(
         flat, sids, coeff, gy, valid = _prep_coo(
             idx_l, offs_l, w_l, mode, gy_l
         )
+        bucket = _bucket(flat, valid, n, rows_per)
 
         def apply(c):
             local_rows, grad_rows = _route_grad_rows(
-                flat, sids, gy, coeff, n, rows_per, c, axis, width,
-                valid=valid,
+                flat, sids, gy, coeff, n, rows_per, c, axis, width, bucket
             )
             m = local_rows.shape[0]
             rows_s, order = jax.lax.sort(
@@ -244,7 +253,7 @@ def sharded_sgd_sparse_update(
         if cap >= nnz_l:
             return apply(nnz_l)
         return jax.lax.cond(
-            _overflowed(flat, valid, n, rows_per, cap, axis),
+            _overflowed(bucket[1], cap, axis),
             lambda _: apply(nnz_l), lambda _: apply(cap), 0,
         )
 
@@ -311,11 +320,11 @@ def sharded_rowwise_adagrad_sparse_update(
         flat, sids, coeff, gy, pvalid = _prep_coo(
             idx_l, offs_l, w_l, mode, gy_l
         )
+        bucket = _bucket(flat, pvalid, n, rows_per)
 
         def apply(c):
             local_rows, grad_rows = _route_grad_rows(
-                flat, sids, gy, coeff, n, rows_per, c, axis, width,
-                valid=pvalid,
+                flat, sids, gy, coeff, n, rows_per, c, axis, width, bucket
             )
             rows, uniq, nu = _compressed_local(local_rows, grad_rows)
             k = rows.shape[0]
@@ -345,7 +354,7 @@ def sharded_rowwise_adagrad_sparse_update(
         if cap >= nnz_l:
             return apply(nnz_l)
         return jax.lax.cond(
-            _overflowed(flat, pvalid, n, rows_per, cap, axis),
+            _overflowed(bucket[1], cap, axis),
             lambda _: apply(nnz_l), lambda _: apply(cap), 0,
         )
 
@@ -424,11 +433,12 @@ def sharded_hybrid_sgd_sparse_update(
 
         # -- tail: route cold positions to their owner -----------------
         is_cold = flat >= hot
+        bucket = _bucket(flat - hot, is_cold, n, rows_per)
 
         def apply(c):
             local_rows, grad_rows = _route_grad_rows(
                 flat - hot, sids, gy, coeff, n, rows_per, c, axis,
-                width, valid=is_cold,
+                width, bucket,
             )
             m = local_rows.shape[0]
             rows_s, order = jax.lax.sort(
@@ -442,18 +452,9 @@ def sharded_hybrid_sgd_sparse_update(
 
         if cap >= nnz_l:
             return new_head, apply(nnz_l)
-        owner = jnp.where(
-            is_cold, jnp.clip((flat - hot) // rows_per, 0, n - 1), n
-        )
-        counts = jnp.sum(
-            owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None],
-            axis=1,
-        )
-        overflow_any = (
-            jax.lax.psum(jnp.any(counts > cap).astype(jnp.int32), axis) > 0
-        )
         new_tail = jax.lax.cond(
-            overflow_any, lambda _: apply(nnz_l), lambda _: apply(cap), 0
+            _overflowed(bucket[1], cap, axis),
+            lambda _: apply(nnz_l), lambda _: apply(cap), 0,
         )
         return new_head, new_tail
 
@@ -576,11 +577,11 @@ def column_sharded_rowwise_adagrad_sparse_update(
         rows_s, order = jax.lax.sort(
             [flat, jnp.arange(m, dtype=jnp.int32)], num_keys=1
         )
-        g_sorted = jnp.take(gy, jnp.take(sids, order), axis=0)
-        if coeff is not None:
-            g_sorted = g_sorted * jnp.take(coeff, order)[:, None]
+        # Single [m, W] pass: gather + coefficient fold happen inside the
+        # segment reduce (the single-chip apply_rest calling convention).
         rows, uniq, nu = _segment_partials(
-            g_sorted, rows_s, jnp.arange(m, dtype=jnp.int32), None, None
+            gy, rows_s, jnp.take(sids, order),
+            None if coeff is None else jnp.take(coeff, order), None,
         )
         rid = jnp.arange(rows.shape[0], dtype=jnp.int32)
         valid = rid < nu
