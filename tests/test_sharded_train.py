@@ -428,3 +428,29 @@ def test_column_sharded_adagrad_matches_single_chip(mesh2d, mode):
     np.testing.assert_allclose(
         np.asarray(got_t), np.asarray(want_t), rtol=1e-5, atol=1e-5
     )
+
+
+def test_sharded_update_is_deterministic(mesh):
+    """Two identical routed updates must be BITWISE identical (sorted
+    segment sums, no atomics — the determinism claim at multi-chip)."""
+    rng = np.random.default_rng(11)
+    table, idx, gy, _ = _problem(rng)
+    ts, xs, gys = _place(mesh, table, idx, gy)
+    a = sharded_sgd_sparse_update(ts, xs, gys, mesh=mesh, lr=0.1)
+    b = sharded_sgd_sparse_update(ts, xs, gys, mesh=mesh, lr=0.1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_sgd_bf16_table(mesh):
+    """bf16 storage: the routed update matches the single-chip update
+    exactly (identical cast points), within bf16 round-off of fp32."""
+    rng = np.random.default_rng(12)
+    table, idx, gy, _ = _problem(rng)
+    tb = table.astype(jnp.bfloat16)
+    want = sgd_sparse_update(tb, idx, gy, lr=0.1)
+    ts, xs, gys = _place(mesh, tb, idx, gy)
+    got = sharded_sgd_sparse_update(ts, xs, gys, mesh=mesh, lr=0.1)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
