@@ -41,4 +41,15 @@ python benchmarks/profile_train.py
 log "stage 6: train benchmark, chained (production dispatch regime)"
 python benchmarks/train_benchmark.py --chained
 
+if [ "$FAST" != "fast" ] && [ -f benchmarks/results_v5e_r3.csv ]; then
+  log "stage 7: regenerate the summary table from the fresh CSV"
+  {
+    python benchmarks/gen_sweep_summary.py benchmarks/results_v5e_r3.csv
+    echo
+    python benchmarks/gen_sweep_summary.py benchmarks/results_v5e_r3_csr.csv \
+      2>/dev/null || true
+  } > /tmp/sweep_summary_r3.md
+  echo "table at /tmp/sweep_summary_r3.md — splice into docs/SWEEP_SUMMARY.md"
+fi
+
 log "done — commit results_v5e_r3*.csv + update SWEEP_SUMMARY/PERF_NOTES"
