@@ -293,7 +293,8 @@ def alltoall_row_sharded_lookup(
       weights: optional, same layout as ``indices`` (SUM only).
       offsets: optional sharded-CSR offsets ``[n, local_batch + 1]``;
         entries of a shard's block at or past ``offsets[-1]`` are padding.
-      mode: SUM or MEAN (CONCAT has no pooled combine; use the masked path).
+      mode: SUM / MEAN / CONCAT (CONCAT is fixed-hotness, unweighted;
+        output is the per-position rows ``[batch*hotness, width]``).
       capacity_factor: static per-destination capacity as a multiple of
         the balanced share ``nnz_local / n``.
       axis: mesh axis name to route over.
@@ -302,8 +303,10 @@ def alltoall_row_sharded_lookup(
       ``[batch, width]`` pooled output, sharded ``P(axis, None)``
       (``[n, local_batch, width]``-shaped for sharded CSR).
     """
-    if mode == CombineMode.CONCAT:
-        raise ValueError("all-to-all routing pools rows; CONCAT unsupported")
+    if mode == CombineMode.CONCAT and (
+        offsets is not None or weights is not None
+    ):
+        raise ValueError("CONCAT is fixed-hotness and unweighted")
     if compress not in ("none", "int8"):
         raise ValueError("compress must be 'none' or 'int8'")
     n = mesh.shape[axis]
@@ -371,6 +374,7 @@ def alltoall_row_sharded_lookup(
             )
             if mode == CombineMode.MEAN:
                 coeff = coeff / hotness
+            # (CONCAT ignores coeff — per-position rows pass through.)
 
         owner = jnp.clip(flat // rows_per, 0, n - 1)
 
@@ -429,6 +433,10 @@ def alltoall_row_sharded_lookup(
             # combine: position p's response sits at owner[p] * c + rank[p]
             slot_of_pos = owner * c + jnp.clip(rank, 0, c - 1)
             rows = jnp.take(resp, slot_of_pos, axis=0).astype(jnp.float32)
+            if mode == CombineMode.CONCAT:
+                # Per-position rows ARE the output ([b*h, W], the
+                # single-chip convention) — no pooled combine.
+                return rows.reshape(b_l * hotness, width)
             rows = rows * coeff[:, None]
             if sample_of_pos is not None:
                 out = jax.ops.segment_sum(

@@ -253,3 +253,38 @@ def test_int8_compress_refuses_grad(mesh):
 
     with pytest.raises(NotImplementedError, match="serving-only"):
         jax.grad(loss)(ts)
+
+
+def test_alltoall_concat_matches_single_device(mesh):
+    """CONCAT through the router: per-position rows, [batch*hotness, W]."""
+    rng = np.random.default_rng(11)
+    V, B, H, W = 1024, 64, 8, 32
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    ts, xs, _ = _place(mesh, table, idx)
+    got = alltoall_row_sharded_lookup(
+        ts, xs, mesh=mesh, mode=CombineMode.CONCAT
+    )
+    want = embedding_lookup(
+        table, idx, mode=CombineMode.CONCAT, backend="xla"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_alltoall_concat_overflow_falls_back(mesh):
+    rng = np.random.default_rng(12)
+    V, B, H, W = 1024, 64, 4, 16
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 128, (B, H)).astype(np.int32))
+    ts, xs, _ = _place(mesh, table, idx)
+    got = alltoall_row_sharded_lookup(
+        ts, xs, mesh=mesh, mode=CombineMode.CONCAT, capacity_factor=0.25
+    )
+    want = embedding_lookup(
+        table, idx, mode=CombineMode.CONCAT, backend="xla"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
