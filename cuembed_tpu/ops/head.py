@@ -16,24 +16,36 @@ import jax.numpy as jnp
 from cuembed_tpu.ops.tiered import TieredConfig
 
 
-def head_matrix(indices2d: jax.Array, coeff2d, head: int, acc_dt):
+def head_matrix(indices2d: jax.Array, coeff2d, head: int, acc_dt,
+                return_appeared: bool = False):
     """M[b, c] = sum of coefficients of sample b's positions with index c.
 
     Built as a fused compare-reduce over ``[batch, hotness, head]`` —
     XLA never materializes the one-hot. ``coeff2d=None`` means unit
     coefficients (M is then the pure occurrence-count matrix — one
     compare-reduce instead of compare+select).
+
+    ``return_appeared=True`` additionally returns the ``[head]`` bool
+    mask of head rows touched by ANY position — derived from the same
+    compare (zero/cancelling weights still count as appearances), so
+    weighted callers don't pay a second pass over the cube.
     """
     cols = jnp.arange(head, dtype=jnp.int32)
     idx2 = indices2d.astype(jnp.int32)
     hit = idx2[:, :, None] == cols[None, None, :]
     if coeff2d is None:
-        return jnp.sum(hit, axis=1, dtype=acc_dt)
-    return jnp.sum(
+        m = jnp.sum(hit, axis=1, dtype=acc_dt)
+        if return_appeared:
+            return m, jnp.max(m, axis=0) > 0
+        return m
+    m = jnp.sum(
         jnp.where(hit, coeff2d[:, :, None], 0),
         axis=1,
         dtype=acc_dt,
     )
+    if return_appeared:
+        return m, jnp.any(hit, axis=(0, 1))
+    return m
 
 
 def head_grad(indices2d, coeff2d, grad_y, head: int, acc_dt) -> jax.Array:

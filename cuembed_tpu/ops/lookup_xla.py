@@ -308,7 +308,9 @@ def embedding_backward_compressed_tiered(
     # the head matrix and the appeared mask (M is then pure counts).
     from cuembed_tpu.ops.head import head_matrix
 
-    m = head_matrix(indices2d, coeff2d, head_rows, acc_dt)
+    m, appeared = head_matrix(
+        indices2d, coeff2d, head_rows, acc_dt, return_appeared=True
+    )
     g_head = jax.lax.dot_general(
         m, grad_y,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -316,16 +318,13 @@ def embedding_backward_compressed_tiered(
         precision=jax.lax.Precision.HIGHEST,
     )  # [head, W] == M^T @ grad_y
     cols = jnp.arange(head_rows, dtype=jnp.int32)
-    if coeff2d is None:
-        appeared = jnp.max(m, axis=0) > 0
-    else:
-        appeared = jnp.any(
-            indices2d.astype(jnp.int32)[:, :, None] == cols[None, None, :],
-            axis=(0, 1),
-        )  # [head]
     n_head_u = jnp.sum(appeared.astype(jnp.int32))
     rank = jnp.cumsum(appeared.astype(jnp.int32)) - 1
-    scatter_to = jnp.where(appeared, rank, cap)
+    # Non-appeared rows get DISTINCT out-of-range targets (cap + col) so
+    # the unique_indices promise genuinely holds (a shared 'cap' value
+    # repeated per dropped row would be duplicate indices — undefined
+    # under the promise; cuembed_tpu/train.py uses the same convention).
+    scatter_to = jnp.where(appeared, rank, cap + cols)
     init_rows = (
         jnp.zeros((cap, width), acc_dt)
         .at[scatter_to]
@@ -371,7 +370,9 @@ def embedding_backward_compressed_tiered(
     u_cap = cfg.bwd_seg_slots
     S = 0
     if u_cap > 0 and cfg.bwd_run_frac > 0:
-        S = min(int(nnz_cap * cfg.bwd_run_frac) // chunk * chunk, k_cap)
+        # chunk-align AFTER the k_cap clamp: k_cap is only 8-aligned,
+        # and ranks[:S].reshape(S//chunk, chunk) needs S % chunk == 0.
+        S = min(int(nnz_cap * cfg.bwd_run_frac), k_cap) // chunk * chunk
     mxu_ok = jnp.bool_(True)
     if S > 0:
         g2 = S // chunk

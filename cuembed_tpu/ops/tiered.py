@@ -123,7 +123,8 @@ class TieredConfig:
     # chunk's positions may span. When 0 < csr_chunk_samples, the CSR
     # forward combines per chunk with a local-sample one-hot matmul and
     # one small merge scatter instead of a full-position segment-sum.
-    # Worth it when average hotness >= ~4 (few samples per chunk).
+    # auto_config engages it at avg hotness >= ~10 with default chunking
+    # (the matmul cost scales with the sample capacity — see the gate).
     csr_chunk_samples: int = 0
 
 
@@ -167,8 +168,14 @@ def auto_config(
     group = max(1, 2048 // hotness)
     chunk_elems = group * hotness
     mid_fraction = max(0.02, 1.0 - cold_fraction - head_fraction)
-    # CSR scatter-free combine pays off when a chunk spans few samples
-    # (avg hotness >= ~4); capacity = 2x the balanced share + slack.
+    # CSR scatter-free combine: capacity = 2x the balanced per-chunk
+    # sample share + slack. The combine's one-hot matmul cost scales
+    # with this capacity, so the gate below (capacity <= chunk/4)
+    # engages it only when chunks span few samples — with the default
+    # 2048-element chunks that is avg hotness >= ~10. Lower hotness
+    # (where the capacity would approach the chunk size and the matmul
+    # would dwarf the scatter it replaces) takes the exact 2-tier
+    # segment-sum path; re-evaluate the threshold per chip generation.
     csr_samples = min(chunk_elems, 2 * chunk_elems // hotness + 64)
     return TieredConfig(
         hot_rows=int(hot_rows),
@@ -241,6 +248,11 @@ def tiered_forward(
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("CONCAT is a pure gather; tiered path does not apply")
+    if weights is not None and mode != CombineMode.SUM:
+        # Same contract as every other lookup path (api._validate,
+        # embedding_forward_xla, narrow_lookup): a silent weighted-mean
+        # on one backend vs a raise on another is a dispatch hazard.
+        raise ValueError("weights are only supported with CombineMode.SUM")
     if pack_k > 1 and (offsets is not None or cfg.mxu_head_rows <= 0):
         raise ValueError(
             "pack_k > 1 (line-packed narrow tiering) supports the "
@@ -510,16 +522,18 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None,
 
     out = jax.lax.cond(overflow, exact, fast, 0)
 
-    # head tier: M[b, c] = sum of coefficients hitting row c < HEAD,
-    # built as one fused compare-reduce (never materializing [N, HEAD]),
-    # then one MXU matmul against the head slice.
-    idx2 = indices.astype(jnp.int32)
-    cols = jnp.arange(HEAD, dtype=jnp.int32)
-    m = jnp.sum(
-        jnp.where(idx2[:, :, None] == cols[None, None, :], coeff[:, :, None], 0),
-        axis=1,
-        dtype=acc_dt,
-    )
+    # head tier: M[b, c] = sum of coefficients hitting row c < HEAD
+    # (ops/head.py's shared compare-reduce — never materializes the
+    # one-hot), then one MXU matmul against the head slice. A uniform
+    # coefficient uses the cheaper count-matrix form and scales after.
+    from cuembed_tpu.ops.head import head_matrix
+
+    if uniform is not None:
+        m = head_matrix(indices, None, HEAD, acc_dt)
+        if uniform != 1.0:
+            m = m * uniform
+    else:
+        m = head_matrix(indices, coeff, HEAD, acc_dt)
     # Mixed-dtype dot (f32 M x storage-dtype head slice): measured 6x
     # over upcasting the slice to f32 first (gather_rates.py) — the MXU
     # consumes the bf16 operand natively and accumulates f32. For k > 1

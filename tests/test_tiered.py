@@ -303,3 +303,67 @@ def test_tiered_csr_3tier_bitwise_integer():
         mode=CombineMode.SUM, cfg=cfg,
     )
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_tiered_forward_rejects_weighted_mean():
+    """Same contract as every other lookup path (review finding)."""
+    import pytest as _pytest
+
+    from cuembed_tpu.ops.tiered import TieredConfig, tiered_forward
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((512, 128)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 512, (16, 4)).astype(np.int32))
+    w = jnp.ones((16, 4), jnp.float32)
+    cfg = TieredConfig(hot_rows=64, chunk_elems=64, cold_slots=64,
+                       mxu_head_rows=32, mid_slots=64)
+    with _pytest.raises(ValueError, match="CombineMode.SUM"):
+        tiered_forward(table, idx, None, w, cfg=cfg,
+                       mode=CombineMode.MEAN)
+
+
+def test_backward_seg_prefix_unaligned_kcap():
+    """bwd_run_frac large relative to nonhead_frac: the segment prefix S
+    must clamp to a chunk MULTIPLE at or below k_cap, not crash in the
+    reshape (review finding: S=min(aligned, k_cap) left S unaligned)."""
+    from cuembed_tpu.ops.lookup_xla import (
+        embedding_backward_compressed_tiered,
+        embedding_backward_compressed_xla,
+    )
+    from cuembed_tpu.ops.tiered import TieredConfig
+    from cuembed_tpu.ops.transforms import (
+        extract_row_ids_from_fixed,
+        transpose,
+    )
+
+    rng = np.random.default_rng(1)
+    V, B, H, W = 4096, 64, 8, 32
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    sids = extract_row_ids_from_fixed(B, H)
+    t_idx, t_sid, _ = transpose(sids.astype(jnp.int32), idx.reshape(-1),
+                                None)
+    # nonhead_frac -> k_cap = ceil8(0.31 * 512) = 160 (not a multiple of
+    # the 64-element seg chunk); bwd_run_frac covers more than that.
+    cfg = TieredConfig(
+        hot_rows=256, chunk_elems=128, cold_slots=128, mxu_head_rows=32,
+        mid_slots=128, nonhead_frac=0.31, bwd_seg_chunk=64,
+        bwd_seg_slots=64, bwd_run_frac=0.9,
+    )
+    got = embedding_backward_compressed_tiered(
+        gy, V, idx, None, t_idx, t_sid, None, cfg
+    )
+    want = embedding_backward_compressed_xla(gy, t_idx, t_sid, None)
+    # compare dense reconstructions (row order differs between paths)
+    def dense(out):
+        cap = out.rows.shape[0]
+        valid = np.arange(cap) < int(out.num_unique)
+        d = np.zeros((V, W), np.float32)
+        uniq = np.asarray(out.unique_indices)
+        rows = np.asarray(out.rows, np.float32)
+        ok = valid & (uniq < V)
+        d[uniq[ok]] += rows[ok]
+        return d
+
+    np.testing.assert_allclose(dense(got), dense(want), rtol=1e-5,
+                               atol=1e-5)
