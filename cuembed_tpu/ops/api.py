@@ -170,6 +170,16 @@ def _lookup_fwd(cfg, table, indices, offsets, weights):
 def _lookup_bwd(cfg, residuals, grad_y):
     table, indices, offsets, weights = residuals
     num_categories, width = table.shape
+    if num_categories >= 2**31:
+        # The COO machinery below (flatten, sentinel, sort keys) is
+        # int32 throughout; silently narrowing genuine int64 row ids
+        # would wrap them negative and corrupt the gradient. Such a
+        # table cannot fit a real chip's HBM at any supported width
+        # (the documented int64 deviation, README) — fail loudly.
+        raise NotImplementedError(
+            "backward for tables with >= 2**31 rows is unsupported: "
+            "the sparse COO path is int32; use forward-only lookups"
+        )
     acc_dt = accumulation_dtype(table.dtype, cfg.low_precision_math)
 
     # --- Flatten to COO: (flat_idx, sample_ids, coeff) -------------------

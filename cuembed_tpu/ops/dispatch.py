@@ -158,6 +158,11 @@ def forward(
                 low_precision_math=low_precision_math,
             )
         if backend == "tiered":
+            if mode == CombineMode.CONCAT:
+                raise ValueError(
+                    "CONCAT is a pure gather and is never tiered; use "
+                    "backend='auto' or 'xla'"
+                )
             raise ValueError(
                 "backend='tiered' but the table fits the VMEM budget; "
                 "use backend='auto' (the plain gather is already fast)"

@@ -107,15 +107,17 @@ def narrow_lookup(
         return out
     acc_dt = accumulation_dtype(packed.dtype, low_precision_math)
 
+    # Weight / MEAN coefficients come from the shared helper
+    # (ops/tiered._combine_coeff — one place for combine semantics);
+    # only the CSR liveness mask is layout-local here.
+    from cuembed_tpu.ops.tiered import _combine_coeff
+
+    coeff = _combine_coeff(indices, weights, offsets, mode, acc_dt)
+    coeff = coeff.reshape(-1)
     if offsets is None:
         batch, hotness = indices.shape
         flat = indices.reshape(-1).astype(jnp.int32)
         n = flat.shape[0]
-        coeff = jnp.ones((n,), acc_dt)
-        if weights is not None:
-            coeff = coeff * weights.reshape(-1).astype(acc_dt)
-        if mode == CombineMode.MEAN:
-            coeff = coeff / hotness
         sample = None
     else:
         if mode == CombineMode.CONCAT:
@@ -126,13 +128,7 @@ def narrow_lookup(
         live = pos < offsets[-1]
         flat = jnp.where(live, indices.astype(jnp.int32), 0)
         sample = extract_row_ids_from_csr(offsets, indices).astype(jnp.int32)
-        coeff = live.astype(acc_dt)
-        if weights is not None:
-            coeff = coeff * weights.astype(acc_dt)
-        if mode == CombineMode.MEAN:
-            hot = (offsets[1:] - offsets[:-1]).astype(acc_dt)
-            inv = jnp.where(hot == 0, 0.0, 1.0 / jnp.maximum(hot, 1.0))
-            coeff = coeff * jnp.take(inv, sample)
+        coeff = coeff * live.astype(acc_dt)
 
     lines = jnp.take(packed, flat // k, axis=0)  # [n, k*W]
     if k > 1:

@@ -96,20 +96,30 @@ def refine_tiered_config(
     """Refine every workload-dependent capacity from observed draws.
 
     ``calib_remapped``: one or more calibration batches of *remapped*
-    (storage-row) indices, any shape. Sets the forward slot capacities
-    (observed per-chunk maxima + margin), the backward non-head scatter
-    bound, and the backward MXU segment-reduce prefix.
+    (storage-row) indices — 1-D for a single batch, or batches stacked
+    on axis 0 (``[n_batches, nnz]`` / ``[n_batches, batch, hotness]``).
+    Sets the forward slot capacities (observed per-chunk maxima +
+    margin), the backward non-head scatter bound, and the backward MXU
+    segment-reduce prefix.
     """
-    flat = np.asarray(calib_remapped).reshape(-1)
+    arr = np.asarray(calib_remapped)
+    flat = arr.reshape(-1)
     mid_s, cold_s = calibrate_capacities(
         calib_remapped, None, cfg.mxu_head_rows, cfg.hot_rows,
         cfg.chunk_elems, margin=capacity_margin,
     )
     nonhead = float(np.mean(flat >= cfg.mxu_head_rows))
+    # Observed maxima + margin REPLACE the binomial formula values in
+    # both directions: correlated traffic can push the real per-chunk
+    # load above the mean+6-sigma estimate, and keeping the smaller
+    # formula value there would overflow into the exact fallback on
+    # essentially every batch — losing the tiered speedup calibration
+    # exists to lock in. (Growth is safe: capacities only size static
+    # slices, and calibrate_capacities clamps at chunk_elems.)
     cfg = replace(
         cfg,
-        mid_slots=min(cfg.mid_slots, mid_s),
-        cold_slots=min(cfg.cold_slots, cold_s),
+        mid_slots=mid_s,
+        cold_slots=cold_s,
         nonhead_frac=min(1.0, nonhead * 1.03 + 0.005),
     )
 
@@ -120,11 +130,17 @@ def refine_tiered_config(
     # p90 ~1900), so a fixed 256-slot capacity covers ~2/3 of non-head
     # positions while keeping the one-hot combine small.
     u_target = 256
-    n_batches = (
-        np.asarray(calib_remapped).shape[0]
-        if np.asarray(calib_remapped).ndim > 1
-        else 1
-    )
+    # Batch-axis contract: a >=2-D input stacks batches on axis 0
+    # ([n_batches, nnz] / [n_batches, batch, hotness]) — EXCEPT that a
+    # single [batch, hotness] batch passed directly would misparse as
+    # `batch` tiny batches (its trailing axis as nnz), silently skipping
+    # this calibration. A 2-D input whose trailing axis is smaller than
+    # one backward chunk cannot be a stacked-batch nnz axis, so it is
+    # folded into ONE batch instead.
+    if arr.ndim <= 1 or (arr.ndim == 2 and arr.shape[1] < cfg.bwd_seg_chunk):
+        n_batches = 1
+    else:
+        n_batches = arr.shape[0]
     n_pos = flat.size // max(n_batches, 1)  # positions per batch (= nnz)
     nh_sorted = np.sort(flat[flat >= cfg.mxu_head_rows])
     chunkb = cfg.bwd_seg_chunk

@@ -65,3 +65,19 @@ def test_initial_grad_accumulates():
         np.asarray(accum), np.asarray(base) + np.asarray(fresh),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_backward_raises_for_ge_2pow31_rows():
+    """Silently narrowing genuine int64 ids in the backward would wrap
+    them negative and corrupt the gradient — it must raise instead.
+    The guard is checked directly on shape structs (a real >=2**31-row
+    table cannot be allocated, and x64-off JAX cannot even parse the
+    row count as an int32 argument)."""
+    import jax
+    import pytest
+
+    from cuembed_tpu.ops.api import _lookup_bwd
+
+    table = jax.ShapeDtypeStruct((2**31 + 8, 8), jnp.float32)
+    with pytest.raises(NotImplementedError, match="2\\*\\*31"):
+        _lookup_bwd(None, (table, None, None, None), None)
