@@ -30,9 +30,31 @@ from cuembed_tpu.parallel.train import (
     column_sharded_sgd_sparse_update,
     column_sharded_rowwise_adagrad_sparse_update,
 )
+from cuembed_tpu.parallel.planner import (
+    CostModel,
+    Plan,
+    PlanError,
+    TablePlan,
+    apply_plan,
+    plan,
+    planned_adagrad_init,
+    planned_adagrad_update,
+    planned_lookup,
+    planned_sgd_update,
+)
 from cuembed_tpu.parallel import multihost
 
 __all__ = [
+    "CostModel",
+    "Plan",
+    "PlanError",
+    "TablePlan",
+    "apply_plan",
+    "plan",
+    "planned_adagrad_init",
+    "planned_adagrad_update",
+    "planned_lookup",
+    "planned_sgd_update",
     "alltoall_row_sharded_lookup",
     "hybrid_tiered_lookup",
     "split_hybrid_table",

@@ -1,0 +1,614 @@
+"""Automatic placement planner for multi-table embedding collections.
+
+The reference is single-table, single-GPU (``README.md:110``); in
+production GPU recommenders the multi-device placement decision is made
+by an external planner (torchrec's ``EmbeddingShardingPlanner`` is the
+canonical one). This is the TPU-native analog: given the static
+:class:`~cuembed_tpu.collection.TableConfig` set, the mesh geometry and
+the measured cost model (``docs/PERF_NOTES.md``), choose per table among
+
+* ``replicated``     — small tables: every shard holds a full copy. Zero
+  lookup communication; the sparse update all-gathers the batch COO once
+  so replicas stay bit-identical.
+* ``row_sharded``    — the production default for big tables: all-to-all
+  routed lookups (:func:`~cuembed_tpu.parallel.alltoall_row_sharded_lookup`)
+  + routed sparse updates. Per-step wire volume is ``O(nnz * width)`` —
+  independent of the table size (PERF_NOTES §routed sparse updates).
+* ``hybrid``         — row-sharded with a replicated frequency-ordered
+  hot head (:func:`~cuembed_tpu.parallel.hybrid_tiered_lookup`): routed
+  volume shrinks by the calibrated head-hit rate. Chosen only when the
+  caller supplies a measured hit rate — the planner never guesses skew.
+* ``column_sharded`` — very wide tables: the width axis is sliced
+  ``P(None, model)`` so a single row never exceeds one chip's tile.
+
+:func:`plan` is pure host logic — deterministic and unit-testable with
+no devices. :func:`apply_plan` performs the ``device_put`` ceremony.
+:func:`planned_lookup` / :func:`planned_sgd_update` /
+:func:`planned_adagrad_update` dispatch each table to the lookup/update
+its placement requires.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cuembed_tpu.collection import TableConfig
+from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
+from cuembed_tpu.ops.tiered import DEFAULT_HOT_BYTES
+from cuembed_tpu.parallel.alltoall_lookup import (
+    alltoall_row_sharded_lookup,
+    hybrid_tiered_lookup,
+    split_hybrid_table,
+)
+from cuembed_tpu.parallel.sharded_lookup import column_sharded_lookup
+from cuembed_tpu.parallel.sharding import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    pad_table_for_shards,
+)
+from cuembed_tpu.parallel.train import (
+    column_sharded_rowwise_adagrad_sparse_update,
+    column_sharded_sgd_sparse_update,
+    sharded_hybrid_sgd_sparse_update,
+    sharded_rowwise_adagrad_sparse_update,
+    sharded_sgd_sparse_update,
+)
+from cuembed_tpu.train import (
+    rowwise_adagrad_sparse_update as _adagrad_1chip,
+    sgd_sparse_update as _sgd_1chip,
+)
+from cuembed_tpu.types import CombineMode
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+LANES = 128
+
+REPLICATED = "replicated"
+ROW_SHARDED = "row_sharded"
+HYBRID = "hybrid"
+COLUMN_SHARDED = "column_sharded"
+
+
+class PlanError(ValueError):
+    """The requested collection cannot be placed within the budget."""
+
+
+@dataclass(frozen=True)
+class CostModel:
+    """Measured per-chip constants the placement decision ranks against.
+
+    Defaults are TPU v5e (the chip all PERF_NOTES numbers come from);
+    override per deployment. Only *ratios* matter for placement — the
+    absolute comm estimates exist for :meth:`Plan.summary`, not for
+    correctness.
+    """
+
+    #: physical HBM per chip (v5e: 16 GiB).
+    hbm_bytes: int = 16 * 2**30
+    #: fraction of HBM the embedding tables may claim (the rest is
+    #: activations, the dense tower, XLA scratch).
+    hbm_budget_fraction: float = 0.6
+    #: biggest per-chip copy worth replicating. Replication buys zero
+    #: routing at the cost of n copies; past ~64 MB the HBM spend beats
+    #: the saved all-to-all for every measured workload.
+    replicate_bytes_max: int = 64 * 2**20
+    #: a column slice must keep full 128-lane tiles per shard.
+    column_min_slice_lanes: int = LANES
+    #: column sharding only pays while the vocab is small (the request
+    #: routing it avoids scales with nnz, its output all-gather with
+    #: batch*width) — big vocabs always route better row-sharded.
+    column_rows_max: int = 1 << 20
+    #: head-hit rate below which hybrid's replicated head is not worth
+    #: its HBM: the routed-volume saving is proportional to the rate.
+    hybrid_min_hit_rate: float = 0.5
+    #: fp32 gradient rows ride the update wire (PERF_NOTES §routed).
+    grad_elem_bytes: int = 4
+    #: all-to-all capacity headroom over the balanced share.
+    capacity_factor: float = 2.0
+
+
+@dataclass(frozen=True)
+class TablePlan:
+    """One table's placement decision and its cost-model estimates."""
+
+    name: str
+    placement: str
+    bytes_per_device: int
+    #: estimated per-device ICI bytes per train step (fwd + sparse SGD).
+    comm_bytes_per_step: int
+    #: hybrid only: replicated head rows (0 otherwise).
+    hot_rows: int = 0
+    #: hybrid only: calibrated fraction of lookups served by the head.
+    head_hit_rate: float = 0.0
+
+
+@dataclass(frozen=True)
+class Plan:
+    """A full placement for a collection over ``n_shards`` devices."""
+
+    tables: Dict[str, TablePlan]
+    n_shards: int
+    bytes_per_device: int
+    budget_bytes: int
+    cost: CostModel = field(default_factory=CostModel)
+
+    def summary(self) -> str:
+        lines = [
+            f"plan over {self.n_shards} shards: "
+            f"{self.bytes_per_device / 2**20:.1f} MB/device of "
+            f"{self.budget_bytes / 2**20:.1f} MB budget",
+        ]
+        for tp in self.tables.values():
+            extra = (
+                f" hot_rows={tp.hot_rows} hit={tp.head_hit_rate:.2f}"
+                if tp.placement == HYBRID
+                else ""
+            )
+            lines.append(
+                f"  {tp.name}: {tp.placement:<14} "
+                f"{tp.bytes_per_device / 2**20:8.1f} MB/dev  "
+                f"~{tp.comm_bytes_per_step / 2**20:.1f} MB/step ICI{extra}"
+            )
+        return "\n".join(lines)
+
+
+def _padded_width(width: int) -> int:
+    """Physical lane-padded width (TPU arrays tile the last dim to 128)."""
+    return -(-width // LANES) * LANES
+
+
+def plan(
+    configs: Sequence[TableConfig],
+    n_shards: int,
+    *,
+    batch: int,
+    cost: Optional[CostModel] = None,
+    head_hit_rate: Optional[Dict[str, float]] = None,
+    hot_bytes_total: int = DEFAULT_HOT_BYTES,
+    column_ok: bool = False,
+) -> Plan:
+    """Place every table; raise :class:`PlanError` if over budget.
+
+    Args:
+      configs: the collection's static table configs (``hotness`` and
+        ``traffic_share`` size the communication estimates and the
+        hybrid head budget split).
+      n_shards: devices along the routing (model) axis.
+      batch: global batch size (communication estimates only).
+      cost: measured chip constants (defaults = v5e).
+      head_hit_rate: per-table calibrated fraction of lookups landing in
+        a VMEM-budget frequency-ordered head
+        (:func:`cuembed_tpu.utils.frequency.tier_fractions` on real
+        traffic). Tables absent from the dict never go hybrid.
+      hot_bytes_total: hybrid head HBM budget per device, split across
+        hybrid tables by ``traffic_share``.
+      column_ok: allow ``column_sharded`` placements (requires the
+        caller to run lookups with a 2D (data, model) mesh).
+    """
+    cost = cost or CostModel()
+    hits = head_hit_rate or {}
+    if n_shards < 1:
+        raise PlanError("n_shards must be >= 1")
+
+    # Hybrid head budget split by traffic among the hybrid candidates.
+    hybrid_names = [
+        c.name
+        for c in configs
+        if hits.get(c.name, 0.0) >= cost.hybrid_min_hit_rate
+    ]
+    hybrid_share = sum(
+        max(c.traffic_share, 0.0) for c in configs if c.name in hybrid_names
+    ) or 1.0
+
+    tables: Dict[str, TablePlan] = {}
+    for c in configs:
+        elem = jnp.dtype(c.dtype).itemsize
+        pw = _padded_width(c.width)
+        total = c.num_categories * pw * elem
+        nnz = batch * max(c.hotness, 1)
+        nnz_l = -(-nnz // n_shards)
+        routed = int(nnz_l * cost.capacity_factor)
+        # Routed fwd: ids out + rows back; update: ids + fp32 grad rows
+        # (PERF_NOTES §routed sparse updates).
+        row_comm = routed * (
+            4 + c.width * elem + 4 + c.width * cost.grad_elem_bytes
+        )
+
+        if total <= cost.replicate_bytes_max or n_shards == 1:
+            # Update = COO all-gather so replicas stay identical.
+            repl_comm = int(
+                nnz_l * (4 + c.width * cost.grad_elem_bytes) * (n_shards - 1)
+            )
+            tables[c.name] = TablePlan(
+                c.name, REPLICATED, total, repl_comm
+            )
+            continue
+
+        if (
+            column_ok
+            and c.num_categories <= cost.column_rows_max
+            and c.width >= cost.column_min_slice_lanes * n_shards
+        ):
+            # fwd output all-gather + update COO all-gather.
+            col_comm = int(
+                (batch * c.width * elem + nnz * (4 + c.width * 4))
+                * (n_shards - 1)
+                / n_shards
+            )
+            tables[c.name] = TablePlan(
+                c.name, COLUMN_SHARDED, -(-total // n_shards), col_comm
+            )
+            continue
+
+        hit = hits.get(c.name, 0.0)
+        if c.name in hybrid_names:
+            budget = int(
+                hot_bytes_total * max(c.traffic_share, 0.0) / hybrid_share
+            )
+            hot_rows = min(
+                c.num_categories, max(budget // (pw * elem), 0) // 8 * 8
+            )
+            head_bytes = hot_rows * pw * elem
+            # Hybrid pays only when the routed volume it removes exceeds
+            # the per-step psum of the replicated head's gradient
+            # (~2x head bytes: reduce-scatter + all-gather over the axis).
+            if hot_rows >= 1024 and hit * row_comm > 2 * head_bytes:
+                per_dev = head_bytes + -(-(total - head_bytes) // n_shards)
+                comm = int(row_comm * (1.0 - hit)) + head_bytes * 2
+                tables[c.name] = TablePlan(
+                    c.name, HYBRID, per_dev, comm,
+                    hot_rows=hot_rows, head_hit_rate=hit,
+                )
+                continue
+
+        tables[c.name] = TablePlan(
+            c.name, ROW_SHARDED, -(-total // n_shards), row_comm
+        )
+
+    per_dev = sum(tp.bytes_per_device for tp in tables.values())
+    budget = int(cost.hbm_bytes * cost.hbm_budget_fraction)
+    if per_dev > budget:
+        worst = sorted(
+            tables.values(), key=lambda t: -t.bytes_per_device
+        )[:3]
+        raise PlanError(
+            f"placement needs {per_dev / 2**30:.2f} GiB/device, budget is "
+            f"{budget / 2**30:.2f} GiB; largest: "
+            + ", ".join(
+                f"{t.name}={t.bytes_per_device / 2**20:.0f}MB({t.placement})"
+                for t in worst
+            )
+        )
+    return Plan(tables, n_shards, per_dev, budget, cost)
+
+
+# --------------------------------------------------------------------------
+# Layout ceremony
+# --------------------------------------------------------------------------
+
+
+def apply_plan(
+    p: Plan,
+    tables: Dict[str, jax.Array],
+    mesh: Mesh,
+    *,
+    axis: str = MODEL_AXIS,
+) -> Dict[str, Any]:
+    """Place every table per its plan; hybrid becomes a (head, tail) pair.
+
+    Hybrid tables must already be frequency-ordered (hot categories in
+    the lowest rows — :meth:`cuembed_tpu.collection.EmbeddingCollection.
+    reorder`); the planner cannot verify that, only the calibration that
+    produced ``head_hit_rate`` can.
+    """
+    n = mesh.shape[axis]
+    if n != p.n_shards:
+        raise PlanError(
+            f"plan was built for {p.n_shards} shards, mesh axis "
+            f"'{axis}' has {n}"
+        )
+    placed: Dict[str, Any] = {}
+    for name, t in tables.items():
+        tp = p.tables[name]
+        if tp.placement == REPLICATED:
+            placed[name] = jax.device_put(t, NamedSharding(mesh, P()))
+        elif tp.placement == ROW_SHARDED:
+            placed[name] = jax.device_put(
+                pad_table_for_shards(t, n),
+                NamedSharding(mesh, P(axis, None)),
+            )
+        elif tp.placement == HYBRID:
+            head, tail = split_hybrid_table(t, tp.hot_rows, n)
+            placed[name] = (
+                jax.device_put(head, NamedSharding(mesh, P())),
+                jax.device_put(tail, NamedSharding(mesh, P(axis, None))),
+            )
+        else:  # COLUMN_SHARDED
+            if t.shape[1] % n != 0:
+                raise PlanError(
+                    f"{name}: width {t.shape[1]} must divide the axis "
+                    f"size {n} for column sharding"
+                )
+            placed[name] = jax.device_put(
+                t, NamedSharding(mesh, P(None, axis))
+            )
+    return placed
+
+
+# --------------------------------------------------------------------------
+# Planned forward
+# --------------------------------------------------------------------------
+
+
+def planned_lookup(
+    p: Plan,
+    placed: Dict[str, Any],
+    indices: Dict[str, jax.Array],
+    weights: Optional[Dict[str, jax.Array]] = None,
+    offsets: Optional[Dict[str, jax.Array]] = None,
+    *,
+    mesh: Mesh,
+    modes: Optional[Dict[str, CombineMode]] = None,
+    axis: str = MODEL_AXIS,
+    data_axis: str = DATA_AXIS,
+    compress: str = "none",
+) -> Dict[str, jax.Array]:
+    """Pooled lookup for every table in ``indices``, by placement.
+
+    Index layouts: routed/replicated tables want the batch sharded over
+    ``axis`` (``P(axis, None)``); column-sharded tables want it over
+    ``data_axis``. ``compress="int8"`` applies to routed payloads only
+    (serving mode — see :func:`hybrid_tiered_lookup`).
+    """
+    out: Dict[str, jax.Array] = {}
+    modes = modes or {}
+    for name, idx in indices.items():
+        tp = p.tables[name]
+        mode = modes.get(name, CombineMode.SUM)
+        w = weights.get(name) if weights else None
+        off = offsets.get(name) if offsets else None
+        if tp.placement == REPLICATED:
+            if off is not None:
+                out[name] = embedding_lookup_csr(
+                    placed[name], idx, off, w, mode=mode
+                )
+            else:
+                out[name] = embedding_lookup(placed[name], idx, w, mode=mode)
+        elif tp.placement == ROW_SHARDED:
+            out[name] = alltoall_row_sharded_lookup(
+                placed[name], idx, w, off, mesh=mesh, mode=mode,
+                capacity_factor=p.cost.capacity_factor, axis=axis,
+                compress=compress,
+            )
+        elif tp.placement == HYBRID:
+            if off is not None:
+                raise NotImplementedError(
+                    "hybrid placement is fixed-hotness; route CSR tables "
+                    "row_sharded (drop them from head_hit_rate)"
+                )
+            head, tail = placed[name]
+            out[name] = hybrid_tiered_lookup(
+                head, tail, idx, w, mesh=mesh, mode=mode,
+                capacity_factor=p.cost.capacity_factor,
+                cold_frac=max(1.0 - tp.head_hit_rate, 1e-3),
+                axis=axis, compress=compress,
+            )
+        else:  # COLUMN_SHARDED
+            out[name] = column_sharded_lookup(
+                placed[name], idx, w, off, mesh=mesh, mode=mode,
+                data_axis=data_axis, model_axis=axis,
+            )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Planned sparse updates
+# --------------------------------------------------------------------------
+
+
+def _replicated_sgd(table, idx, gy, *, mesh, lr, weights, mode, axis):
+    """Identical global sparse update on every replica.
+
+    One batch-COO all-gather over ``axis`` (volume ~ ``nnz * width * 4``,
+    fine for the small tables that replicate), then the single-chip
+    sparse update runs bit-identically on each shard — replicas never
+    diverge, matching the psum'd-dense-grad semantics row-sparsely.
+    """
+    in_specs = [P(), P(axis, None), P(axis, None)]
+    args = [table, idx.astype(jnp.int32), gy]
+    if weights is not None:
+        in_specs.append(P(axis, None))
+        args.append(weights)
+
+    def local(t_l, idx_l, gy_l, *rest):
+        w_l = rest[0] if weights is not None else None
+        idx_g = jax.lax.all_gather(idx_l, axis, axis=0, tiled=True)
+        gy_g = jax.lax.all_gather(gy_l, axis, axis=0, tiled=True)
+        w_g = (
+            jax.lax.all_gather(w_l, axis, axis=0, tiled=True)
+            if w_l is not None
+            else None
+        )
+        return _sgd_1chip(t_l, idx_g, gy_g, lr=lr, weights=w_g, mode=mode)
+
+    return shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=P(),
+        check_vma=False,
+    )(*args)
+
+
+def _replicated_adagrad(
+    table, accum, idx, gy, *, mesh, lr, eps, weights, mode, axis
+):
+    in_specs = [P(), P(), P(axis, None), P(axis, None)]
+    args = [table, accum, idx.astype(jnp.int32), gy]
+    if weights is not None:
+        in_specs.append(P(axis, None))
+        args.append(weights)
+
+    def local(t_l, a_l, idx_l, gy_l, *rest):
+        w_l = rest[0] if weights is not None else None
+        idx_g = jax.lax.all_gather(idx_l, axis, axis=0, tiled=True)
+        gy_g = jax.lax.all_gather(gy_l, axis, axis=0, tiled=True)
+        w_g = (
+            jax.lax.all_gather(w_l, axis, axis=0, tiled=True)
+            if w_l is not None
+            else None
+        )
+        return _adagrad_1chip(
+            t_l, a_l, idx_g, gy_g, lr=lr, eps=eps, weights=w_g, mode=mode
+        )
+
+    return shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=(P(), P()), check_vma=False,
+    )(*args)
+
+
+def planned_sgd_update(
+    p: Plan,
+    placed: Dict[str, Any],
+    indices: Dict[str, jax.Array],
+    grads_y: Dict[str, jax.Array],
+    *,
+    mesh: Mesh,
+    lr: float,
+    weights: Optional[Dict[str, jax.Array]] = None,
+    offsets: Optional[Dict[str, jax.Array]] = None,
+    modes: Optional[Dict[str, CombineMode]] = None,
+    axis: str = MODEL_AXIS,
+    data_axis: str = DATA_AXIS,
+) -> Dict[str, Any]:
+    """Sparse SGD for every table in ``grads_y``, by placement."""
+    new = dict(placed)
+    modes = modes or {}
+    for name, gy in grads_y.items():
+        tp = p.tables[name]
+        mode = modes.get(name, CombineMode.SUM)
+        idx = indices[name]
+        w = weights.get(name) if weights else None
+        off = offsets.get(name) if offsets else None
+        if tp.placement == REPLICATED:
+            if off is not None:
+                raise NotImplementedError(
+                    "replicated CSR updates: flatten to fixed-hotness or "
+                    "place the table row_sharded (routed updates take "
+                    "sharded-CSR blocks)"
+                )
+            new[name] = _replicated_sgd(
+                placed[name], idx, gy, mesh=mesh, lr=lr, weights=w,
+                mode=mode, axis=axis,
+            )
+        elif tp.placement == ROW_SHARDED:
+            new[name] = sharded_sgd_sparse_update(
+                placed[name], idx, gy, mesh=mesh, lr=lr, offsets=off,
+                weights=w, mode=mode, axis=axis,
+            )
+        elif tp.placement == HYBRID:
+            head, tail = placed[name]
+            new[name] = sharded_hybrid_sgd_sparse_update(
+                head, tail, idx, gy, mesh=mesh, lr=lr, weights=w,
+                mode=mode, cold_frac=max(1.0 - tp.head_hit_rate, 1e-3),
+                axis=axis,
+            )
+        else:  # COLUMN_SHARDED
+            new[name] = column_sharded_sgd_sparse_update(
+                placed[name], idx, gy, mesh=mesh, lr=lr, weights=w,
+                mode=mode, data_axis=data_axis, model_axis=axis,
+            )
+    return new
+
+
+def planned_adagrad_init(
+    p: Plan, placed: Dict[str, Any], mesh: Mesh, *, axis: str = MODEL_AXIS
+) -> Dict[str, jax.Array]:
+    """Row-wise AdaGrad accumulators, co-sharded with each placement."""
+    out: Dict[str, jax.Array] = {}
+    for name, tp in p.tables.items():
+        if name not in placed:
+            continue
+        if tp.placement == ROW_SHARDED:
+            rows = placed[name].shape[0]
+            out[name] = jax.device_put(
+                jnp.zeros((rows,), jnp.float32),
+                NamedSharding(mesh, P(axis)),
+            )
+        elif tp.placement == HYBRID:
+            raise NotImplementedError(
+                "hybrid AdaGrad: the replicated head's gradient is a "
+                "psum'd dense block; use planned_sgd_update for hybrid "
+                "tables or place them row_sharded for AdaGrad"
+            )
+        else:  # replicated / column: per-row stats span the full row
+            out[name] = jax.device_put(
+                jnp.zeros((placed[name].shape[0],), jnp.float32),
+                NamedSharding(mesh, P()),
+            )
+    return out
+
+
+def planned_adagrad_update(
+    p: Plan,
+    placed: Dict[str, Any],
+    accums: Dict[str, jax.Array],
+    indices: Dict[str, jax.Array],
+    grads_y: Dict[str, jax.Array],
+    *,
+    mesh: Mesh,
+    lr: float,
+    eps: float = 1e-8,
+    weights: Optional[Dict[str, jax.Array]] = None,
+    offsets: Optional[Dict[str, jax.Array]] = None,
+    modes: Optional[Dict[str, CombineMode]] = None,
+    axis: str = MODEL_AXIS,
+    data_axis: str = DATA_AXIS,
+) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
+    """Row-wise AdaGrad for every table in ``grads_y``, by placement."""
+    new_t, new_a = dict(placed), dict(accums)
+    modes = modes or {}
+    for name, gy in grads_y.items():
+        tp = p.tables[name]
+        mode = modes.get(name, CombineMode.SUM)
+        idx = indices[name]
+        w = weights.get(name) if weights else None
+        off = offsets.get(name) if offsets else None
+        if tp.placement == REPLICATED:
+            if off is not None:
+                raise NotImplementedError(
+                    "replicated CSR updates are not supported; see "
+                    "planned_sgd_update"
+                )
+            new_t[name], new_a[name] = _replicated_adagrad(
+                placed[name], accums[name], idx, gy, mesh=mesh, lr=lr,
+                eps=eps, weights=w, mode=mode, axis=axis,
+            )
+        elif tp.placement == ROW_SHARDED:
+            new_t[name], new_a[name] = (
+                sharded_rowwise_adagrad_sparse_update(
+                    placed[name], accums[name], idx, gy, mesh=mesh,
+                    lr=lr, eps=eps, offsets=off, weights=w, mode=mode,
+                    axis=axis,
+                )
+            )
+        elif tp.placement == HYBRID:
+            raise NotImplementedError(
+                "hybrid AdaGrad is not implemented; see "
+                "planned_adagrad_init"
+            )
+        else:  # COLUMN_SHARDED
+            new_t[name], new_a[name] = (
+                column_sharded_rowwise_adagrad_sparse_update(
+                    placed[name], accums[name], idx, gy, mesh=mesh,
+                    lr=lr, eps=eps, weights=w, mode=mode,
+                    data_axis=data_axis, model_axis=axis,
+                )
+            )
+    return new_t, new_a

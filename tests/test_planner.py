@@ -1,0 +1,285 @@
+"""Placement planner: decision logic + end-to-end parity on the mesh.
+
+The planner is the torchrec-EmbeddingShardingPlanner analog (the
+reference itself is single-GPU, ``README.md:110``). Decision tests are
+pure host logic; the end-to-end tests place a mixed collection on the
+virtual 8-device mesh and check every placement's lookup and sparse
+update against the single-chip reference ops.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from cuembed_tpu import CombineMode, embedding_lookup
+from cuembed_tpu.collection import TableConfig
+from cuembed_tpu.parallel import (
+    CostModel,
+    PlanError,
+    apply_plan,
+    plan,
+    planned_adagrad_init,
+    planned_adagrad_update,
+    planned_lookup,
+    planned_sgd_update,
+)
+from cuembed_tpu.train import (
+    rowwise_adagrad_sparse_update,
+    sgd_sparse_update,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+# Tiny cost model so small test tables exercise every placement branch.
+TEST_COST = CostModel(
+    hbm_bytes=1 << 30,
+    replicate_bytes_max=64 * 1024,      # replicate under 64 KB
+    column_rows_max=4096,
+    hybrid_min_hit_rate=0.5,
+)
+
+
+# ---------------------------------------------------------------------------
+# Decision logic (no devices)
+# ---------------------------------------------------------------------------
+
+
+def test_plan_placements():
+    configs = [
+        TableConfig("small", 64, 16),                       # 64*128*4 = 32 KB
+        TableConfig("big", 100_000, 64, hotness=4),          # 51 MB padded
+        TableConfig("wide", 2048, 128 * 8),                  # few rows, wide
+        TableConfig("skewed", 100_000, 64, hotness=4),
+    ]
+    p = plan(
+        configs, 8, batch=65536, cost=TEST_COST,
+        head_hit_rate={"skewed": 0.8}, column_ok=True,
+        hot_bytes_total=512 * 1024,
+    )
+    assert p.tables["small"].placement == "replicated"
+    assert p.tables["big"].placement == "row_sharded"
+    assert p.tables["wide"].placement == "column_sharded"
+    assert p.tables["skewed"].placement == "hybrid"
+    assert p.tables["skewed"].hot_rows >= 1024
+    assert p.tables["skewed"].hot_rows % 8 == 0
+    # hybrid routes less than the equivalent row-sharded table
+    assert (
+        p.tables["skewed"].comm_bytes_per_step
+        < p.tables["big"].comm_bytes_per_step
+    )
+    assert "plan over 8 shards" in p.summary()
+
+
+def test_plan_no_hybrid_without_stats():
+    configs = [TableConfig("t", 100_000, 64, hotness=4)]
+    p = plan(configs, 8, batch=256, cost=TEST_COST)
+    assert p.tables["t"].placement == "row_sharded"
+
+
+def test_plan_column_needs_opt_in():
+    configs = [TableConfig("wide", 2048, 128 * 8)]
+    p = plan(configs, 8, batch=256, cost=TEST_COST, column_ok=False)
+    assert p.tables["wide"].placement == "row_sharded"
+
+
+def test_plan_over_budget_raises():
+    configs = [TableConfig("huge", 40_000_000, 256)]
+    with pytest.raises(PlanError, match="huge"):
+        plan(configs, 8, batch=256, cost=TEST_COST)
+
+
+def test_plan_single_shard_replicates():
+    p = plan(
+        [TableConfig("t", 100_000, 64)], 1, batch=256, cost=TEST_COST
+    )
+    assert p.tables["t"].placement == "replicated"
+    assert p.tables["t"].comm_bytes_per_step == 0
+
+
+# ---------------------------------------------------------------------------
+# End-to-end on the virtual mesh
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), ("data", "model")
+    )
+
+
+def _mixed_setup(mesh, rng):
+    configs = [
+        TableConfig("small", 64, 16, hotness=4),
+        TableConfig("big", 4096, 32, hotness=4),
+        TableConfig("wide", 512, 512, hotness=2),
+        TableConfig("skewed", 4096, 32, hotness=4),
+    ]
+    cost = CostModel(
+        hbm_bytes=1 << 30,
+        replicate_bytes_max=64 * 1024,
+        column_rows_max=1024,
+        hybrid_min_hit_rate=0.5,
+    )
+    # Planning batch = the production batch (sizes the comm estimates and
+    # the hybrid-vs-psum tradeoff); the test arrays below use a small
+    # batch for speed — only the placement decision depends on this.
+    p = plan(
+        configs, 4, batch=8192, cost=cost,
+        head_hit_rate={"skewed": 0.75}, column_ok=True,
+        hot_bytes_total=1024 * 128 * 4,
+    )
+    assert {tp.placement for tp in p.tables.values()} == {
+        "replicated", "row_sharded", "column_sharded", "hybrid",
+    }
+    tables = {
+        c.name: jnp.asarray(
+            rng.standard_normal((c.num_categories, c.width)).astype(
+                np.float32
+            )
+        )
+        for c in configs
+    }
+    # skew the draws for the hybrid table toward its head
+    idx = {}
+    for c in configs:
+        if c.name == "skewed":
+            lo = rng.integers(
+                0, p.tables["skewed"].hot_rows, (48, c.hotness)
+            )
+            hi = rng.integers(0, c.num_categories, (16, c.hotness))
+            idx[c.name] = jnp.asarray(
+                np.concatenate([lo, hi]).astype(np.int32)
+            )
+        else:
+            idx[c.name] = jnp.asarray(
+                rng.integers(0, c.num_categories, (64, c.hotness)).astype(
+                    np.int32
+                )
+            )
+    return configs, p, tables, idx
+
+
+def test_planned_lookup_matches_single_chip(mesh):
+    rng = np.random.default_rng(0)
+    configs, p, tables, idx = _mixed_setup(mesh, rng)
+    placed = apply_plan(p, tables, mesh)
+    assert isinstance(placed["skewed"], tuple)
+    got = planned_lookup(p, placed, idx, mesh=mesh)
+    for c in configs:
+        want = embedding_lookup(
+            tables[c.name], idx[c.name], mode=CombineMode.SUM,
+            backend="xla",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[c.name]), np.asarray(want),
+            rtol=1e-5, atol=1e-5, err_msg=c.name,
+        )
+
+
+def test_planned_sgd_matches_single_chip(mesh):
+    rng = np.random.default_rng(1)
+    configs, p, tables, idx = _mixed_setup(mesh, rng)
+    placed = apply_plan(p, tables, mesh)
+    gys = {
+        c.name: jnp.asarray(
+            rng.standard_normal((64, c.width)).astype(np.float32)
+        )
+        for c in configs
+    }
+    new = planned_sgd_update(
+        p, placed, idx, gys, mesh=mesh, lr=0.1
+    )
+    for c in configs:
+        want = sgd_sparse_update(
+            tables[c.name], idx[c.name], gys[c.name], lr=0.1,
+            mode=CombineMode.SUM,
+        )
+        tp = p.tables[c.name]
+        if tp.placement == "hybrid":
+            head, tail = new[c.name]
+            got_full = np.concatenate(
+                [np.asarray(head), np.asarray(tail)]
+            )[: c.num_categories]
+        else:
+            got_full = np.asarray(new[c.name])[: c.num_categories]
+        np.testing.assert_allclose(
+            got_full, np.asarray(want), rtol=1e-4, atol=1e-5,
+            err_msg=f"{c.name} ({tp.placement})",
+        )
+
+
+def test_planned_adagrad_matches_single_chip(mesh):
+    rng = np.random.default_rng(2)
+    configs, p, tables, idx = _mixed_setup(mesh, rng)
+    # hybrid AdaGrad is refused by design — drop the hybrid table
+    configs = [c for c in configs if c.name != "skewed"]
+    for d in (tables, idx):
+        d.pop("skewed")
+    placed = apply_plan(
+        p, tables, mesh
+    )
+    accums = planned_adagrad_init(p, placed, mesh)
+    gys = {
+        c.name: jnp.asarray(
+            rng.standard_normal((64, c.width)).astype(np.float32)
+        )
+        for c in configs
+    }
+    new_t, new_a = planned_adagrad_update(
+        p, placed, accums, idx, gys, mesh=mesh, lr=0.1
+    )
+    for c in configs:
+        want_t, want_a = rowwise_adagrad_sparse_update(
+            tables[c.name],
+            jnp.zeros((c.num_categories,), jnp.float32),
+            idx[c.name], gys[c.name], lr=0.1, mode=CombineMode.SUM,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_t[c.name])[: c.num_categories],
+            np.asarray(want_t), rtol=1e-4, atol=1e-5, err_msg=c.name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_a[c.name])[: c.num_categories],
+            np.asarray(want_a), rtol=1e-4, atol=1e-5, err_msg=c.name,
+        )
+
+
+def test_planned_replicated_replicas_stay_identical(mesh):
+    """After an update, every replica of a replicated table is bitwise
+    identical (the all-gathered COO makes the update deterministic)."""
+    rng = np.random.default_rng(3)
+    configs = [TableConfig("small", 64, 16, hotness=4)]
+    p = plan(configs, 4, batch=64, cost=TEST_COST)
+    tables = {
+        "small": jnp.asarray(
+            rng.standard_normal((64, 16)).astype(np.float32)
+        )
+    }
+    placed = apply_plan(p, tables, mesh)
+    idx = {
+        "small": jnp.asarray(
+            rng.integers(0, 64, (64, 4)).astype(np.int32)
+        )
+    }
+    gys = {
+        "small": jnp.asarray(
+            rng.standard_normal((64, 16)).astype(np.float32)
+        )
+    }
+    new = planned_sgd_update(p, placed, idx, gys, mesh=mesh, lr=0.1)
+    shards = [
+        np.asarray(s.data) for s in new["small"].addressable_shards
+    ]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_apply_plan_wrong_mesh_raises(mesh):
+    p = plan([TableConfig("t", 4096, 32)], 8, batch=64, cost=TEST_COST)
+    with pytest.raises(PlanError, match="mesh axis"):
+        apply_plan(p, {"t": jnp.zeros((4096, 32))}, mesh)  # axis has 4
