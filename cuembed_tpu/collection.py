@@ -125,6 +125,78 @@ class EmbeddingCollection:
             remaps[name] = remap
         return new_tables, remaps
 
+    # -- placement planning ---------------------------------------------------
+    def head_hit_rates(
+        self,
+        counts: Dict[str, np.ndarray],
+        *,
+        hot_bytes_total: int = DEFAULT_HOT_BYTES,
+    ) -> Dict[str, float]:
+        """Per-table head-hit rate from observed frequency counts.
+
+        For each table: the fraction of observed traffic that a
+        frequency-ordered head sized to this table's traffic share of
+        ``hot_bytes_total`` would serve — exactly what
+        :func:`cuembed_tpu.parallel.planner.plan` wants as
+        ``head_hit_rate`` to judge hybrid placement.
+        """
+        total_share = sum(
+            max(c.traffic_share, 0.0) for c in self.configs.values()
+        ) or 1.0
+        out: Dict[str, float] = {}
+        for name, c in self.configs.items():
+            cnt = counts.get(name)
+            if cnt is None or cnt.sum() == 0:
+                continue
+            pw = -(-c.width // LANES) * LANES
+            budget = int(
+                hot_bytes_total * max(c.traffic_share, 0.0) / total_share
+            )
+            hot_rows = max(
+                budget // (pw * jnp.dtype(c.dtype).itemsize), 0
+            ) // 8 * 8
+            if hot_rows <= 0:
+                continue
+            top = np.sort(np.asarray(cnt))[::-1][:hot_rows]
+            out[name] = float(top.sum() / cnt.sum())
+        return out
+
+    def plan_placement(
+        self,
+        n_shards: int,
+        *,
+        batch: int,
+        counts: Optional[Dict[str, np.ndarray]] = None,
+        cost=None,
+        column_ok: bool = False,
+        hot_bytes_total: int = DEFAULT_HOT_BYTES,
+    ):
+        """Place this collection over ``n_shards`` devices.
+
+        With ``counts`` (from :meth:`update_counts`), hybrid placement is
+        considered using the measured head-hit rates; without stats no
+        table goes hybrid. Returns a
+        :class:`cuembed_tpu.parallel.planner.Plan` — feed it to
+        :func:`~cuembed_tpu.parallel.planner.apply_plan` and the
+        ``planned_*`` entry points.
+        """
+        from cuembed_tpu.parallel.planner import plan
+
+        hits = (
+            self.head_hit_rates(counts, hot_bytes_total=hot_bytes_total)
+            if counts
+            else None
+        )
+        return plan(
+            list(self.configs.values()),
+            n_shards,
+            batch=batch,
+            cost=cost,
+            head_hit_rate=hits,
+            hot_bytes_total=hot_bytes_total,
+            column_ok=column_ok,
+        )
+
     # -- forward -------------------------------------------------------------
     def apply(
         self,

@@ -283,3 +283,40 @@ def test_apply_plan_wrong_mesh_raises(mesh):
     p = plan([TableConfig("t", 4096, 32)], 8, batch=64, cost=TEST_COST)
     with pytest.raises(PlanError, match="mesh axis"):
         apply_plan(p, {"t": jnp.zeros((4096, 32))}, mesh)  # axis has 4
+
+
+def test_collection_plan_placement_from_counts():
+    """Collection -> counts -> hit rates -> plan: the skewed table goes
+    hybrid from measured stats, the uniform one stays row-sharded."""
+    from cuembed_tpu.collection import EmbeddingCollection
+
+    rng = np.random.default_rng(4)
+    coll = EmbeddingCollection(
+        [
+            TableConfig("uniform", 100_000, 64, hotness=4),
+            TableConfig("zipf", 100_000, 64, hotness=4),
+        ]
+    )
+    counts = coll.init_counts()
+    counts = coll.update_counts(
+        counts,
+        {
+            "uniform": rng.integers(0, 100_000, 100_000),
+            "zipf": np.minimum(
+                rng.zipf(1.3, 100_000) - 1, 99_999
+            ).astype(np.int64),
+        },
+    )
+    hits = coll.head_hit_rates(counts, hot_bytes_total=512 * 1024)
+    assert hits["zipf"] > 0.7 > 0.2 > hits["uniform"]
+    p = coll.plan_placement(
+        8, batch=65536, counts=counts, cost=TEST_COST,
+        hot_bytes_total=512 * 1024,
+    )
+    assert p.tables["zipf"].placement == "hybrid"
+    assert p.tables["uniform"].placement == "row_sharded"
+    # without stats nothing goes hybrid
+    p2 = coll.plan_placement(8, batch=65536, cost=TEST_COST)
+    assert all(
+        tp.placement == "row_sharded" for tp in p2.tables.values()
+    )
