@@ -20,6 +20,15 @@ from cuembed_tpu.ops.lookup_xla import (
 )
 from cuembed_tpu.ops.tiered import TieredConfig, tiered_forward
 from cuembed_tpu.collection import EmbeddingCollection, TableConfig
+from cuembed_tpu.fused import (
+    FusedSpec,
+    fuse_counts,
+    fuse_tables,
+    fused_adagrad_update,
+    fused_lookup,
+    fused_sgd_update,
+    unfuse_table,
+)
 from cuembed_tpu.train import (
     rowwise_adagrad_init,
     rowwise_adagrad_sparse_update,
@@ -47,6 +56,13 @@ __all__ = [
     "tiered_forward",
     "EmbeddingCollection",
     "TableConfig",
+    "FusedSpec",
+    "fuse_tables",
+    "fuse_counts",
+    "fused_lookup",
+    "fused_sgd_update",
+    "fused_adagrad_update",
+    "unfuse_table",
     "sgd_sparse_update",
     "rowwise_adagrad_init",
     "rowwise_adagrad_sparse_update",

@@ -1,0 +1,202 @@
+"""Fused multi-table lookup: parity vs per-table ops.
+
+Fusion must be semantically invisible — every pooled output and every
+sparse update equals the per-table result bit-for-bit (the fused path
+runs the same gather/scatter machinery on offset ids).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuembed_tpu import (
+    CombineMode,
+    embedding_lookup,
+    fuse_counts,
+    fuse_tables,
+    fused_adagrad_update,
+    fused_lookup,
+    fused_sgd_update,
+    rowwise_adagrad_sparse_update,
+    sgd_sparse_update,
+    unfuse_table,
+)
+from cuembed_tpu.utils.frequency import frequency_order
+
+
+def _group(rng, sizes, hotness, width=16, batch=32):
+    names = [f"t{i}" for i in range(len(sizes))]
+    tables = {
+        n: jnp.asarray(
+            rng.standard_normal((v, width)).astype(np.float32)
+        )
+        for n, v in zip(names, sizes)
+    }
+    hot = dict(zip(names, hotness))
+    idx = {
+        n: jnp.asarray(
+            rng.integers(0, v, (batch, hot[n])).astype(np.int32)
+        )
+        for n, v in zip(names, sizes)
+    }
+    return names, tables, hot, idx
+
+
+def test_fuse_roundtrip():
+    rng = np.random.default_rng(0)
+    names, tables, hot, _ = _group(rng, [64, 128, 32], [4, 4, 4])
+    fused, spec = fuse_tables(tables, hot)
+    assert fused.shape == (224, 16)
+    assert spec.bases == (0, 64, 192)
+    back = unfuse_table(fused, spec)
+    for n in names:
+        np.testing.assert_array_equal(
+            np.asarray(back[n]), np.asarray(tables[n])
+        )
+
+
+def test_fuse_rejects_mixed_shapes():
+    rng = np.random.default_rng(1)
+    tables = {
+        "a": jnp.zeros((8, 16), jnp.float32),
+        "b": jnp.zeros((8, 32), jnp.float32),
+    }
+    with pytest.raises(ValueError, match="width"):
+        fuse_tables(tables, {"a": 1, "b": 1})
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+@pytest.mark.parametrize("hotness", [(4, 4, 4), (4, 2, 7)])
+def test_fused_lookup_matches_per_table(mode, hotness):
+    rng = np.random.default_rng(2)
+    names, tables, hot, idx = _group(rng, [64, 128, 32], hotness)
+    fused, spec = fuse_tables(tables, hot)
+    got = fused_lookup(fused, spec, idx, mode=mode, backend="xla")
+    for n in names:
+        want = embedding_lookup(
+            tables[n], idx[n], mode=mode, backend="xla"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[n]), np.asarray(want),
+            rtol=1e-6, atol=1e-6, err_msg=n,
+        )
+
+
+def test_fused_lookup_weighted():
+    rng = np.random.default_rng(3)
+    names, tables, hot, idx = _group(rng, [64, 32], [4, 3])
+    w = {
+        n: jnp.asarray(
+            rng.standard_normal(idx[n].shape).astype(np.float32)
+        )
+        for n in names
+    }
+    fused, spec = fuse_tables(tables, hot)
+    got = fused_lookup(fused, spec, idx, w, backend="xla")
+    for n in names:
+        want = embedding_lookup(tables[n], idx[n], w[n], backend="xla")
+        np.testing.assert_allclose(
+            np.asarray(got[n]), np.asarray(want), rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_fused_lookup_concat_raises():
+    rng = np.random.default_rng(4)
+    _, tables, hot, idx = _group(rng, [64], [4])
+    fused, spec = fuse_tables(tables, hot)
+    with pytest.raises(ValueError, match="CONCAT"):
+        fused_lookup(fused, spec, idx, mode=CombineMode.CONCAT)
+
+
+def test_fused_sgd_matches_per_table():
+    rng = np.random.default_rng(5)
+    names, tables, hot, idx = _group(rng, [64, 128], [4, 2], batch=16)
+    gys = {
+        n: jnp.asarray(rng.standard_normal((16, 16)).astype(np.float32))
+        for n in names
+    }
+    fused, spec = fuse_tables(tables, hot)
+    new = fused_sgd_update(fused, spec, idx, gys, lr=0.1)
+    parts = unfuse_table(new, spec)
+    for n in names:
+        want = sgd_sparse_update(tables[n], idx[n], gys[n], lr=0.1)
+        np.testing.assert_allclose(
+            np.asarray(parts[n]), np.asarray(want),
+            rtol=1e-5, atol=1e-6, err_msg=n,
+        )
+
+
+def test_fused_adagrad_matches_per_table():
+    rng = np.random.default_rng(6)
+    names, tables, hot, idx = _group(rng, [64, 128], [3, 3], batch=16)
+    gys = {
+        n: jnp.asarray(rng.standard_normal((16, 16)).astype(np.float32))
+        for n in names
+    }
+    fused, spec = fuse_tables(tables, hot)
+    accum = jnp.zeros((spec.total_rows,), jnp.float32)
+    new_t, new_a = fused_adagrad_update(
+        fused, accum, spec, idx, gys, lr=0.1
+    )
+    t_parts = unfuse_table(new_t, spec)
+    for n, b, s in zip(spec.names, spec.bases, spec.sizes):
+        want_t, want_a = rowwise_adagrad_sparse_update(
+            tables[n],
+            jnp.zeros((s,), jnp.float32),
+            idx[n], gys[n], lr=0.1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(t_parts[n]), np.asarray(want_t),
+            rtol=1e-5, atol=1e-6, err_msg=n,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_a)[b : b + s], np.asarray(want_a),
+            rtol=1e-5, atol=1e-6, err_msg=n,
+        )
+
+
+def test_fused_remap_invisible():
+    """A frequency reorder of the FUSED table + its remap leaves every
+    pooled output unchanged (the tiered-engine enablement path)."""
+    rng = np.random.default_rng(7)
+    names, tables, hot, idx = _group(rng, [64, 32], [4, 4])
+    fused, spec = fuse_tables(tables, hot)
+    counts = {
+        n: np.bincount(
+            np.asarray(idx[n]).reshape(-1), minlength=v
+        ).astype(np.int64)
+        for n, v in zip(names, (64, 32))
+    }
+    perm, remap = frequency_order(fuse_counts(spec, counts))
+    reordered = jnp.asarray(np.asarray(fused)[perm])
+    base = fused_lookup(fused, spec, idx, backend="xla")
+    got = fused_lookup(
+        reordered, spec, idx, remap=jnp.asarray(remap), backend="xla"
+    )
+    for n in names:
+        np.testing.assert_allclose(
+            np.asarray(got[n]), np.asarray(base[n]),
+            rtol=1e-6, atol=1e-6, err_msg=n,
+        )
+
+
+def test_fused_lookup_is_differentiable():
+    rng = np.random.default_rng(8)
+    names, tables, hot, idx = _group(rng, [64, 32], [4, 4], batch=8)
+    fused, spec = fuse_tables(tables, hot)
+
+    def loss(f):
+        out = fused_lookup(f, spec, idx, backend="xla")
+        return sum(jnp.sum(o**2) for o in out.values())
+
+    g = jax.grad(loss)(fused)
+    assert g.shape == fused.shape
+    assert bool(jnp.isfinite(g).all())
+    # rows never looked up get zero gradient
+    touched = np.zeros(spec.total_rows, bool)
+    for n, b in zip(spec.names, spec.bases):
+        touched[np.asarray(idx[n]).reshape(-1) + b] = True
+    np.testing.assert_array_equal(
+        np.asarray(g)[~touched], 0.0
+    )
