@@ -41,6 +41,9 @@ python benchmarks/profile_train.py
 log "stage 6: train benchmark, chained (production dispatch regime)"
 python benchmarks/train_benchmark.py --chained
 
+log "stage 6b: fused multi-table group vs per-table dispatches"
+python benchmarks/fused_benchmark.py
+
 if [ "$FAST" != "fast" ] && [ -f benchmarks/results_v5e_r3.csv ]; then
   log "stage 7: regenerate the summary table from the fresh CSV"
   {
