@@ -69,6 +69,7 @@ def hybrid_tiered_lookup(
     tail_table: jax.Array,
     indices: jax.Array,
     weights: Optional[jax.Array] = None,
+    offsets: Optional[jax.Array] = None,
     *,
     mesh: Mesh,
     mode: CombineMode = CombineMode.SUM,
@@ -105,8 +106,14 @@ def hybrid_tiered_lookup(
         row-sharded ``P(axis, None)``; ``V_tail`` divisible by the axis
         size (pad with :func:`cuembed_tpu.parallel.sharding.pad_table_for_shards`).
       indices: ``[batch, hotness]`` *remapped* (frequency-ordered) global
-        row ids, sharded ``P(axis, None)``.
+        row ids, sharded ``P(axis, None)``. With ``offsets``: the
+        *sharded-CSR* layout — ``[n, cap]`` flat value blocks (see
+        :func:`cuembed_tpu.parallel.sharding.shard_csr`).
       weights: optional, like indices (SUM only).
+      offsets: optional sharded-CSR offsets ``[n, local_batch + 1]``;
+        entries of a shard's block at or past ``offsets[-1]`` are
+        padding (they hit the head with coefficient 0 and never consume
+        a routing slot).
       mode: SUM or MEAN.
       capacity_factor: static per-destination slot capacity as a multiple
         of the balanced *cold* share ``cold_frac * nnz_local / n``.
@@ -133,10 +140,19 @@ def hybrid_tiered_lookup(
     if v_tail % n != 0:
         raise ValueError("pad tail rows to a multiple of the axis size")
     rows_per = v_tail // n
-    batch, hotness = indices.shape
-    if batch % n != 0:
-        raise ValueError("batch must divide evenly across the axis")
-    nnz_l = (batch // n) * hotness
+    if offsets is not None:
+        if indices.ndim != 2 or indices.shape[0] != n:
+            raise ValueError(
+                "sharded CSR wants indices [n_shards, cap]; see shard_csr"
+            )
+        nnz_l = indices.shape[1]
+        lb = offsets.shape[1] - 1
+        hotness = None
+    else:
+        batch, hotness = indices.shape
+        if batch % n != 0:
+            raise ValueError("batch must divide evenly across the axis")
+        nnz_l = (batch // n) * hotness
     cap = int(nnz_l / n * min(max(cold_frac, 1e-3), 1.0) * capacity_factor)
     cap = min(max(-(-cap // 8) * 8, 8), nnz_l)
 
@@ -145,26 +161,64 @@ def hybrid_tiered_lookup(
     if weights is not None:
         in_specs.append(P(axis, None))
         args.append(weights)
+    if offsets is not None:
+        in_specs.append(P(axis, None))
+        args.append(offsets.astype(jnp.int32))
 
     def local(head_l, tail_l, idx_l, *rest):
-        w_l = rest[0] if weights is not None else None
-        b_l = idx_l.shape[0]
-        flat = idx_l.reshape(-1)  # [nnz_l] global remapped rows
-        coeff = (
-            w_l.reshape(-1).astype(jnp.float32)
-            if w_l is not None
-            else jnp.ones((nnz_l,), jnp.float32)
-        )
-        if mode == CombineMode.MEAN:
-            coeff = coeff / hotness
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        offs_l = rest.pop(0) if offsets is not None else None
+        if offs_l is not None:
+            from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
+
+            offs1 = offs_l.reshape(-1)  # [lb + 1]
+            b_l = lb
+            flat_raw = idx_l.reshape(-1)  # [nnz_l]
+            pos = jnp.arange(nnz_l, dtype=jnp.int32)
+            live = pos < offs1[-1]
+            # Dead slots point at row 0 (< hot), so they take the head
+            # path with coefficient 0 and never consume a routing slot.
+            flat = jnp.where(live, flat_raw, 0)
+            sample_of_pos = extract_row_ids_from_csr(offs1, flat).astype(
+                jnp.int32
+            )
+            coeff = live.astype(jnp.float32)
+            if w_l is not None:
+                coeff = coeff * w_l.reshape(-1).astype(jnp.float32)
+            if mode == CombineMode.MEAN:
+                counts = (offs1[1:] - offs1[:-1]).astype(jnp.float32)
+                inv = jnp.where(
+                    counts == 0, 0.0, 1.0 / jnp.maximum(counts, 1.0)
+                )
+                coeff = coeff * jnp.take(inv, sample_of_pos)
+        else:
+            b_l = idx_l.shape[0]
+            sample_of_pos = None
+            flat = idx_l.reshape(-1)  # [nnz_l] global remapped rows
+            coeff = (
+                w_l.reshape(-1).astype(jnp.float32)
+                if w_l is not None
+                else jnp.ones((nnz_l,), jnp.float32)
+            )
+            if mode == CombineMode.MEAN:
+                coeff = coeff / hotness
         is_hot = flat < hot
+
+        def pooled(rows):
+            if sample_of_pos is not None:
+                return jax.ops.segment_sum(
+                    rows, sample_of_pos, num_segments=b_l,
+                    indices_are_sorted=True,
+                )
+            return jnp.sum(rows.reshape(b_l, hotness, width), axis=1)
 
         # --- head: local VMEM-served pooled lookup, zero communication --
         head_rows = jnp.take(
             head_l, jnp.where(is_hot, flat, 0), axis=0
         ).astype(jnp.float32)
         head_rows = head_rows * jnp.where(is_hot, coeff, 0.0)[:, None]
-        out = jnp.sum(head_rows.reshape(b_l, hotness, width), axis=1)
+        out = pooled(head_rows)
 
         # --- cold tail: bucket by owner (head positions excluded by an
         # out-of-range owner, so they never consume a routing slot) -----
@@ -231,21 +285,29 @@ def hybrid_tiered_lookup(
             )
             rows = jnp.take(resp, slot_of_pos, axis=0).astype(jnp.float32)
             rows = rows * jnp.where(is_hot, 0.0, coeff)[:, None]
-            return jnp.sum(rows.reshape(b_l, hotness, width), axis=1)
+            return pooled(rows)
 
         if cap >= nnz_l:
-            return (out + route(nnz_l)).astype(head_table.dtype)
-        overflow_any = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
-        cold = jax.lax.cond(
-            overflow_any, lambda _: route(nnz_l), lambda _: route(cap), 0
-        )
-        return (out + cold).astype(head_table.dtype)
+            total = (out + route(nnz_l)).astype(head_table.dtype)
+        else:
+            overflow_any = (
+                jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+            )
+            cold = jax.lax.cond(
+                overflow_any, lambda _: route(nnz_l), lambda _: route(cap), 0
+            )
+            total = (out + cold).astype(head_table.dtype)
+        # sharded-CSR block convention: [1, local_batch, W] per shard
+        return total[None] if sample_of_pos is not None else total
 
+    out_specs = (
+        P(axis, None, None) if offsets is not None else P(axis, None)
+    )
     return shard_map(
         local,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=P(axis, None),
+        out_specs=out_specs,
         check_vma=False,
     )(*args)
 

@@ -389,14 +389,9 @@ def planned_lookup(
                 compress=compress,
             )
         elif tp.placement == HYBRID:
-            if off is not None:
-                raise NotImplementedError(
-                    "hybrid placement is fixed-hotness; route CSR tables "
-                    "row_sharded (drop them from head_hit_rate)"
-                )
             head, tail = placed[name]
             out[name] = hybrid_tiered_lookup(
-                head, tail, idx, w, mesh=mesh, mode=mode,
+                head, tail, idx, w, off, mesh=mesh, mode=mode,
                 capacity_factor=p.cost.capacity_factor,
                 cold_frac=max(1.0 - tp.head_hit_rate, 1e-3),
                 axis=axis, compress=compress,
@@ -513,6 +508,12 @@ def planned_sgd_update(
                 weights=w, mode=mode, axis=axis,
             )
         elif tp.placement == HYBRID:
+            if off is not None:
+                raise NotImplementedError(
+                    "hybrid sparse updates are fixed-hotness; place CSR "
+                    "tables row_sharded for training (routed updates "
+                    "take sharded-CSR blocks)"
+                )
             head, tail = placed[name]
             new[name] = sharded_hybrid_sgd_sparse_update(
                 head, tail, idx, gy, mesh=mesh, lr=lr, weights=w,

@@ -118,3 +118,77 @@ def test_alltoall_csr_overflow_fallback():
     )
     got = np.asarray(out).reshape(batch, W)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_hybrid_csr(mode, weighted):
+    """Hybrid replicated-head/routed-tail on sharded-CSR blocks."""
+    if weighted and mode != CombineMode.SUM:
+        pytest.skip("weights only with SUM")
+    from cuembed_tpu.parallel.alltoall_lookup import (
+        hybrid_tiered_lookup,
+        split_hybrid_table,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(7)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("model",))
+    n = jax.device_count()
+    V, W, hot, batch = 64 * n, 32, 16 * n, 4 * n
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    idx, offsets, w = _csr_problem(rng, batch, V, 5, weighted)
+    # skew half the traffic into the head so both paths carry load
+    idx[::2] = rng.integers(0, hot, idx[::2].shape)
+
+    ref = embedding_lookup_csr(
+        jnp.asarray(table), jnp.asarray(idx), jnp.asarray(offsets),
+        None if w is None else jnp.asarray(w), mode=mode,
+    )
+
+    idx_b, off_b, w_b = shard_csr(idx, offsets, n, w)
+    head, tail = split_hybrid_table(jnp.asarray(table), hot, n)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    out = hybrid_tiered_lookup(
+        hs, ts, jnp.asarray(idx_b),
+        None if w_b is None else jnp.asarray(w_b),
+        jnp.asarray(off_b), mesh=mesh, mode=mode,
+        capacity_factor=8.0,
+    )
+    got = np.asarray(out).reshape(batch, W)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_hybrid_csr_overflow_fallback():
+    """Cold CSR traffic concentrated on one tail shard overflows a tiny
+    capacity; the cond fallback must stay exact."""
+    from cuembed_tpu.parallel.alltoall_lookup import (
+        hybrid_tiered_lookup,
+        split_hybrid_table,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(8)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("model",))
+    n = jax.device_count()
+    V, W, hot, batch = 64 * n, 16, 16, 4 * n
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    idx, offsets, _ = _csr_problem(rng, batch, V, 6)
+    # every cold index owned by tail shard 0
+    idx[:] = rng.integers(hot, hot + 8, idx.shape)
+
+    ref = embedding_lookup_csr(
+        jnp.asarray(table), jnp.asarray(idx), jnp.asarray(offsets),
+        mode=CombineMode.SUM,
+    )
+    idx_b, off_b, _ = shard_csr(idx, offsets, n)
+    head, tail = split_hybrid_table(jnp.asarray(table), hot, n)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    out = hybrid_tiered_lookup(
+        hs, ts, jnp.asarray(idx_b), None, jnp.asarray(off_b),
+        mesh=mesh, capacity_factor=0.05, cold_frac=0.2,
+    )
+    got = np.asarray(out).reshape(batch, W)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
