@@ -27,6 +27,7 @@ from cuembed_tpu.parallel.train import (
     sharded_sgd_sparse_update,
     sharded_rowwise_adagrad_sparse_update,
     sharded_hybrid_sgd_sparse_update,
+    sharded_hybrid_rowwise_adagrad_sparse_update,
     column_sharded_sgd_sparse_update,
     column_sharded_rowwise_adagrad_sparse_update,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "sharded_sgd_sparse_update",
     "sharded_rowwise_adagrad_sparse_update",
     "sharded_hybrid_sgd_sparse_update",
+    "sharded_hybrid_rowwise_adagrad_sparse_update",
     "column_sharded_sgd_sparse_update",
     "column_sharded_rowwise_adagrad_sparse_update",
     "multihost",

@@ -54,6 +54,7 @@ from cuembed_tpu.parallel.sharding import (
 from cuembed_tpu.parallel.train import (
     column_sharded_rowwise_adagrad_sparse_update,
     column_sharded_sgd_sparse_update,
+    sharded_hybrid_rowwise_adagrad_sparse_update,
     sharded_hybrid_sgd_sparse_update,
     sharded_rowwise_adagrad_sparse_update,
     sharded_sgd_sparse_update,
@@ -543,10 +544,16 @@ def planned_adagrad_init(
                 NamedSharding(mesh, P(axis)),
             )
         elif tp.placement == HYBRID:
-            raise NotImplementedError(
-                "hybrid AdaGrad: the replicated head's gradient is a "
-                "psum'd dense block; use planned_sgd_update for hybrid "
-                "tables or place them row_sharded for AdaGrad"
+            head, tail = placed[name]
+            out[name] = (
+                jax.device_put(
+                    jnp.zeros((head.shape[0],), jnp.float32),
+                    NamedSharding(mesh, P()),
+                ),
+                jax.device_put(
+                    jnp.zeros((tail.shape[0],), jnp.float32),
+                    NamedSharding(mesh, P(axis)),
+                ),
             )
         else:  # replicated / column: per-row stats span the full row
             out[name] = jax.device_put(
@@ -600,10 +607,23 @@ def planned_adagrad_update(
                 )
             )
         elif tp.placement == HYBRID:
-            raise NotImplementedError(
-                "hybrid AdaGrad is not implemented; see "
-                "planned_adagrad_init"
+            if off is not None:
+                raise NotImplementedError(
+                    "hybrid sparse updates are fixed-hotness; place CSR "
+                    "tables row_sharded for training"
+                )
+            head, tail = placed[name]
+            hacc, tacc = accums[name]
+            nh, nt, nha, nta = (
+                sharded_hybrid_rowwise_adagrad_sparse_update(
+                    head, tail, hacc, tacc, idx, gy, mesh=mesh, lr=lr,
+                    eps=eps, weights=w, mode=mode,
+                    cold_frac=max(1.0 - tp.head_hit_rate, 1e-3),
+                    axis=axis,
+                )
             )
+            new_t[name] = (nh, nt)
+            new_a[name] = (nha, nta)
         else:  # COLUMN_SHARDED
             new_t[name], new_a[name] = (
                 column_sharded_rowwise_adagrad_sparse_update(

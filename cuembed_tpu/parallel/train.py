@@ -612,3 +612,139 @@ def column_sharded_rowwise_adagrad_sparse_update(
         out_specs=(P(None, model_axis), P(None)),
         check_vma=False,
     )(*args)
+
+
+def sharded_hybrid_rowwise_adagrad_sparse_update(
+    head_table: jax.Array,
+    tail_table: jax.Array,
+    head_accum: jax.Array,
+    tail_accum: jax.Array,
+    indices: jax.Array,
+    grad_y: jax.Array,
+    *,
+    mesh: Mesh,
+    lr: float,
+    eps: float = 1e-8,
+    weights: Optional[jax.Array] = None,
+    mode: CombineMode = CombineMode.SUM,
+    capacity_factor: float = 2.0,
+    cold_frac: float = 1.0,
+    axis: str = MODEL_AXIS,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Row-wise AdaGrad on the hybrid layout: replicated head + routed tail.
+
+    Head: the psum'd one-hot MXU gradient (as in
+    :func:`sharded_hybrid_sgd_sparse_update`) is the global per-row
+    gradient ``G_r``; the dense AdaGrad step
+    ``accum += mean(G_r^2); head -= lr*G_r/sqrt(accum+eps)`` is
+    bit-identical to the row-sparse semantics because untouched (or
+    cancelled-to-zero) rows add 0 to the accumulator and 0 to the table.
+    Every replica computes the same step from the same psum, so head and
+    head-accum replicas never diverge.
+
+    Tail: cold (row, gradient-row) pairs route to the owner shard, which
+    segment-sums them per unique row BEFORE squaring (``G_r`` is the
+    global row gradient, as in
+    :func:`sharded_rowwise_adagrad_sparse_update`).
+
+    ``head_accum``: ``[hot]`` fp32 replicated; ``tail_accum``:
+    ``[V_tail]`` fp32 sharded ``P(axis)``.
+
+    Returns ``(new_head, new_tail, new_head_accum, new_tail_accum)``.
+    """
+    from cuembed_tpu.ops.head import head_grad
+
+    if mode == CombineMode.CONCAT:
+        raise ValueError("routed updates pool rows; CONCAT unsupported")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    n = mesh.shape[axis]
+    hot, width = head_table.shape
+    v_tail = tail_table.shape[0]
+    if v_tail % n != 0:
+        raise ValueError("pad tail rows to a multiple of the axis size")
+    if head_accum.shape[0] != hot or tail_accum.shape[0] != v_tail:
+        raise ValueError("accumulators must be row-aligned with the parts")
+    rows_per = v_tail // n
+    batch, hotness = indices.shape
+    if batch % n != 0:
+        raise ValueError("batch must divide evenly across the axis")
+    nnz_l = (batch // n) * hotness
+    cap = int(nnz_l / n * min(max(cold_frac, 1e-3), 1.0) * capacity_factor)
+    cap = min(max(-(-cap // 8) * 8, 8), nnz_l)
+
+    in_specs = [
+        P(None, None), P(axis, None), P(None), P(axis),
+        P(axis, None), P(axis, None),
+    ]
+    args = [
+        head_table, tail_table, head_accum, tail_accum,
+        indices.astype(jnp.int32), grad_y,
+    ]
+    if weights is not None:
+        in_specs.append(P(axis, None))
+        args.append(weights)
+
+    def local(head_l, tail_l, hacc_l, tacc_l, idx_l, gy_l, *rest):
+        flat, sids, coeff, gy, _ = _prep_coo(
+            idx_l, None, rest[0] if weights is not None else None, mode,
+            gy_l,
+        )
+        coeff2d = None if coeff is None else coeff.reshape(idx_l.shape)
+
+        # -- head: dense AdaGrad on the psum'd one-hot MXU gradient -----
+        hg = head_grad(idx_l, coeff2d, gy, hot, jnp.float32)
+        hg = jax.lax.psum(hg, axis)
+        g2 = jnp.mean(hg * hg, axis=1)
+        new_hacc = hacc_l + g2
+        new_head = head_l - (
+            lr * hg / jnp.sqrt(new_hacc + eps)[:, None]
+        ).astype(head_l.dtype)
+
+        # -- tail: route cold pairs, compressed AdaGrad at the owner ----
+        is_cold = flat >= hot
+        bucket = _bucket(flat - hot, is_cold, n, rows_per)
+
+        def apply(c):
+            local_rows, grad_rows = _route_grad_rows(
+                flat - hot, sids, gy, coeff, n, rows_per, c, axis,
+                width, bucket,
+            )
+            rows, uniq, nu = _compressed_local(local_rows, grad_rows)
+            k = rows.shape[0]
+            rid = jnp.arange(k, dtype=jnp.int32)
+            valid = rid < nu
+            safe = jnp.where(valid, uniq, 0)
+            tg2 = jnp.mean(rows * rows, axis=1) * valid
+            new_acc_rows = jnp.take(tacc_l, safe) + tg2
+            droppable = (~valid) | (uniq >= tacc_l.shape[0])
+            scat = jnp.where(droppable, tacc_l.shape[0] + rid, uniq)
+            new_tacc = tacc_l.at[scat].set(
+                new_acc_rows, mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )
+            scale = jnp.where(
+                valid, -lr / jnp.sqrt(new_acc_rows + eps), 0.0
+            )
+            new_tail = tail_l.at[scat].add(
+                (rows * scale[:, None]).astype(tail_l.dtype),
+                mode="drop", indices_are_sorted=True, unique_indices=True,
+            )
+            return new_tail, new_tacc
+
+        if cap >= nnz_l:
+            new_tail, new_tacc = apply(nnz_l)
+        else:
+            new_tail, new_tacc = jax.lax.cond(
+                _overflowed(bucket[1], cap, axis),
+                lambda _: apply(nnz_l), lambda _: apply(cap), 0,
+            )
+        return new_head, new_tail, new_hacc, new_tacc
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, None), P(axis, None), P(None), P(axis)),
+        check_vma=False,
+    )(*args)

@@ -216,13 +216,7 @@ def test_planned_sgd_matches_single_chip(mesh):
 def test_planned_adagrad_matches_single_chip(mesh):
     rng = np.random.default_rng(2)
     configs, p, tables, idx = _mixed_setup(mesh, rng)
-    # hybrid AdaGrad is refused by design — drop the hybrid table
-    configs = [c for c in configs if c.name != "skewed"]
-    for d in (tables, idx):
-        d.pop("skewed")
-    placed = apply_plan(
-        p, tables, mesh
-    )
+    placed = apply_plan(p, tables, mesh)
     accums = planned_adagrad_init(p, placed, mesh)
     gys = {
         c.name: jnp.asarray(
@@ -239,13 +233,23 @@ def test_planned_adagrad_matches_single_chip(mesh):
             jnp.zeros((c.num_categories,), jnp.float32),
             idx[c.name], gys[c.name], lr=0.1, mode=CombineMode.SUM,
         )
+        if p.tables[c.name].placement == "hybrid":
+            got_t = np.concatenate(
+                [np.asarray(x) for x in new_t[c.name]]
+            )[: c.num_categories]
+            got_a = np.concatenate(
+                [np.asarray(x) for x in new_a[c.name]]
+            )[: c.num_categories]
+        else:
+            got_t = np.asarray(new_t[c.name])[: c.num_categories]
+            got_a = np.asarray(new_a[c.name])[: c.num_categories]
         np.testing.assert_allclose(
-            np.asarray(new_t[c.name])[: c.num_categories],
-            np.asarray(want_t), rtol=1e-4, atol=1e-5, err_msg=c.name,
+            got_t, np.asarray(want_t), rtol=1e-4, atol=1e-5,
+            err_msg=c.name,
         )
         np.testing.assert_allclose(
-            np.asarray(new_a[c.name])[: c.num_categories],
-            np.asarray(want_a), rtol=1e-4, atol=1e-5, err_msg=c.name,
+            got_a, np.asarray(want_a), rtol=1e-4, atol=1e-5,
+            err_msg=c.name,
         )
 
 

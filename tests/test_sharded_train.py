@@ -454,3 +454,100 @@ def test_sharded_sgd_bf16_table(mesh):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_hybrid_adagrad_matches_single_chip(mesh, weighted):
+    """Hybrid AdaGrad (dense head step on the psum'd gradient + routed
+    compressed tail) equals the single-chip row-wise AdaGrad."""
+    from cuembed_tpu.parallel import (
+        sharded_hybrid_rowwise_adagrad_sparse_update,
+        split_hybrid_table,
+    )
+
+    rng = np.random.default_rng(11)
+    V, hot, B, H, W = 1024, 256, 64, 8, 32
+    table, _, gy, w = _problem(rng, V=V, W=W, B=B, H=H, weighted=weighted)
+    idx = jnp.asarray(
+        np.minimum((rng.random((B, H)) ** 2 * V).astype(np.int32), V - 1)
+    )
+    want_t, want_a = rowwise_adagrad_sparse_update(
+        table, jnp.zeros((V,), jnp.float32), idx, gy, lr=0.1, weights=w
+    )
+
+    head, tail = split_hybrid_table(table, hot, N)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    ha = jax.device_put(
+        jnp.zeros((hot,), jnp.float32), NamedSharding(mesh, P())
+    )
+    ta = jax.device_put(
+        jnp.zeros((tail.shape[0],), jnp.float32),
+        NamedSharding(mesh, P("model")),
+    )
+    xs = jax.device_put(idx, NamedSharding(mesh, P("model", None)))
+    gys = jax.device_put(gy, NamedSharding(mesh, P("model", None)))
+    ws = (
+        jax.device_put(w, NamedSharding(mesh, P("model", None)))
+        if weighted else None
+    )
+    nh, nt, nha, nta = sharded_hybrid_rowwise_adagrad_sparse_update(
+        hs, ts, ha, ta, xs, gys, mesh=mesh, lr=0.1, weights=ws,
+        cold_frac=0.9,
+    )
+    got_t = np.concatenate([np.asarray(nh), np.asarray(nt)])[:V]
+    got_a = np.concatenate([np.asarray(nha), np.asarray(nta)])[:V]
+    np.testing.assert_allclose(
+        got_t, np.asarray(want_t), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        got_a, np.asarray(want_a), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hybrid_adagrad_overflow_and_second_step(mesh):
+    """Overflowing cold capacity falls back exactly, and a second step
+    keeps compounding the accumulator like the single-chip op."""
+    from cuembed_tpu.parallel import (
+        sharded_hybrid_rowwise_adagrad_sparse_update,
+        split_hybrid_table,
+    )
+
+    rng = np.random.default_rng(12)
+    V, hot, B, H, W = 1024, 128, 64, 8, 16
+    table, _, _, _ = _problem(rng, V=V, W=W, B=B, H=H)
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    idx = jnp.asarray(
+        (hot + rng.integers(0, 64, (B, H))).astype(np.int32)
+    )
+    want_t, want_a = table, jnp.zeros((V,), jnp.float32)
+    for _ in range(2):
+        want_t, want_a = rowwise_adagrad_sparse_update(
+            want_t, want_a, idx, gy, lr=0.1
+        )
+
+    head, tail = split_hybrid_table(table, hot, N)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    ha = jax.device_put(
+        jnp.zeros((hot,), jnp.float32), NamedSharding(mesh, P())
+    )
+    ta = jax.device_put(
+        jnp.zeros((tail.shape[0],), jnp.float32),
+        NamedSharding(mesh, P("model")),
+    )
+    xs = jax.device_put(idx, NamedSharding(mesh, P("model", None)))
+    gys = jax.device_put(gy, NamedSharding(mesh, P("model", None)))
+    for _ in range(2):
+        hs, ts, ha, ta = sharded_hybrid_rowwise_adagrad_sparse_update(
+            hs, ts, ha, ta, xs, gys, mesh=mesh, lr=0.1,
+            capacity_factor=0.25,
+        )
+    got_t = np.concatenate([np.asarray(hs), np.asarray(ts)])[:V]
+    got_a = np.concatenate([np.asarray(ha), np.asarray(ta)])[:V]
+    np.testing.assert_allclose(
+        got_t, np.asarray(want_t), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        got_a, np.asarray(want_a), rtol=1e-4, atol=1e-5
+    )
