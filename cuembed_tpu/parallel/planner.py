@@ -509,16 +509,11 @@ def planned_sgd_update(
                 weights=w, mode=mode, axis=axis,
             )
         elif tp.placement == HYBRID:
-            if off is not None:
-                raise NotImplementedError(
-                    "hybrid sparse updates are fixed-hotness; place CSR "
-                    "tables row_sharded for training (routed updates "
-                    "take sharded-CSR blocks)"
-                )
             head, tail = placed[name]
             new[name] = sharded_hybrid_sgd_sparse_update(
-                head, tail, idx, gy, mesh=mesh, lr=lr, weights=w,
-                mode=mode, cold_frac=max(1.0 - tp.head_hit_rate, 1e-3),
+                head, tail, idx, gy, mesh=mesh, lr=lr, offsets=off,
+                weights=w, mode=mode,
+                cold_frac=max(1.0 - tp.head_hit_rate, 1e-3),
                 axis=axis,
             )
         else:  # COLUMN_SHARDED
@@ -607,17 +602,12 @@ def planned_adagrad_update(
                 )
             )
         elif tp.placement == HYBRID:
-            if off is not None:
-                raise NotImplementedError(
-                    "hybrid sparse updates are fixed-hotness; place CSR "
-                    "tables row_sharded for training"
-                )
             head, tail = placed[name]
             hacc, tacc = accums[name]
             nh, nt, nha, nta = (
                 sharded_hybrid_rowwise_adagrad_sparse_update(
                     head, tail, hacc, tacc, idx, gy, mesh=mesh, lr=lr,
-                    eps=eps, weights=w, mode=mode,
+                    eps=eps, offsets=off, weights=w, mode=mode,
                     cold_frac=max(1.0 - tp.head_hit_rate, 1e-3),
                     axis=axis,
                 )

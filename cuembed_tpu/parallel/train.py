@@ -367,6 +367,27 @@ def sharded_rowwise_adagrad_sparse_update(
     )(*args)
 
 
+def _hybrid_head_grad(head_grad, idx_l, offs_l, flat, sids, coeff, gy, hot):
+    """Global head-rows gradient for the hybrid updates, fixed or CSR.
+
+    Fixed hotness: one [batch_l, hot] one-hot matmul against the local
+    ``grad_y``. Sharded-CSR: position-major — gather each position's
+    sample gradient row, then the same one-hot matmul with positions as
+    samples (dead slots carry coefficient 0; out-of-head rows produce
+    all-zero one-hot rows either way).
+    """
+    if offs_l is None:
+        coeff2d = None if coeff is None else coeff.reshape(idx_l.shape)
+        return head_grad(idx_l, coeff2d, gy, hot, jnp.float32)
+    gy_rows = jnp.take(gy, sids, axis=0)  # [cap, W]
+    cpos = (
+        coeff
+        if coeff is not None
+        else jnp.ones((flat.shape[0],), jnp.float32)
+    )
+    return head_grad(flat[:, None], cpos[:, None], gy_rows, hot, jnp.float32)
+
+
 def sharded_hybrid_sgd_sparse_update(
     head_table: jax.Array,
     tail_table: jax.Array,
@@ -375,6 +396,7 @@ def sharded_hybrid_sgd_sparse_update(
     *,
     mesh: Mesh,
     lr: float,
+    offsets: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
     mode: CombineMode = CombineMode.SUM,
     capacity_factor: float = 2.0,
@@ -392,6 +414,12 @@ def sharded_hybrid_sgd_sparse_update(
     identical to the row-sparse semantics). Only cold-tail (row, gradient
     row) pairs are routed to their owner shard.
 
+    With ``offsets``: the sharded-CSR layout (``indices [n, cap]`` value
+    blocks + ``offsets [n, local_batch+1]`` — see
+    :func:`cuembed_tpu.parallel.sharding.shard_csr`); the head gradient
+    becomes a position-major one-hot matmul over the gathered per-sample
+    gradient rows, dead slots carry coefficient 0 and never route.
+
     Returns ``(new_head [hot, W] replicated, new_tail sharded)``.
     """
     from cuembed_tpu.ops.head import head_grad
@@ -406,10 +434,17 @@ def sharded_hybrid_sgd_sparse_update(
     if v_tail % n != 0:
         raise ValueError("pad tail rows to a multiple of the axis size")
     rows_per = v_tail // n
-    batch, hotness = indices.shape
-    if batch % n != 0:
-        raise ValueError("batch must divide evenly across the axis")
-    nnz_l = (batch // n) * hotness
+    if offsets is not None:
+        if indices.ndim != 2 or indices.shape[0] != n:
+            raise ValueError(
+                "sharded CSR wants indices [n_shards, cap]; see shard_csr"
+            )
+        nnz_l = indices.shape[1]
+    else:
+        batch, hotness = indices.shape
+        if batch % n != 0:
+            raise ValueError("batch must divide evenly across the axis")
+        nnz_l = (batch // n) * hotness
     cap = int(nnz_l / n * min(max(cold_frac, 1e-3), 1.0) * capacity_factor)
     cap = min(max(-(-cap // 8) * 8, 8), nnz_l)
 
@@ -418,22 +453,29 @@ def sharded_hybrid_sgd_sparse_update(
     if weights is not None:
         in_specs.append(P(axis, None))
         args.append(weights)
+    if offsets is not None:
+        in_specs.append(P(axis, None))
+        args.append(offsets.astype(jnp.int32))
 
     def local(head_l, tail_l, idx_l, gy_l, *rest):
-        flat, sids, coeff, gy, _ = _prep_coo(
-            idx_l, None, rest[0] if weights is not None else None, mode,
-            gy_l,
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        offs_l = rest.pop(0) if offsets is not None else None
+        flat, sids, coeff, gy, pvalid = _prep_coo(
+            idx_l, offs_l, w_l, mode, gy_l
         )
-        coeff2d = None if coeff is None else coeff.reshape(idx_l.shape)
 
         # -- head: one-hot MXU gradient, global via psum ---------------
-        hg = head_grad(idx_l, coeff2d, gy, hot, jnp.float32)
+        hg = _hybrid_head_grad(
+            head_grad, idx_l, offs_l, flat, sids, coeff, gy, hot
+        )
         hg = jax.lax.psum(hg, axis)
         new_head = head_l - (lr * hg).astype(head_l.dtype)
 
         # -- tail: route cold positions to their owner -----------------
         is_cold = flat >= hot
-        bucket = _bucket(flat - hot, is_cold, n, rows_per)
+        valid = is_cold if pvalid is None else (is_cold & pvalid)
+        bucket = _bucket(flat - hot, valid, n, rows_per)
 
         def apply(c):
             local_rows, grad_rows = _route_grad_rows(
@@ -625,6 +667,7 @@ def sharded_hybrid_rowwise_adagrad_sparse_update(
     mesh: Mesh,
     lr: float,
     eps: float = 1e-8,
+    offsets: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
     mode: CombineMode = CombineMode.SUM,
     capacity_factor: float = 2.0,
@@ -666,10 +709,17 @@ def sharded_hybrid_rowwise_adagrad_sparse_update(
     if head_accum.shape[0] != hot or tail_accum.shape[0] != v_tail:
         raise ValueError("accumulators must be row-aligned with the parts")
     rows_per = v_tail // n
-    batch, hotness = indices.shape
-    if batch % n != 0:
-        raise ValueError("batch must divide evenly across the axis")
-    nnz_l = (batch // n) * hotness
+    if offsets is not None:
+        if indices.ndim != 2 or indices.shape[0] != n:
+            raise ValueError(
+                "sharded CSR wants indices [n_shards, cap]; see shard_csr"
+            )
+        nnz_l = indices.shape[1]
+    else:
+        batch, hotness = indices.shape
+        if batch % n != 0:
+            raise ValueError("batch must divide evenly across the axis")
+        nnz_l = (batch // n) * hotness
     cap = int(nnz_l / n * min(max(cold_frac, 1e-3), 1.0) * capacity_factor)
     cap = min(max(-(-cap // 8) * 8, 8), nnz_l)
 
@@ -684,16 +734,22 @@ def sharded_hybrid_rowwise_adagrad_sparse_update(
     if weights is not None:
         in_specs.append(P(axis, None))
         args.append(weights)
+    if offsets is not None:
+        in_specs.append(P(axis, None))
+        args.append(offsets.astype(jnp.int32))
 
     def local(head_l, tail_l, hacc_l, tacc_l, idx_l, gy_l, *rest):
-        flat, sids, coeff, gy, _ = _prep_coo(
-            idx_l, None, rest[0] if weights is not None else None, mode,
-            gy_l,
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        offs_l = rest.pop(0) if offsets is not None else None
+        flat, sids, coeff, gy, pvalid = _prep_coo(
+            idx_l, offs_l, w_l, mode, gy_l
         )
-        coeff2d = None if coeff is None else coeff.reshape(idx_l.shape)
 
         # -- head: dense AdaGrad on the psum'd one-hot MXU gradient -----
-        hg = head_grad(idx_l, coeff2d, gy, hot, jnp.float32)
+        hg = _hybrid_head_grad(
+            head_grad, idx_l, offs_l, flat, sids, coeff, gy, hot
+        )
         hg = jax.lax.psum(hg, axis)
         g2 = jnp.mean(hg * hg, axis=1)
         new_hacc = hacc_l + g2
@@ -703,7 +759,8 @@ def sharded_hybrid_rowwise_adagrad_sparse_update(
 
         # -- tail: route cold pairs, compressed AdaGrad at the owner ----
         is_cold = flat >= hot
-        bucket = _bucket(flat - hot, is_cold, n, rows_per)
+        valid = is_cold if pvalid is None else (is_cold & pvalid)
+        bucket = _bucket(flat - hot, valid, n, rows_per)
 
         def apply(c):
             local_rows, grad_rows = _route_grad_rows(

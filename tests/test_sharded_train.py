@@ -551,3 +551,103 @@ def test_hybrid_adagrad_overflow_and_second_step(mesh):
     np.testing.assert_allclose(
         got_a, np.asarray(want_a), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+def test_hybrid_sgd_csr_matches_single_chip(mesh, mode):
+    """Hybrid update on sharded-CSR blocks: position-major head gradient
+    + routed cold tail must equal the single-chip CSR sparse SGD."""
+    from cuembed_tpu.parallel import (
+        shard_csr,
+        sharded_hybrid_sgd_sparse_update,
+        split_hybrid_table,
+    )
+
+    rng = np.random.default_rng(13)
+    V, hot, W, B = 1024, 256, 32, 64
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    hots = rng.integers(0, 9, B)
+    offs = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    nnz = max(int(offs[-1]), 1)
+    vals = rng.integers(0, V, nnz).astype(np.int32)
+    vals[::2] = rng.integers(0, hot, vals[::2].shape)  # head traffic too
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+
+    want = sgd_sparse_update(
+        table, jnp.asarray(vals), gy, lr=0.1,
+        offsets=jnp.asarray(offs), mode=mode,
+    )
+
+    ib, ob, _ = shard_csr(vals, offs, N)
+    head, tail = split_hybrid_table(table, hot, N)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    ibs = jax.device_put(
+        jnp.asarray(ib), NamedSharding(mesh, P("model", None))
+    )
+    obs = jax.device_put(
+        jnp.asarray(ob), NamedSharding(mesh, P("model", None))
+    )
+    gys = jax.device_put(gy, NamedSharding(mesh, P("model", None)))
+    nh, nt = sharded_hybrid_sgd_sparse_update(
+        hs, ts, ibs, gys, mesh=mesh, lr=0.1, offsets=obs, mode=mode,
+        cold_frac=0.9,
+    )
+    got = np.concatenate([np.asarray(nh), np.asarray(nt)])[:V]
+    np.testing.assert_allclose(
+        got, np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hybrid_adagrad_csr_matches_single_chip(mesh):
+    from cuembed_tpu.parallel import (
+        shard_csr,
+        sharded_hybrid_rowwise_adagrad_sparse_update,
+        split_hybrid_table,
+    )
+
+    rng = np.random.default_rng(14)
+    V, hot, W, B = 1024, 256, 16, 64
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    hots = rng.integers(0, 6, B)
+    offs = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    nnz = max(int(offs[-1]), 1)
+    vals = rng.integers(0, V, nnz).astype(np.int32)
+    vals[::2] = rng.integers(0, hot, vals[::2].shape)
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+
+    want_t, want_a = rowwise_adagrad_sparse_update(
+        table, rowwise_adagrad_init(V), jnp.asarray(vals), gy, lr=0.1,
+        offsets=jnp.asarray(offs),
+    )
+
+    ib, ob, _ = shard_csr(vals, offs, N)
+    head, tail = split_hybrid_table(table, hot, N)
+    hs = jax.device_put(head, NamedSharding(mesh, P()))
+    ts = jax.device_put(tail, NamedSharding(mesh, P("model", None)))
+    ha = jax.device_put(
+        jnp.zeros((hot,), jnp.float32), NamedSharding(mesh, P())
+    )
+    ta = jax.device_put(
+        jnp.zeros((tail.shape[0],), jnp.float32),
+        NamedSharding(mesh, P("model")),
+    )
+    ibs = jax.device_put(
+        jnp.asarray(ib), NamedSharding(mesh, P("model", None))
+    )
+    obs = jax.device_put(
+        jnp.asarray(ob), NamedSharding(mesh, P("model", None))
+    )
+    gys = jax.device_put(gy, NamedSharding(mesh, P("model", None)))
+    nh, nt, nha, nta = sharded_hybrid_rowwise_adagrad_sparse_update(
+        hs, ts, ha, ta, ibs, gys, mesh=mesh, lr=0.1, offsets=obs,
+        cold_frac=0.9,
+    )
+    got_t = np.concatenate([np.asarray(nh), np.asarray(nt)])[:V]
+    got_a = np.concatenate([np.asarray(nha), np.asarray(nta)])[:V]
+    np.testing.assert_allclose(
+        got_t, np.asarray(want_t), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        got_a, np.asarray(want_a), rtol=1e-4, atol=1e-5
+    )
