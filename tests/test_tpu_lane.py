@@ -150,3 +150,44 @@ def test_train_step_on_chip():
     new_table = sgd_sparse_update(table, idx, grad_y, lr=0.1)
     assert np.isfinite(np.asarray(new_table)).all()
     assert not np.array_equal(np.asarray(new_table), np.asarray(table))
+
+
+def test_fused_group_on_chip():
+    """Fused multi-table group: one lookup + one sparse update, real
+    XLA:TPU lowering, parity vs per-table ops."""
+    from cuembed_tpu.fused import (
+        fuse_tables,
+        fused_lookup,
+        fused_sgd_update,
+        unfuse_table,
+    )
+    from cuembed_tpu.train import sgd_sparse_update
+
+    rng = np.random.default_rng(7)
+    names = ["a", "b", "c"]
+    tables = {
+        n: jnp.asarray(_table(rng, 512, 128)) for n in names
+    }
+    hot = {"a": 8, "b": 4, "c": 8}
+    idx = {
+        n: jnp.asarray(rng.integers(0, 512, (32, hot[n])).astype(np.int32))
+        for n in names
+    }
+    fused, spec = fuse_tables(tables, hot)
+    got = fused_lookup(fused, spec, idx, mode=CombineMode.SUM)
+    for n in names:
+        want = embedding_lookup(tables[n], idx[n], mode=CombineMode.SUM)
+        np.testing.assert_allclose(
+            np.asarray(got[n]), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+    gys = {
+        n: jnp.asarray(rng.standard_normal((32, 128)).astype(np.float32))
+        for n in names
+    }
+    new = fused_sgd_update(fused, spec, idx, gys, lr=0.1)
+    parts = unfuse_table(new, spec)
+    for n in names:
+        want = sgd_sparse_update(tables[n], idx[n], gys[n], lr=0.1)
+        np.testing.assert_allclose(
+            np.asarray(parts[n]), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
