@@ -102,9 +102,13 @@ def fuse_counts(
     fused-table reorder + remap; pass the remap to the lookups below to
     run the fused group through the tiered engine.
     """
-    return np.concatenate(
-        [np.asarray(counts[n])[:s] for n, s in zip(spec.names, spec.sizes)]
-    )
+    parts = []
+    for n, s in zip(spec.names, spec.sizes):
+        cnt = np.asarray(counts[n])[:s]
+        if cnt.shape[0] < s:  # short counts (bincount without minlength)
+            cnt = np.pad(cnt, (0, s - cnt.shape[0]))
+        parts.append(cnt)
+    return np.concatenate(parts)
 
 
 def _fused_batch(

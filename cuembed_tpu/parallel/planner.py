@@ -199,15 +199,16 @@ def plan(
     if n_shards < 1:
         raise PlanError("n_shards must be >= 1")
 
-    # Hybrid head budget split by traffic among the hybrid candidates.
+    # Hybrid head budget split by traffic share over ALL tables — the
+    # same split EmbeddingCollection.head_hit_rates uses to calibrate
+    # the hit rates, so TablePlan.head_hit_rate describes the head the
+    # plan actually builds.
     hybrid_names = [
         c.name
         for c in configs
         if hits.get(c.name, 0.0) >= cost.hybrid_min_hit_rate
     ]
-    hybrid_share = sum(
-        max(c.traffic_share, 0.0) for c in configs if c.name in hybrid_names
-    ) or 1.0
+    hybrid_share = sum(max(c.traffic_share, 0.0) for c in configs) or 1.0
 
     tables: Dict[str, TablePlan] = {}
     for c in configs:
@@ -237,6 +238,7 @@ def plan(
             column_ok
             and c.num_categories <= cost.column_rows_max
             and c.width >= cost.column_min_slice_lanes * n_shards
+            and c.width % n_shards == 0
         ):
             # fwd output all-gather + update COO all-gather.
             col_comm = int(
@@ -254,8 +256,23 @@ def plan(
             budget = int(
                 hot_bytes_total * max(c.traffic_share, 0.0) / hybrid_share
             )
+            budget_rows = max(budget // (pw * elem), 0) // 8 * 8
+            if budget_rows >= c.num_categories:
+                # The head budget covers the whole table: a hybrid with
+                # an empty tail IS replication — place it as such (an
+                # empty tail would make rows_per 0 in the kernels).
+                repl_comm = int(
+                    nnz_l * (4 + c.width * cost.grad_elem_bytes)
+                    * (n_shards - 1)
+                )
+                tables[c.name] = TablePlan(
+                    c.name, REPLICATED, total, repl_comm
+                )
+                continue
+            # keep at least one tail row per shard (8-row granules)
             hot_rows = min(
-                c.num_categories, max(budget // (pw * elem), 0) // 8 * 8
+                budget_rows,
+                (c.num_categories - 8 * n_shards) // 8 * 8,
             )
             head_bytes = hot_rows * pw * elem
             # Hybrid pays only when the routed volume it removes exceeds
@@ -377,7 +394,25 @@ def planned_lookup(
         w = weights.get(name) if weights else None
         off = offsets.get(name) if offsets else None
         if tp.placement == REPLICATED:
-            if off is not None:
+            if off is not None and off.ndim == 2:
+                # Sharded-CSR blocks (the layout routed tables in the
+                # same call require): one lookup per block via vmap;
+                # output [n, local_batch, W] matches the routed paths'
+                # block convention.
+                table_r = placed[name]
+
+                def _blk(i, o, w_):
+                    return embedding_lookup_csr(
+                        table_r, i, o, w_, mode=mode
+                    )
+
+                if w is None:
+                    out[name] = jax.vmap(
+                        lambda i, o: _blk(i, o, None)
+                    )(idx, off)
+                else:
+                    out[name] = jax.vmap(_blk)(idx, off, w)
+            elif off is not None:
                 out[name] = embedding_lookup_csr(
                     placed[name], idx, off, w, mode=mode
                 )
@@ -506,17 +541,25 @@ def planned_sgd_update(
         elif tp.placement == ROW_SHARDED:
             new[name] = sharded_sgd_sparse_update(
                 placed[name], idx, gy, mesh=mesh, lr=lr, offsets=off,
-                weights=w, mode=mode, axis=axis,
+                weights=w, mode=mode,
+                capacity_factor=p.cost.capacity_factor, axis=axis,
             )
         elif tp.placement == HYBRID:
             head, tail = placed[name]
             new[name] = sharded_hybrid_sgd_sparse_update(
                 head, tail, idx, gy, mesh=mesh, lr=lr, offsets=off,
                 weights=w, mode=mode,
+                capacity_factor=p.cost.capacity_factor,
                 cold_frac=max(1.0 - tp.head_hit_rate, 1e-3),
                 axis=axis,
             )
         else:  # COLUMN_SHARDED
+            if off is not None:
+                raise NotImplementedError(
+                    "column-sharded sparse updates are fixed-hotness "
+                    "(the sharded-CSR blocks would be misread as a "
+                    "fixed batch); place CSR-trained tables row_sharded"
+                )
             new[name] = column_sharded_sgd_sparse_update(
                 placed[name], idx, gy, mesh=mesh, lr=lr, weights=w,
                 mode=mode, data_axis=data_axis, model_axis=axis,
@@ -598,7 +641,7 @@ def planned_adagrad_update(
                 sharded_rowwise_adagrad_sparse_update(
                     placed[name], accums[name], idx, gy, mesh=mesh,
                     lr=lr, eps=eps, offsets=off, weights=w, mode=mode,
-                    axis=axis,
+                    capacity_factor=p.cost.capacity_factor, axis=axis,
                 )
             )
         elif tp.placement == HYBRID:
@@ -608,6 +651,7 @@ def planned_adagrad_update(
                 sharded_hybrid_rowwise_adagrad_sparse_update(
                     head, tail, hacc, tacc, idx, gy, mesh=mesh, lr=lr,
                     eps=eps, offsets=off, weights=w, mode=mode,
+                    capacity_factor=p.cost.capacity_factor,
                     cold_frac=max(1.0 - tp.head_hit_rate, 1e-3),
                     axis=axis,
                 )
@@ -615,6 +659,11 @@ def planned_adagrad_update(
             new_t[name] = (nh, nt)
             new_a[name] = (nha, nta)
         else:  # COLUMN_SHARDED
+            if off is not None:
+                raise NotImplementedError(
+                    "column-sharded sparse updates are fixed-hotness; "
+                    "place CSR-trained tables row_sharded"
+                )
             new_t[name], new_a[name] = (
                 column_sharded_rowwise_adagrad_sparse_update(
                     placed[name], accums[name], idx, gy, mesh=mesh,

@@ -58,7 +58,7 @@ def test_plan_placements():
     p = plan(
         configs, 8, batch=65536, cost=TEST_COST,
         head_hit_rate={"skewed": 0.8}, column_ok=True,
-        hot_bytes_total=512 * 1024,
+        hot_bytes_total=4 * 512 * 1024,  # split over 4 tables
     )
     assert p.tables["small"].placement == "replicated"
     assert p.tables["big"].placement == "row_sharded"
@@ -131,7 +131,7 @@ def _mixed_setup(mesh, rng):
     p = plan(
         configs, 4, batch=8192, cost=cost,
         head_hit_rate={"skewed": 0.75}, column_ok=True,
-        hot_bytes_total=1024 * 128 * 4,
+        hot_bytes_total=4 * 1024 * 128 * 4,  # split over 4 tables
     )
     assert {tp.placement for tp in p.tables.values()} == {
         "replicated", "row_sharded", "column_sharded", "hybrid",
@@ -311,11 +311,11 @@ def test_collection_plan_placement_from_counts():
             ).astype(np.int64),
         },
     )
-    hits = coll.head_hit_rates(counts, hot_bytes_total=512 * 1024)
+    hits = coll.head_hit_rates(counts, hot_bytes_total=2 * 512 * 1024)
     assert hits["zipf"] > 0.7 > 0.2 > hits["uniform"]
     p = coll.plan_placement(
         8, batch=65536, counts=counts, cost=TEST_COST,
-        hot_bytes_total=512 * 1024,
+        hot_bytes_total=2 * 512 * 1024,  # split over 2 tables
     )
     assert p.tables["zipf"].placement == "hybrid"
     assert p.tables["uniform"].placement == "row_sharded"
@@ -323,4 +323,41 @@ def test_collection_plan_placement_from_counts():
     p2 = coll.plan_placement(8, batch=65536, cost=TEST_COST)
     assert all(
         tp.placement == "row_sharded" for tp in p2.tables.values()
+    )
+
+
+def test_planned_lookup_replicated_accepts_csr_blocks(mesh):
+    """One CSR batch layout serves every placement: the replicated
+    branch takes the same shard_csr blocks the routed tables need and
+    returns the same [n, local_batch, W] block convention."""
+    from cuembed_tpu.parallel import shard_csr
+    from cuembed_tpu import embedding_lookup_csr
+
+    rng = np.random.default_rng(5)
+    configs = [TableConfig("small", 64, 16, hotness=4)]
+    p = plan(configs, 4, batch=64, cost=TEST_COST)
+    assert p.tables["small"].placement == "replicated"
+    tables = {
+        "small": jnp.asarray(
+            rng.standard_normal((64, 16)).astype(np.float32)
+        )
+    }
+    placed = apply_plan(p, tables, mesh)
+    B = 16
+    hots = rng.integers(0, 5, B)
+    offs = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    vals = rng.integers(0, 64, max(int(offs[-1]), 1)).astype(np.int32)
+    ib, ob, _ = shard_csr(vals, offs, 4)
+    got = planned_lookup(
+        p, placed,
+        {"small": jnp.asarray(ib)},
+        offsets={"small": jnp.asarray(ob)},
+        mesh=mesh,
+    )["small"]
+    want = embedding_lookup_csr(
+        tables["small"], jnp.asarray(vals), jnp.asarray(offs)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(B, 16), np.asarray(want),
+        rtol=1e-5, atol=1e-5,
     )
