@@ -63,6 +63,105 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
+def _coeff_and_samples(idx_l, offs_l, w_l, mode, nnz_l, hotness):
+    """Per-position ids + combine coefficients, fixed or sharded-CSR.
+
+    Returns ``(flat, coeff, sample_of_pos, b_l)``; ``sample_of_pos`` is
+    None for fixed hotness. CSR dead slots point at row 0 with
+    coefficient 0 (they never route and never contribute).
+    """
+    if offs_l is not None:
+        from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
+
+        offs1 = offs_l.reshape(-1)  # [lb + 1]
+        b_l = offs1.shape[0] - 1
+        flat_raw = idx_l.reshape(-1)  # [nnz_l]
+        pos = jnp.arange(nnz_l, dtype=jnp.int32)
+        live = pos < offs1[-1]
+        flat = jnp.where(live, flat_raw, 0)
+        sample_of_pos = extract_row_ids_from_csr(offs1, flat).astype(
+            jnp.int32
+        )
+        coeff = live.astype(jnp.float32)
+        if w_l is not None:
+            coeff = coeff * w_l.reshape(-1).astype(jnp.float32)
+        if mode == CombineMode.MEAN:
+            counts = (offs1[1:] - offs1[:-1]).astype(jnp.float32)
+            inv = jnp.where(counts == 0, 0.0, 1.0 / jnp.maximum(counts, 1.0))
+            coeff = coeff * jnp.take(inv, sample_of_pos)
+        return flat, coeff, sample_of_pos, b_l
+    b_l = idx_l.shape[0]
+    flat = idx_l.reshape(-1)  # [nnz_l]
+    coeff = (
+        w_l.reshape(-1).astype(jnp.float32)
+        if w_l is not None
+        else jnp.ones((nnz_l,), jnp.float32)
+    )
+    if mode == CombineMode.MEAN:
+        coeff = coeff / hotness
+    return flat, coeff, None, b_l
+
+
+def _owner_buckets(owner, nnz_l, n, cap):
+    """Dest-major slot assignment for the request all-to-all.
+
+    ``owner`` may carry ``n`` for positions that must not route (hybrid
+    head hits); they sort last and never land in a slot or a count.
+    Returns ``(pos_s, counts, starts, rank, overflow)`` — positions
+    sorted by owner, per-owner counts/run starts, each position's rank
+    within its owner run, and the static-capacity overflow flag.
+    """
+    owner_s, pos_s = jax.lax.sort(
+        [owner, jnp.arange(nnz_l, dtype=jnp.int32)], num_keys=1
+    )
+    counts = jnp.sum(
+        owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None], axis=1
+    )  # [n]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    overflow = jnp.any(counts > cap)
+    rank_s = jnp.arange(nnz_l, dtype=jnp.int32) - jnp.take(
+        starts, jnp.clip(owner_s, 0, n - 1)
+    )
+    rank = jnp.zeros((nnz_l,), jnp.int32).at[pos_s].set(rank_s)
+    return pos_s, counts, starts, rank, overflow
+
+
+def _route_serve(
+    table_l, send_vals, pos_s, counts, starts, nnz_l, n, c, rows_per,
+    width, axis, compress,
+):
+    """One request/response round trip: ship each destination's slot
+    block of row ids over ICI, gather the rows from the owner's local
+    slice, and return the responses dest-major (``[n*c, width]``;
+    position ``p``'s row sits at ``owner[p]*c + rank[p]``)."""
+    slot_src = starts[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+    slot_live = jnp.arange(c, dtype=jnp.int32)[None, :] < counts[:, None]
+    slot_pos = jnp.take(pos_s, jnp.clip(slot_src, 0, nnz_l - 1))
+    send_idx = jnp.where(slot_live, jnp.take(send_vals, slot_pos), -1)
+    recv_idx = jax.lax.all_to_all(
+        send_idx, axis, split_axis=0, concat_axis=0, tiled=True
+    )  # [n, c]: what each peer asked of me
+    shard = jax.lax.axis_index(axis)
+    local_rows = jnp.clip(
+        recv_idx.reshape(-1) - shard * rows_per, 0, rows_per - 1
+    )
+    served = jnp.take(table_l, local_rows, axis=0)
+    served = jnp.where((recv_idx.reshape(-1) >= 0)[:, None], served, 0)
+    if compress == "int8":
+        qr = jax.lax.all_to_all(
+            quantize_rows(_serving_only_guard(served), pad=4).reshape(
+                n, c, width + 4
+            ),
+            axis, split_axis=0, concat_axis=0, tiled=True,
+        ).reshape(n * c, width + 4)
+        return _dequant_rows_int8(qr, width)
+    return jax.lax.all_to_all(
+        served.reshape(n, c, width),
+        axis, split_axis=0, concat_axis=0, tiled=True,
+    ).reshape(n * c, width)
+
 
 def hybrid_tiered_lookup(
     head_table: jax.Array,
@@ -146,7 +245,6 @@ def hybrid_tiered_lookup(
                 "sharded CSR wants indices [n_shards, cap]; see shard_csr"
             )
         nnz_l = indices.shape[1]
-        lb = offsets.shape[1] - 1
         hotness = None
     else:
         batch, hotness = indices.shape
@@ -169,40 +267,9 @@ def hybrid_tiered_lookup(
         rest = list(rest)
         w_l = rest.pop(0) if weights is not None else None
         offs_l = rest.pop(0) if offsets is not None else None
-        if offs_l is not None:
-            from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
-
-            offs1 = offs_l.reshape(-1)  # [lb + 1]
-            b_l = lb
-            flat_raw = idx_l.reshape(-1)  # [nnz_l]
-            pos = jnp.arange(nnz_l, dtype=jnp.int32)
-            live = pos < offs1[-1]
-            # Dead slots point at row 0 (< hot), so they take the head
-            # path with coefficient 0 and never consume a routing slot.
-            flat = jnp.where(live, flat_raw, 0)
-            sample_of_pos = extract_row_ids_from_csr(offs1, flat).astype(
-                jnp.int32
-            )
-            coeff = live.astype(jnp.float32)
-            if w_l is not None:
-                coeff = coeff * w_l.reshape(-1).astype(jnp.float32)
-            if mode == CombineMode.MEAN:
-                counts = (offs1[1:] - offs1[:-1]).astype(jnp.float32)
-                inv = jnp.where(
-                    counts == 0, 0.0, 1.0 / jnp.maximum(counts, 1.0)
-                )
-                coeff = coeff * jnp.take(inv, sample_of_pos)
-        else:
-            b_l = idx_l.shape[0]
-            sample_of_pos = None
-            flat = idx_l.reshape(-1)  # [nnz_l] global remapped rows
-            coeff = (
-                w_l.reshape(-1).astype(jnp.float32)
-                if w_l is not None
-                else jnp.ones((nnz_l,), jnp.float32)
-            )
-            if mode == CombineMode.MEAN:
-                coeff = coeff / hotness
+        flat, coeff, sample_of_pos, b_l = _coeff_and_samples(
+            idx_l, offs_l, w_l, mode, nnz_l, hotness
+        )
         is_hot = flat < hot
 
         def pooled(rows):
@@ -226,60 +293,15 @@ def hybrid_tiered_lookup(
         owner = jnp.where(
             is_hot, n, jnp.clip(tail_idx // rows_per, 0, n - 1)
         )
-        owner_s, pos_s = jax.lax.sort(
-            [owner, jnp.arange(nnz_l, dtype=jnp.int32)], num_keys=1
+        pos_s, counts, starts, rank, overflow = _owner_buckets(
+            owner, nnz_l, n, cap
         )
-        counts = jnp.sum(
-            owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None],
-            axis=1,
-        )  # [n]
-        starts = jnp.concatenate(
-            [
-                jnp.zeros((1,), jnp.int32),
-                jnp.cumsum(counts)[:-1].astype(jnp.int32),
-            ]
-        )
-        overflow = jnp.any(counts > cap)
-        rank_s = jnp.arange(nnz_l, dtype=jnp.int32) - jnp.take(
-            starts, jnp.clip(owner_s, 0, n - 1)
-        )
-        rank = jnp.zeros((nnz_l,), jnp.int32).at[pos_s].set(rank_s)
 
         def route(c):
-            slot_src = (
-                starts[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+            resp = _route_serve(
+                tail_l, tail_idx, pos_s, counts, starts, nnz_l, n, c,
+                rows_per, width, axis, compress,
             )
-            slot_live = (
-                jnp.arange(c, dtype=jnp.int32)[None, :] < counts[:, None]
-            )
-            slot_pos = jnp.take(pos_s, jnp.clip(slot_src, 0, nnz_l - 1))
-            send_idx = jnp.where(
-                slot_live, jnp.take(tail_idx, slot_pos), -1
-            )
-            recv_idx = jax.lax.all_to_all(
-                send_idx, axis, split_axis=0, concat_axis=0, tiled=True
-            )
-            shard = jax.lax.axis_index(axis)
-            local_rows = jnp.clip(
-                recv_idx.reshape(-1) - shard * rows_per, 0, rows_per - 1
-            )
-            served = jnp.take(tail_l, local_rows, axis=0)
-            served = jnp.where(
-                (recv_idx.reshape(-1) >= 0)[:, None], served, 0
-            )
-            if compress == "int8":
-                qr = jax.lax.all_to_all(
-                    quantize_rows(_serving_only_guard(served), pad=4).reshape(
-                        n, c, width + 4
-                    ),
-                    axis, split_axis=0, concat_axis=0, tiled=True,
-                ).reshape(n * c, width + 4)
-                resp = _dequant_rows_int8(qr, width)
-            else:
-                resp = jax.lax.all_to_all(
-                    served.reshape(n, c, width),
-                    axis, split_axis=0, concat_axis=0, tiled=True,
-                ).reshape(n * c, width)
             slot_of_pos = jnp.clip(owner, 0, n - 1) * c + jnp.clip(
                 rank, 0, c - 1
             )
@@ -382,7 +404,7 @@ def alltoall_row_sharded_lookup(
                 "sharded CSR wants indices [n_shards, cap]; see shard_csr"
             )
         nnz_l = indices.shape[1]
-        lb = offsets.shape[1] - 1
+        hotness = None
     else:
         batch, hotness = indices.shape
         if batch % n != 0:
@@ -404,94 +426,21 @@ def alltoall_row_sharded_lookup(
         rest = list(rest)
         w_l = rest.pop(0) if weights is not None else None
         offs_l = rest.pop(0) if offsets is not None else None
-        if offs_l is not None:
-            from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
-
-            offs1 = offs_l.reshape(-1)  # [lb + 1]
-            b_l = lb
-            flat_raw = idx_l.reshape(-1)  # [nnz_l]
-            pos = jnp.arange(nnz_l, dtype=jnp.int32)
-            live = pos < offs1[-1]
-            flat = jnp.where(live, flat_raw, 0)
-            sample_of_pos = extract_row_ids_from_csr(offs1, flat).astype(
-                jnp.int32
-            )
-            coeff = live.astype(jnp.float32)
-            if w_l is not None:
-                coeff = coeff * w_l.reshape(-1).astype(jnp.float32)
-            if mode == CombineMode.MEAN:
-                counts = (offs1[1:] - offs1[:-1]).astype(jnp.float32)
-                inv = jnp.where(
-                    counts == 0, 0.0, 1.0 / jnp.maximum(counts, 1.0)
-                )
-                coeff = coeff * jnp.take(inv, sample_of_pos)
-        else:
-            b_l = idx_l.shape[0]
-            flat = idx_l.reshape(-1)  # [nnz_l]
-            sample_of_pos = None
-            coeff = (
-                w_l.reshape(-1).astype(jnp.float32)
-                if w_l is not None
-                else jnp.ones((nnz_l,), jnp.float32)
-            )
-            if mode == CombineMode.MEAN:
-                coeff = coeff / hotness
-            # (CONCAT ignores coeff — per-position rows pass through.)
+        flat, coeff, sample_of_pos, b_l = _coeff_and_samples(
+            idx_l, offs_l, w_l, mode, nnz_l, hotness
+        )
+        # (CONCAT ignores coeff — per-position rows pass through.)
 
         owner = jnp.clip(flat // rows_per, 0, n - 1)
-
-        # --- bucket by owner: sort positions by owner, then place each
-        # destination's run into its static slot range via one gather.
-        owner_s, pos_s = jax.lax.sort(
-            [owner, jnp.arange(nnz_l, dtype=jnp.int32)], num_keys=1
+        pos_s, counts, starts, rank, overflow = _owner_buckets(
+            owner, nnz_l, n, cap
         )
-        counts = jnp.sum(
-            owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None], axis=1
-        )  # [n]
-        starts = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-        )
-        overflow = jnp.any(counts > cap)
-
-        # Each original position's (owner, slot-rank) coordinate, for the
-        # combine gather after the response returns.
-        rank_s = jnp.arange(nnz_l, dtype=jnp.int32) - jnp.take(starts, owner_s)
-        rank = jnp.zeros((nnz_l,), jnp.int32).at[pos_s].set(rank_s)
 
         def route(c):
-            # slot (t, s) <- sorted position starts[t]+s (garbage if s>=count)
-            slot_src = starts[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
-            slot_live = (
-                jnp.arange(c, dtype=jnp.int32)[None, :] < counts[:, None]
+            resp = _route_serve(
+                table_l, flat, pos_s, counts, starts, nnz_l, n, c,
+                rows_per, width, axis, compress,
             )
-            slot_pos = jnp.take(pos_s, jnp.clip(slot_src, 0, nnz_l - 1))
-            send_idx = jnp.where(slot_live, jnp.take(flat, slot_pos), -1)
-
-            recv_idx = jax.lax.all_to_all(
-                send_idx, axis, split_axis=0, concat_axis=0, tiled=True
-            )  # [n, c]: what each peer asked of me
-            shard = jax.lax.axis_index(axis)
-            local_rows = jnp.clip(
-                recv_idx.reshape(-1) - shard * rows_per, 0, rows_per - 1
-            )
-            served = jnp.take(table_l, local_rows, axis=0)  # [n*c, W]
-            served = jnp.where(
-                (recv_idx.reshape(-1) >= 0)[:, None], served, 0
-            )
-            if compress == "int8":
-                qr = jax.lax.all_to_all(
-                    quantize_rows(_serving_only_guard(served), pad=4).reshape(
-                        n, c, width + 4
-                    ),
-                    axis, split_axis=0, concat_axis=0, tiled=True,
-                ).reshape(n * c, width + 4)
-                resp = _dequant_rows_int8(qr, width)
-            else:
-                resp = jax.lax.all_to_all(
-                    served.reshape(n, c, width),
-                    axis, split_axis=0, concat_axis=0, tiled=True,
-                ).reshape(n * c, width)  # my requests, answered, dest-major
-
             # combine: position p's response sits at owner[p] * c + rank[p]
             slot_of_pos = owner * c + jnp.clip(rank, 0, c - 1)
             rows = jnp.take(resp, slot_of_pos, axis=0).astype(jnp.float32)

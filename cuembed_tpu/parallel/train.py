@@ -327,29 +327,9 @@ def sharded_rowwise_adagrad_sparse_update(
                 flat, sids, gy, coeff, n, rows_per, c, axis, width, bucket
             )
             rows, uniq, nu = _compressed_local(local_rows, grad_rows)
-            k = rows.shape[0]
-            rid = jnp.arange(k, dtype=jnp.int32)
-            valid = rid < nu
-            safe = jnp.where(valid, uniq, 0)
-            g2 = jnp.mean(rows * rows, axis=1) * valid
-            new_acc_rows = jnp.take(accum_l, safe) + g2
-            # Distinct out-of-range targets for dropped slots keep the
-            # scatter index vector unique and ascending (the single-chip
-            # convention, cuembed_tpu/train.py).
-            droppable = (~valid) | (uniq >= accum_l.shape[0])
-            scat = jnp.where(droppable, accum_l.shape[0] + rid, uniq)
-            new_accum = accum_l.at[scat].set(
-                new_acc_rows, mode="drop", indices_are_sorted=True,
-                unique_indices=True,
+            return _compressed_adagrad_apply(
+                table_l, accum_l, rows, uniq, nu, lr, eps
             )
-            scale = jnp.where(
-                valid, -lr / jnp.sqrt(new_acc_rows + eps), 0.0
-            )
-            new_table = table_l.at[scat].add(
-                (rows * scale[:, None]).astype(table_l.dtype),
-                mode="drop", indices_are_sorted=True, unique_indices=True,
-            )
-            return new_table, new_accum
 
         if cap >= nnz_l:
             return apply(nnz_l)
@@ -365,6 +345,68 @@ def sharded_rowwise_adagrad_sparse_update(
         out_specs=(P(axis, None), P(axis)),
         check_vma=False,
     )(*args)
+
+
+def _hybrid_shapes(
+    head_table, tail_table, indices, offsets, weights, mode, n,
+    cold_frac, capacity_factor,
+):
+    """Validation + cap sizing shared by the hybrid updates.
+
+    Returns ``(hot, width, rows_per, nnz_l, cap)``.
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("routed updates pool rows; CONCAT unsupported")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    hot, width = head_table.shape
+    v_tail = tail_table.shape[0]
+    if v_tail % n != 0:
+        raise ValueError("pad tail rows to a multiple of the axis size")
+    rows_per = v_tail // n
+    if offsets is not None:
+        if indices.ndim != 2 or indices.shape[0] != n:
+            raise ValueError(
+                "sharded CSR wants indices [n_shards, cap]; see shard_csr"
+            )
+        nnz_l = indices.shape[1]
+    else:
+        batch, hotness = indices.shape
+        if batch % n != 0:
+            raise ValueError("batch must divide evenly across the axis")
+        nnz_l = (batch // n) * hotness
+    cap = int(nnz_l / n * min(max(cold_frac, 1e-3), 1.0) * capacity_factor)
+    cap = min(max(-(-cap // 8) * 8, 8), nnz_l)
+    return hot, width, rows_per, nnz_l, cap
+
+
+def _compressed_adagrad_apply(table_l, accum_l, rows, uniq, nu, lr, eps):
+    """Row-wise AdaGrad step on compressed (unique-row, summed-grad)
+    lanes — shared by the routed and hybrid-tail updates.
+
+    ``rows``/``uniq`` from :func:`_compressed_local`; slots at or past
+    ``nu`` are dropped via distinct out-of-range scatter targets so the
+    index vector stays unique and ascending (the single-chip convention,
+    cuembed_tpu/train.py).
+    """
+    k = rows.shape[0]
+    rid = jnp.arange(k, dtype=jnp.int32)
+    valid = rid < nu
+    safe = jnp.where(valid, uniq, 0)
+    g2 = jnp.mean(rows * rows, axis=1) * valid
+    new_acc_rows = jnp.take(accum_l, safe) + g2
+    droppable = (~valid) | (uniq >= accum_l.shape[0])
+    scat = jnp.where(droppable, accum_l.shape[0] + rid, uniq)
+    new_accum = accum_l.at[scat].set(
+        new_acc_rows, mode="drop", indices_are_sorted=True,
+        unique_indices=True,
+    )
+    scale = jnp.where(valid, -lr / jnp.sqrt(new_acc_rows + eps), 0.0)
+    new_table = table_l.at[scat].add(
+        (rows * scale[:, None]).astype(table_l.dtype),
+        mode="drop", indices_are_sorted=True, unique_indices=True,
+    )
+    return new_table, new_accum
 
 
 def _hybrid_head_grad(head_grad, idx_l, offs_l, flat, sids, coeff, gy, hot):
@@ -424,29 +466,11 @@ def sharded_hybrid_sgd_sparse_update(
     """
     from cuembed_tpu.ops.head import head_grad
 
-    if mode == CombineMode.CONCAT:
-        raise ValueError("routed updates pool rows; CONCAT unsupported")
-    if weights is not None and mode != CombineMode.SUM:
-        raise ValueError("weights are only supported with CombineMode.SUM")
     n = mesh.shape[axis]
-    hot, width = head_table.shape
-    v_tail = tail_table.shape[0]
-    if v_tail % n != 0:
-        raise ValueError("pad tail rows to a multiple of the axis size")
-    rows_per = v_tail // n
-    if offsets is not None:
-        if indices.ndim != 2 or indices.shape[0] != n:
-            raise ValueError(
-                "sharded CSR wants indices [n_shards, cap]; see shard_csr"
-            )
-        nnz_l = indices.shape[1]
-    else:
-        batch, hotness = indices.shape
-        if batch % n != 0:
-            raise ValueError("batch must divide evenly across the axis")
-        nnz_l = (batch // n) * hotness
-    cap = int(nnz_l / n * min(max(cold_frac, 1e-3), 1.0) * capacity_factor)
-    cap = min(max(-(-cap // 8) * 8, 8), nnz_l)
+    hot, width, rows_per, nnz_l, cap = _hybrid_shapes(
+        head_table, tail_table, indices, offsets, weights, mode, n,
+        cold_frac, capacity_factor,
+    )
 
     in_specs = [P(None, None), P(axis, None), P(axis, None), P(axis, None)]
     args = [head_table, tail_table, indices.astype(jnp.int32), grad_y]
@@ -697,31 +721,16 @@ def sharded_hybrid_rowwise_adagrad_sparse_update(
     """
     from cuembed_tpu.ops.head import head_grad
 
-    if mode == CombineMode.CONCAT:
-        raise ValueError("routed updates pool rows; CONCAT unsupported")
-    if weights is not None and mode != CombineMode.SUM:
-        raise ValueError("weights are only supported with CombineMode.SUM")
     n = mesh.shape[axis]
-    hot, width = head_table.shape
-    v_tail = tail_table.shape[0]
-    if v_tail % n != 0:
-        raise ValueError("pad tail rows to a multiple of the axis size")
-    if head_accum.shape[0] != hot or tail_accum.shape[0] != v_tail:
+    hot, width, rows_per, nnz_l, cap = _hybrid_shapes(
+        head_table, tail_table, indices, offsets, weights, mode, n,
+        cold_frac, capacity_factor,
+    )
+    if (
+        head_accum.shape[0] != hot
+        or tail_accum.shape[0] != tail_table.shape[0]
+    ):
         raise ValueError("accumulators must be row-aligned with the parts")
-    rows_per = v_tail // n
-    if offsets is not None:
-        if indices.ndim != 2 or indices.shape[0] != n:
-            raise ValueError(
-                "sharded CSR wants indices [n_shards, cap]; see shard_csr"
-            )
-        nnz_l = indices.shape[1]
-    else:
-        batch, hotness = indices.shape
-        if batch % n != 0:
-            raise ValueError("batch must divide evenly across the axis")
-        nnz_l = (batch // n) * hotness
-    cap = int(nnz_l / n * min(max(cold_frac, 1e-3), 1.0) * capacity_factor)
-    cap = min(max(-(-cap // 8) * 8, 8), nnz_l)
 
     in_specs = [
         P(None, None), P(axis, None), P(None), P(axis),
@@ -768,26 +777,9 @@ def sharded_hybrid_rowwise_adagrad_sparse_update(
                 width, bucket,
             )
             rows, uniq, nu = _compressed_local(local_rows, grad_rows)
-            k = rows.shape[0]
-            rid = jnp.arange(k, dtype=jnp.int32)
-            valid = rid < nu
-            safe = jnp.where(valid, uniq, 0)
-            tg2 = jnp.mean(rows * rows, axis=1) * valid
-            new_acc_rows = jnp.take(tacc_l, safe) + tg2
-            droppable = (~valid) | (uniq >= tacc_l.shape[0])
-            scat = jnp.where(droppable, tacc_l.shape[0] + rid, uniq)
-            new_tacc = tacc_l.at[scat].set(
-                new_acc_rows, mode="drop", indices_are_sorted=True,
-                unique_indices=True,
+            return _compressed_adagrad_apply(
+                tail_l, tacc_l, rows, uniq, nu, lr, eps
             )
-            scale = jnp.where(
-                valid, -lr / jnp.sqrt(new_acc_rows + eps), 0.0
-            )
-            new_tail = tail_l.at[scat].add(
-                (rows * scale[:, None]).astype(tail_l.dtype),
-                mode="drop", indices_are_sorted=True, unique_indices=True,
-            )
-            return new_tail, new_tacc
 
         if cap >= nnz_l:
             new_tail, new_tacc = apply(nnz_l)
