@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
-from cuembed_tpu.ops.narrow import narrow_lookup, pack_narrow, packing_factor
+from cuembed_tpu.ops.narrow import (
+    narrow_lookup,
+    pack_narrow,
+    packing_factor,
+    unpack_narrow,
+)
 from cuembed_tpu.types import CombineMode
 
 LANES = 128
@@ -69,6 +74,69 @@ class EmbeddingBag:
         if self.stored_width != self.width:
             table = jnp.pad(table, ((0, 0), (0, self.stored_width - self.width)))
         return table
+
+    # -- torch interop (the migration path for reference users) ---------
+    @classmethod
+    def from_torch(cls, module, *, layout: str = "padded", dtype=None):
+        """Build ``(EmbeddingBag, table)`` from a ``torch.nn.EmbeddingBag``
+        (or ``nn.Embedding``) module.
+
+        The reference's PyTorch extension swaps in for ``nn.EmbeddingBag``
+        (``examples/pytorch/cuembed_test.py``); this is the same move in
+        the other direction — weights and combine mode are taken from the
+        torch module, relayout (pad/pack) happens once here.
+        """
+        import numpy as np
+
+        w = module.weight.detach().cpu().numpy()
+        mode_str = getattr(module, "mode", "sum")  # nn.Embedding: sum
+        try:
+            mode = {
+                "sum": CombineMode.SUM, "mean": CombineMode.MEAN,
+            }[mode_str]
+        except KeyError:
+            raise ValueError(
+                f"torch mode {mode_str!r} has no CombineMode analog "
+                "(max-pooling is out of the reference's scope too)"
+            ) from None
+        bag = cls(
+            w.shape[0], w.shape[1], mode=mode,
+            dtype=jnp.dtype(dtype) if dtype is not None else w.dtype,
+            layout=layout,
+        )
+        return bag, bag.import_table(w)
+
+    def import_table(self, weight) -> jax.Array:
+        """Logical ``[V, W]`` weights (numpy/torch) → stored layout."""
+        import numpy as np
+
+        w = np.asarray(
+            weight.detach().cpu().numpy()
+            if hasattr(weight, "detach")
+            else weight
+        )
+        if w.shape != (self.num_categories, self.width):
+            raise ValueError(
+                f"expected [{self.num_categories}, {self.width}] weights, "
+                f"got {w.shape}"
+            )
+        table = jnp.asarray(w).astype(self.dtype)
+        if self._packed:
+            return pack_narrow(table)
+        if self.stored_width != self.width:
+            table = jnp.pad(
+                table, ((0, 0), (0, self.stored_width - self.width))
+            )
+        return table
+
+    def export_table(self, table: jax.Array):
+        """Stored layout → logical ``[V, W]`` numpy array (torch export:
+        ``module.weight.data.copy_(torch.from_numpy(arr))``)."""
+        import numpy as np
+
+        if self._packed:
+            table = unpack_narrow(table, self.num_categories, self.width)
+        return np.asarray(table)[: self.num_categories, : self.width]
 
     def apply(
         self,

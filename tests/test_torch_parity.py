@@ -86,3 +86,46 @@ def test_csr_weighted_sum_matches_torch():
     np.testing.assert_allclose(
         np.asarray(out_j), out_t.detach().numpy(), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("layout", ["padded", "packed", "raw"])
+def test_from_torch_parity(layout):
+    """EmbeddingBag.from_torch reproduces nn.EmbeddingBag outputs."""
+    torch = pytest.importorskip("torch")
+    from cuembed_tpu.models.embedding_bag import EmbeddingBag
+
+    torch.manual_seed(3)
+    V, W, B, H = 128, 32, 16, 4
+    tm = torch.nn.EmbeddingBag(V, W, mode="mean")
+    bag, table = EmbeddingBag.from_torch(tm, layout=layout)
+    assert bag.mode == CombineMode.MEAN
+    idx = np.random.default_rng(4).integers(0, V, (B, H)).astype(np.int64)
+    want = tm(
+        torch.from_numpy(idx.reshape(-1)),
+        torch.arange(0, B * H, H),
+    ).detach().numpy()
+    got = np.asarray(bag.apply(table, jnp.asarray(idx.astype(np.int32))))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # round trip back to torch weights
+    np.testing.assert_allclose(
+        bag.export_table(table),
+        tm.weight.detach().numpy(),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_from_torch_rejects_max_mode():
+    torch = pytest.importorskip("torch")
+    from cuembed_tpu.models.embedding_bag import EmbeddingBag
+
+    tm = torch.nn.EmbeddingBag(8, 4, mode="max")
+    with pytest.raises(ValueError, match="max"):
+        EmbeddingBag.from_torch(tm)
+
+
+def test_import_table_rejects_wrong_shape():
+    from cuembed_tpu.models.embedding_bag import EmbeddingBag
+
+    bag = EmbeddingBag(8, 4)
+    with pytest.raises(ValueError, match="expected"):
+        bag.import_table(np.zeros((8, 5), np.float32))
