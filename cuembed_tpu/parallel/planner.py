@@ -445,22 +445,59 @@ def planned_lookup(
 # --------------------------------------------------------------------------
 
 
-def _replicated_sgd(table, idx, gy, *, mesh, lr, weights, mode, axis):
+def _gathered_coo(idx_g, offs_g, w_g, gy_g, mode):
+    """Global positions-as-samples COO from all-gathered CSR blocks.
+
+    Each shard-CSR block's liveness/weights/MEAN coefficients fold into
+    per-position weights; the per-position gradient row is gathered from
+    the global ``grad_y``. Feeding the result to the single-chip sparse
+    updates as a ``[nnz, 1]`` batch is exact: SGD is linear in positions,
+    and AdaGrad compresses per unique row BEFORE squaring.
+    """
+    from cuembed_tpu.train import _flatten_coo
+
+    n, lb = offs_g.shape[0], offs_g.shape[1] - 1
+    flats, sids, coeffs = [], [], []
+    for s in range(n):  # static, small
+        f, si, co = _flatten_coo(
+            idx_g[s], offs_g[s],
+            None if w_g is None else w_g[s], mode, jnp.float32,
+        )
+        flats.append(f)
+        sids.append(si + s * lb)
+        coeffs.append(
+            co if co is not None
+            else jnp.ones((f.shape[0],), jnp.float32)
+        )
+    flat = jnp.concatenate(flats)
+    coeff = jnp.concatenate(coeffs)
+    gy_rows = jnp.take(gy_g, jnp.concatenate(sids), axis=0)
+    return flat[:, None], gy_rows, coeff[:, None]
+
+
+def _replicated_sgd(table, idx, gy, *, mesh, lr, weights, offsets, mode, axis):
     """Identical global sparse update on every replica.
 
     One batch-COO all-gather over ``axis`` (volume ~ ``nnz * width * 4``,
     fine for the small tables that replicate), then the single-chip
     sparse update runs bit-identically on each shard — replicas never
     diverge, matching the psum'd-dense-grad semantics row-sparsely.
+    With ``offsets`` (sharded-CSR blocks) the gathered blocks become a
+    positions-as-samples COO (:func:`_gathered_coo`).
     """
     in_specs = [P(), P(axis, None), P(axis, None)]
     args = [table, idx.astype(jnp.int32), gy]
     if weights is not None:
         in_specs.append(P(axis, None))
         args.append(weights)
+    if offsets is not None:
+        in_specs.append(P(axis, None))
+        args.append(offsets.astype(jnp.int32))
 
     def local(t_l, idx_l, gy_l, *rest):
-        w_l = rest[0] if weights is not None else None
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        offs_l = rest.pop(0) if offsets is not None else None
         idx_g = jax.lax.all_gather(idx_l, axis, axis=0, tiled=True)
         gy_g = jax.lax.all_gather(gy_l, axis, axis=0, tiled=True)
         w_g = (
@@ -468,6 +505,12 @@ def _replicated_sgd(table, idx, gy, *, mesh, lr, weights, mode, axis):
             if w_l is not None
             else None
         )
+        if offs_l is not None:
+            offs_g = jax.lax.all_gather(offs_l, axis, axis=0, tiled=True)
+            pidx, pgy, pw = _gathered_coo(idx_g, offs_g, w_g, gy_g, mode)
+            return _sgd_1chip(
+                t_l, pidx, pgy, lr=lr, weights=pw, mode=CombineMode.SUM
+            )
         return _sgd_1chip(t_l, idx_g, gy_g, lr=lr, weights=w_g, mode=mode)
 
     return shard_map(
@@ -477,16 +520,21 @@ def _replicated_sgd(table, idx, gy, *, mesh, lr, weights, mode, axis):
 
 
 def _replicated_adagrad(
-    table, accum, idx, gy, *, mesh, lr, eps, weights, mode, axis
+    table, accum, idx, gy, *, mesh, lr, eps, weights, offsets, mode, axis
 ):
     in_specs = [P(), P(), P(axis, None), P(axis, None)]
     args = [table, accum, idx.astype(jnp.int32), gy]
     if weights is not None:
         in_specs.append(P(axis, None))
         args.append(weights)
+    if offsets is not None:
+        in_specs.append(P(axis, None))
+        args.append(offsets.astype(jnp.int32))
 
     def local(t_l, a_l, idx_l, gy_l, *rest):
-        w_l = rest[0] if weights is not None else None
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        offs_l = rest.pop(0) if offsets is not None else None
         idx_g = jax.lax.all_gather(idx_l, axis, axis=0, tiled=True)
         gy_g = jax.lax.all_gather(gy_l, axis, axis=0, tiled=True)
         w_g = (
@@ -494,6 +542,13 @@ def _replicated_adagrad(
             if w_l is not None
             else None
         )
+        if offs_l is not None:
+            offs_g = jax.lax.all_gather(offs_l, axis, axis=0, tiled=True)
+            pidx, pgy, pw = _gathered_coo(idx_g, offs_g, w_g, gy_g, mode)
+            return _adagrad_1chip(
+                t_l, a_l, pidx, pgy, lr=lr, eps=eps, weights=pw,
+                mode=CombineMode.SUM,
+            )
         return _adagrad_1chip(
             t_l, a_l, idx_g, gy_g, lr=lr, eps=eps, weights=w_g, mode=mode
         )
@@ -528,15 +583,9 @@ def planned_sgd_update(
         w = weights.get(name) if weights else None
         off = offsets.get(name) if offsets else None
         if tp.placement == REPLICATED:
-            if off is not None:
-                raise NotImplementedError(
-                    "replicated CSR updates: flatten to fixed-hotness or "
-                    "place the table row_sharded (routed updates take "
-                    "sharded-CSR blocks)"
-                )
             new[name] = _replicated_sgd(
                 placed[name], idx, gy, mesh=mesh, lr=lr, weights=w,
-                mode=mode, axis=axis,
+                offsets=off, mode=mode, axis=axis,
             )
         elif tp.placement == ROW_SHARDED:
             new[name] = sharded_sgd_sparse_update(
@@ -627,14 +676,9 @@ def planned_adagrad_update(
         w = weights.get(name) if weights else None
         off = offsets.get(name) if offsets else None
         if tp.placement == REPLICATED:
-            if off is not None:
-                raise NotImplementedError(
-                    "replicated CSR updates are not supported; see "
-                    "planned_sgd_update"
-                )
             new_t[name], new_a[name] = _replicated_adagrad(
                 placed[name], accums[name], idx, gy, mesh=mesh, lr=lr,
-                eps=eps, weights=w, mode=mode, axis=axis,
+                eps=eps, weights=w, offsets=off, mode=mode, axis=axis,
             )
         elif tp.placement == ROW_SHARDED:
             new_t[name], new_a[name] = (

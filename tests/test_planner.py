@@ -361,3 +361,58 @@ def test_planned_lookup_replicated_accepts_csr_blocks(mesh):
         np.asarray(got).reshape(B, 16), np.asarray(want),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_planned_updates_replicated_csr_blocks(mesh):
+    """Replicated-table sparse SGD and AdaGrad take the same shard_csr
+    blocks as routed tables; result equals the single-chip CSR update
+    and replicas stay identical."""
+    from cuembed_tpu.parallel import shard_csr
+    from cuembed_tpu.train import rowwise_adagrad_init
+
+    rng = np.random.default_rng(6)
+    configs = [TableConfig("small", 64, 16, hotness=4)]
+    p = plan(configs, 4, batch=64, cost=TEST_COST)
+    table = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+    placed = apply_plan(p, {"small": table}, mesh)
+    B = 16
+    hots = rng.integers(0, 5, B)
+    offs = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    vals = rng.integers(0, 64, max(int(offs[-1]), 1)).astype(np.int32)
+    gy = jnp.asarray(rng.standard_normal((B, 16)).astype(np.float32))
+    ib, ob, _ = shard_csr(vals, offs, 4)
+    args = dict(
+        indices={"small": jnp.asarray(ib)},
+        offsets={"small": jnp.asarray(ob)},
+        mesh=mesh,
+    )
+
+    want_sgd = sgd_sparse_update(
+        table, jnp.asarray(vals), gy, lr=0.1, offsets=jnp.asarray(offs)
+    )
+    got = planned_sgd_update(
+        p, placed, grads_y={"small": gy}, lr=0.1, **args
+    )["small"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want_sgd), rtol=1e-5, atol=1e-6
+    )
+    shards = [np.asarray(s.data) for s in got.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+    want_t, want_a = rowwise_adagrad_sparse_update(
+        table, rowwise_adagrad_init(64), jnp.asarray(vals), gy, lr=0.1,
+        offsets=jnp.asarray(offs),
+    )
+    accums = planned_adagrad_init(p, placed, mesh)
+    got_t, got_a = planned_adagrad_update(
+        p, placed, accums, grads_y={"small": gy}, lr=0.1, **args
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_t["small"]), np.asarray(want_t),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_a["small"]), np.asarray(want_a),
+        rtol=1e-5, atol=1e-6,
+    )
