@@ -139,6 +139,13 @@ class EmbeddingCollection:
         ``hot_bytes_total`` would serve — exactly what
         :func:`cuembed_tpu.parallel.planner.plan` wants as
         ``head_hit_rate`` to judge hybrid placement.
+
+        Tables without enough evidence are omitted (no hybrid without
+        statistics): when the number of DISTINCT observed categories is
+        at most the head size, the top-``hot_rows`` empirical mass is
+        ~100% for *any* distribution — a uniform table calibrated on a
+        small sample would masquerade as perfectly skewed. Feed at least
+        a few head-sizes worth of distinct traffic before planning.
         """
         total_share = sum(
             max(c.traffic_share, 0.0) for c in self.configs.values()
@@ -157,7 +164,10 @@ class EmbeddingCollection:
             ) // 8 * 8
             if hot_rows <= 0:
                 continue
-            top = np.sort(np.asarray(cnt))[::-1][:hot_rows]
+            cnt = np.asarray(cnt)
+            if np.count_nonzero(cnt) <= 2 * hot_rows:
+                continue  # insufficient evidence (see docstring)
+            top = np.sort(cnt)[::-1][:hot_rows]
             out[name] = float(top.sum() / cnt.sum())
         return out
 

@@ -416,3 +416,27 @@ def test_planned_updates_replicated_csr_blocks(mesh):
         np.asarray(got_a["small"]), np.asarray(want_a),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_head_hit_rates_requires_evidence():
+    """A uniform table calibrated on a sample smaller than the head
+    must NOT masquerade as skewed (top-k of a sparse sample is ~100%
+    for any distribution) — the estimator refuses to judge it."""
+    from cuembed_tpu.collection import EmbeddingCollection
+
+    rng = np.random.default_rng(9)
+    coll = EmbeddingCollection(
+        [TableConfig("uniform", 200_000, 64, hotness=4)]
+    )
+    counts = coll.update_counts(
+        coll.init_counts(),
+        {"uniform": rng.integers(0, 200_000, 1024)},  # sparse sample
+    )
+    hits = coll.head_hit_rates(counts, hot_bytes_total=2 * 2**20)
+    assert "uniform" not in hits
+    # plenty of evidence: the honest (low) rate comes through
+    counts = coll.update_counts(
+        counts, {"uniform": rng.integers(0, 200_000, 400_000)}
+    )
+    hits = coll.head_hit_rates(counts, hot_bytes_total=2 * 2**20)
+    assert 0.0 < hits["uniform"] < 0.1
