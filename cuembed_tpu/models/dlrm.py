@@ -30,6 +30,10 @@ class DLRMConfig:
     top_mlp: Tuple[int, ...] = (256, 128, 1)
     embed_dtype: jnp.dtype = jnp.float32
     combine_mode: CombineMode = CombineMode.SUM
+    #: store all tables as ONE fused physical table (base-offset ids):
+    #: one lookup + one sparse update per step instead of num_tables
+    #: dispatches — see :mod:`cuembed_tpu.fused`.
+    fused: bool = False
 
     @property
     def num_tables(self) -> int:
@@ -45,12 +49,31 @@ class DLRM:
             EmbeddingBag(v, config.embed_width, config.combine_mode, config.embed_dtype)
             for v in config.table_sizes
         ]
+        self.fused_spec = None
+        if config.fused:
+            from cuembed_tpu.fused import FusedSpec
+
+            names = tuple(f"t{i}" for i in range(config.num_tables))
+            sizes = tuple(config.table_sizes)
+            bases = []
+            acc = 0
+            for s in sizes:
+                bases.append(acc)
+                acc += s
+            self.fused_spec = FusedSpec(
+                names, tuple(bases), sizes,
+                (config.hotness,) * config.num_tables,
+                self.bags[0].stored_width, acc,
+            )
 
     # -- params ----------------------------------------------------------
     def init(self, key: jax.Array) -> Dict:
         c = self.config
         keys = jax.random.split(key, c.num_tables + 2)
         tables = [bag.init(k) for bag, k in zip(self.bags, keys[: c.num_tables])]
+        if self.fused_spec is not None:
+            # one physical table; lookups offset ids by the table bases
+            tables = jnp.concatenate(tables, axis=0)
         bottom = _mlp_init(keys[-2], (c.dense_features, *c.bottom_mlp))
         n_feat = c.num_tables + 1  # embedding outputs + bottom-MLP output
         inter_dim = c.bottom_mlp[-1] + n_feat * (n_feat - 1) // 2
@@ -69,10 +92,21 @@ class DLRM:
         c = self.config
         if c.bottom_mlp[-1] != c.embed_width:
             raise ValueError("bottom MLP output must equal embed_width")
-        emb = [
-            bag.apply(t, idx, backend=backend)
-            for bag, t, idx in zip(self.bags, params["tables"], sparse)
-        ]
+        if self.fused_spec is not None:
+            from cuembed_tpu.fused import fused_lookup
+
+            spec = self.fused_spec
+            out = fused_lookup(
+                params["tables"], spec,
+                dict(zip(spec.names, sparse)),
+                mode=c.combine_mode, backend=backend,
+            )
+            emb = [out[n][:, : c.embed_width] for n in spec.names]
+        else:
+            emb = [
+                bag.apply(t, idx, backend=backend)
+                for bag, t, idx in zip(self.bags, params["tables"], sparse)
+            ]
         bottom_out = _mlp_apply(params["bottom"], dense)  # [B, embed_width]
         feats = jnp.stack([bottom_out.astype(jnp.float32)] + [
             e.astype(jnp.float32) for e in emb

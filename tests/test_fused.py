@@ -200,3 +200,45 @@ def test_fused_lookup_is_differentiable():
     np.testing.assert_array_equal(
         np.asarray(g)[~touched], 0.0
     )
+
+
+def test_dlrm_fused_matches_unfused():
+    """DLRM(fused=True) is numerically identical to the per-table model
+    with the same init key — the fused table is the same rows stacked."""
+    from cuembed_tpu.models import DLRM, DLRMConfig
+
+    rng = np.random.default_rng(9)
+    base = dict(
+        table_sizes=(500, 300, 700),
+        embed_width=32,
+        hotness=4,
+        dense_features=8,
+        bottom_mlp=(16, 32),
+        top_mlp=(16, 1),
+    )
+    m0 = DLRM(DLRMConfig(**base))
+    m1 = DLRM(DLRMConfig(**base, fused=True))
+    p0 = m0.init(jax.random.key(0))
+    p1 = m1.init(jax.random.key(0))
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(t) for t in p0["tables"]]),
+        np.asarray(p1["tables"]),
+    )
+    B = 16
+    dense = jnp.asarray(rng.standard_normal((B, 8)).astype(np.float32))
+    sparse = tuple(
+        jnp.asarray(rng.integers(0, v, (B, 4)).astype(np.int32))
+        for v in base["table_sizes"]
+    )
+    out0 = m0.apply(p0, dense, sparse, backend="xla")
+    out1 = m1.apply(p1, dense, sparse, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), rtol=1e-5, atol=1e-5
+    )
+    # a train step flows gradients into the single fused table
+    labels = jnp.asarray(rng.integers(0, 2, B).astype(np.float32))
+    p1b, loss = m1.sgd_step(p1, dense, sparse, labels, backend="xla")
+    assert np.isfinite(float(loss))
+    assert not np.array_equal(
+        np.asarray(p1b["tables"]), np.asarray(p1["tables"])
+    )
