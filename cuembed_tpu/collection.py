@@ -141,11 +141,13 @@ class EmbeddingCollection:
         ``head_hit_rate`` to judge hybrid placement.
 
         Tables without enough evidence are omitted (no hybrid without
-        statistics): when the number of DISTINCT observed categories is
-        at most the head size, the top-``hot_rows`` empirical mass is
-        ~100% for *any* distribution — a uniform table calibrated on a
-        small sample would masquerade as perfectly skewed. Feed at least
-        a few head-sizes worth of distinct traffic before planning.
+        statistics): on a small sample the top-``hot_rows`` empirical
+        mass is ~100% for *any* distribution — a uniform table would
+        masquerade as perfectly skewed. Evidence means either >2x the
+        head size in DISTINCT observed categories, or >=16x the head
+        size in total observations (high volume concentrated on few
+        distinct ids is itself proof of skew — an ultra-concentrated
+        table must not be disqualified by its own concentration).
         """
         total_share = sum(
             max(c.traffic_share, 0.0) for c in self.configs.values()
@@ -165,7 +167,10 @@ class EmbeddingCollection:
             if hot_rows <= 0:
                 continue
             cnt = np.asarray(cnt)
-            if np.count_nonzero(cnt) <= 2 * hot_rows:
+            if (
+                np.count_nonzero(cnt) <= 2 * hot_rows
+                and cnt.sum() < 16 * hot_rows
+            ):
                 continue  # insufficient evidence (see docstring)
             top = np.sort(cnt)[::-1][:hot_rows]
             out[name] = float(top.sum() / cnt.sum())

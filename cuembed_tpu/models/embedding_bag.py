@@ -31,6 +31,20 @@ from cuembed_tpu.types import CombineMode
 LANES = 128
 
 
+def _torch_to_numpy(tensor):
+    """Torch tensor → (numpy array, matching jnp dtype).
+
+    bf16 tensors cannot ``.numpy()`` directly; round-trip through fp32
+    (exact — every bf16 value is an fp32 value) and report bfloat16 so
+    the imported table keeps its storage dtype.
+    """
+    t = tensor.detach().cpu()
+    if str(t.dtype) == "torch.bfloat16":
+        return t.float().numpy(), jnp.bfloat16
+    w = t.numpy()
+    return w, w.dtype
+
+
 def _pad_width(width: int) -> int:
     return (width + LANES - 1) // LANES * LANES
 
@@ -59,6 +73,16 @@ class EmbeddingBag:
             return _pad_width(self.width)
         return self.width
 
+    def _to_stored(self, table: jax.Array) -> jax.Array:
+        """Logical ``[V, W]`` table → the configured storage layout."""
+        if self._packed:
+            return pack_narrow(table)
+        if self.stored_width != self.width:
+            table = jnp.pad(
+                table, ((0, 0), (0, self.stored_width - self.width))
+            )
+        return table
+
     def init(self, key: jax.Array) -> jax.Array:
         """U(-1/sqrt(w), 1/sqrt(w)) init; padding columns/rows are zero."""
         scale = 1.0 / (self.width**0.5)
@@ -69,11 +93,7 @@ class EmbeddingBag:
             maxval=scale,
             dtype=jnp.float32,
         ).astype(self.dtype)
-        if self._packed:
-            return pack_narrow(table)
-        if self.stored_width != self.width:
-            table = jnp.pad(table, ((0, 0), (0, self.stored_width - self.width)))
-        return table
+        return self._to_stored(table)
 
     # -- torch interop (the migration path for reference users) ---------
     @classmethod
@@ -86,9 +106,7 @@ class EmbeddingBag:
         the other direction — weights and combine mode are taken from the
         torch module, relayout (pad/pack) happens once here.
         """
-        import numpy as np
-
-        w = module.weight.detach().cpu().numpy()
+        w, torch_dtype = _torch_to_numpy(module.weight)
         mode_str = getattr(module, "mode", "sum")  # nn.Embedding: sum
         try:
             mode = {
@@ -101,7 +119,9 @@ class EmbeddingBag:
             ) from None
         bag = cls(
             w.shape[0], w.shape[1], mode=mode,
-            dtype=jnp.dtype(dtype) if dtype is not None else w.dtype,
+            dtype=(
+                jnp.dtype(dtype) if dtype is not None else torch_dtype
+            ),
             layout=layout,
         )
         return bag, bag.import_table(w)
@@ -110,24 +130,15 @@ class EmbeddingBag:
         """Logical ``[V, W]`` weights (numpy/torch) → stored layout."""
         import numpy as np
 
-        w = np.asarray(
-            weight.detach().cpu().numpy()
-            if hasattr(weight, "detach")
-            else weight
-        )
+        if hasattr(weight, "detach"):
+            weight, _ = _torch_to_numpy(weight)
+        w = np.asarray(weight)
         if w.shape != (self.num_categories, self.width):
             raise ValueError(
                 f"expected [{self.num_categories}, {self.width}] weights, "
                 f"got {w.shape}"
             )
-        table = jnp.asarray(w).astype(self.dtype)
-        if self._packed:
-            return pack_narrow(table)
-        if self.stored_width != self.width:
-            table = jnp.pad(
-                table, ((0, 0), (0, self.stored_width - self.width))
-            )
-        return table
+        return self._to_stored(jnp.asarray(w).astype(self.dtype))
 
     def export_table(self, table: jax.Array):
         """Stored layout → logical ``[V, W]`` numpy array (torch export:

@@ -224,14 +224,16 @@ def plan(
             4 + c.width * elem + 4 + c.width * cost.grad_elem_bytes
         )
 
-        if total <= cost.replicate_bytes_max or n_shards == 1:
+        def replicated_plan():
             # Update = COO all-gather so replicas stay identical.
             repl_comm = int(
-                nnz_l * (4 + c.width * cost.grad_elem_bytes) * (n_shards - 1)
+                nnz_l * (4 + c.width * cost.grad_elem_bytes)
+                * (n_shards - 1)
             )
-            tables[c.name] = TablePlan(
-                c.name, REPLICATED, total, repl_comm
-            )
+            return TablePlan(c.name, REPLICATED, total, repl_comm)
+
+        if total <= cost.replicate_bytes_max or n_shards == 1:
+            tables[c.name] = replicated_plan()
             continue
 
         if (
@@ -261,13 +263,7 @@ def plan(
                 # The head budget covers the whole table: a hybrid with
                 # an empty tail IS replication — place it as such (an
                 # empty tail would make rows_per 0 in the kernels).
-                repl_comm = int(
-                    nnz_l * (4 + c.width * cost.grad_elem_bytes)
-                    * (n_shards - 1)
-                )
-                tables[c.name] = TablePlan(
-                    c.name, REPLICATED, total, repl_comm
-                )
+                tables[c.name] = replicated_plan()
                 continue
             # keep at least one tail row per shard (8-row granules)
             hot_rows = min(

@@ -129,3 +129,19 @@ def test_import_table_rejects_wrong_shape():
     bag = EmbeddingBag(8, 4)
     with pytest.raises(ValueError, match="expected"):
         bag.import_table(np.zeros((8, 5), np.float32))
+
+
+def test_from_torch_bfloat16():
+    """bf16 torch modules import exactly (bf16 -> fp32 is lossless) and
+    keep their storage dtype."""
+    torch = pytest.importorskip("torch")
+    from cuembed_tpu.models.embedding_bag import EmbeddingBag
+
+    torch.manual_seed(5)
+    tm = torch.nn.EmbeddingBag(64, 16, mode="sum", dtype=torch.bfloat16)
+    bag, table = EmbeddingBag.from_torch(tm)
+    assert bag.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        bag.export_table(table).astype(np.float32),
+        tm.weight.detach().float().numpy(),
+    )
