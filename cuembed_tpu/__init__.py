@@ -20,6 +20,7 @@ from cuembed_tpu.ops.lookup_xla import (
 )
 from cuembed_tpu.ops.tiered import TieredConfig, tiered_forward
 from cuembed_tpu.collection import EmbeddingCollection, TableConfig
+from cuembed_tpu.offload import HostOffloadTable, OffloadBatch
 from cuembed_tpu.fused import (
     FusedSpec,
     fuse_counts,
@@ -56,6 +57,8 @@ __all__ = [
     "tiered_forward",
     "EmbeddingCollection",
     "TableConfig",
+    "HostOffloadTable",
+    "OffloadBatch",
     "FusedSpec",
     "fuse_tables",
     "fuse_counts",

@@ -30,6 +30,8 @@ MODULES = [
     ("cuembed_tpu.ops.pallas_forward", "Pallas forward kernels (opt-in)"),
     ("cuembed_tpu.ops.pallas_backward", "Pallas run-grouped backward kernel (opt-in)"),
     ("cuembed_tpu.table", "Stateful auto-tiering table wrapper"),
+    ("cuembed_tpu.offload", "Host-offloaded tables (device head + host tail)"),
+    ("cuembed_tpu.fused", "Fused multi-table groups"),
     ("cuembed_tpu.collection", "Multi-table collection"),
     ("cuembed_tpu.train", "Single-chip sparse training updates"),
     ("cuembed_tpu.models.embedding_bag", "EmbeddingBag module"),
