@@ -61,6 +61,17 @@ if AVAILABLE:
         _i32p, ctypes.c_int64,
     ]
     _lib.cuembed_native_abi_version.restype = ctypes.c_int32
+    _HAS_OFFLOAD = hasattr(_lib, "cuembed_offload_prepare")
+    if _HAS_OFFLOAD:
+        _u8p = ctypes.POINTER(ctypes.c_uint8)
+        _lib.cuembed_offload_prepare.argtypes = [
+            _i32p, ctypes.c_int64, ctypes.c_int32, _f32p,
+            ctypes.c_int64, ctypes.c_int64,
+            _i32p, _i32p, _u8p, _i32p, _f32p,
+        ]
+        _lib.cuembed_offload_prepare.restype = ctypes.c_int64
+else:
+    _HAS_OFFLOAD = False
 
 
 def _ptr(a: np.ndarray, ctype):
@@ -210,3 +221,51 @@ def cold_counts(
         _ptr(out, ctypes.c_int32), num_chunks,
     )
     return out
+
+
+def offload_prepare(
+    indices: np.ndarray, hot: int, tail: np.ndarray, cap: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host side of the offloaded lookup: dedupe cold ids, gather rows.
+
+    Returns ``(idx_hot, slot, is_cold, uniq, rows)`` with shapes matching
+    :class:`cuembed_tpu.offload.OffloadBatch`'s host fields. Raises
+    ``ValueError`` when the batch's unique cold rows exceed ``cap``.
+    """
+    idx = np.ascontiguousarray(indices, np.int32)
+    tail = np.ascontiguousarray(tail, np.float32)
+    width = tail.shape[1]
+    if not _HAS_OFFLOAD:
+        is_cold = idx >= hot
+        uniq = np.unique(idx[is_cold]) - hot
+        if uniq.shape[0] > cap:
+            raise ValueError(
+                f"batch touches {uniq.shape[0]} unique cold rows > "
+                f"cold_cap {cap}; raise cold_cap or the head"
+            )
+        rows = np.zeros((cap, width), np.float32)
+        rows[: uniq.shape[0]] = tail[uniq]
+        slot = np.zeros(idx.shape, np.int32)
+        slot[is_cold] = np.searchsorted(uniq, idx[is_cold] - hot)
+        return (
+            np.where(is_cold, 0, idx).astype(np.int32), slot,
+            is_cold, uniq.astype(np.int32), rows,
+        )
+    idx_hot = np.empty_like(idx)
+    slot = np.empty_like(idx)
+    is_cold = np.empty(idx.shape, np.uint8)
+    uniq = np.empty((cap,), np.int32)
+    rows = np.empty((cap, width), np.float32)
+    k = _lib.cuembed_offload_prepare(
+        _ptr(idx, ctypes.c_int32), idx.size, hot,
+        _ptr(tail, ctypes.c_float), width, cap,
+        _ptr(idx_hot, ctypes.c_int32), _ptr(slot, ctypes.c_int32),
+        _ptr(is_cold, ctypes.c_uint8), _ptr(uniq, ctypes.c_int32),
+        _ptr(rows, ctypes.c_float),
+    )
+    if k < 0:
+        raise ValueError(
+            f"batch touches {-k} unique cold rows > cold_cap {cap}; "
+            "raise cold_cap or the head"
+        )
+    return idx_hot, slot, is_cold.astype(bool), uniq[:k], rows

@@ -127,21 +127,19 @@ class HostOffloadTable:
 
     # -- host side (input-pipeline thread) ------------------------------
     def prepare(self, indices: np.ndarray, weights=None) -> OffloadBatch:
-        """Gather this batch's unique cold rows from the host tail."""
-        idx = np.asarray(indices)
-        is_cold = idx >= self.hot
-        uniq = np.unique(idx[is_cold]) - self.hot  # tail-relative, sorted
-        if uniq.shape[0] > self.cold_cap:
-            raise ValueError(
-                f"batch touches {uniq.shape[0]} unique cold rows > "
-                f"cold_cap {self.cold_cap}; raise cold_cap or the head"
-            )
-        rows = np.zeros((self.cold_cap, self.width), np.float32)
-        rows[: uniq.shape[0]] = self.tail[uniq]
-        slot = np.zeros(idx.shape, np.int32)
-        slot[is_cold] = np.searchsorted(uniq, idx[is_cold] - self.hot)
+        """Gather this batch's unique cold rows from the host tail.
+
+        Served by the multithreaded C++ kernel when built
+        (``native/cuembed_host.cpp:cuembed_offload_prepare``); numpy
+        fallback otherwise — identical semantics either way.
+        """
+        from cuembed_tpu import native
+
+        idx_hot, slot, is_cold, uniq, rows = native.offload_prepare(
+            np.asarray(indices), self.hot, self.tail, self.cold_cap
+        )
         return OffloadBatch(
-            idx_hot=jnp.asarray(np.where(is_cold, 0, idx).astype(np.int32)),
+            idx_hot=jnp.asarray(idx_hot),
             slot_of_pos=jnp.asarray(slot),
             is_cold=jnp.asarray(is_cold),
             cold_rows=jnp.asarray(rows.astype(self.head.dtype)),

@@ -192,6 +192,50 @@ void cuembed_cold_counts(const int32_t* indices, int64_t n,
   });
 }
 
-int32_t cuembed_native_abi_version() { return 1; }
+// Host side of the offloaded-table lookup (cuembed_tpu/offload.py):
+// dedupe this batch's cold ids (>= hot) and gather their tail rows into
+// a fixed-capacity block. Returns the unique-cold count, or -(needed)
+// when it exceeds cap (outputs untouched in that case). `tail` is the
+// fp32 host master, rows indexed tail-relative.
+int64_t cuembed_offload_prepare(const int32_t* idx, int64_t nnz,
+                                int32_t hot, const float* tail,
+                                int64_t width, int64_t cap,
+                                int32_t* idx_hot, int32_t* slot,
+                                uint8_t* is_cold, int32_t* uniq,
+                                float* rows) {
+  std::vector<int32_t> cold;
+  cold.reserve(static_cast<size_t>(nnz));
+  for (int64_t i = 0; i < nnz; ++i)
+    if (idx[i] >= hot) cold.push_back(idx[i] - hot);
+  std::sort(cold.begin(), cold.end());
+  cold.erase(std::unique(cold.begin(), cold.end()), cold.end());
+  const int64_t k = static_cast<int64_t>(cold.size());
+  if (k > cap) return -k;
+  std::copy(cold.begin(), cold.end(), uniq);
+  parallel_for(nnz, [&](int64_t i0, int64_t i1) {
+    for (int64_t i = i0; i < i1; ++i) {
+      const bool c = idx[i] >= hot;
+      is_cold[i] = c;
+      idx_hot[i] = c ? 0 : idx[i];
+      slot[i] = c ? static_cast<int32_t>(
+                        std::lower_bound(cold.begin(), cold.end(),
+                                         idx[i] - hot) -
+                        cold.begin())
+                  : 0;
+    }
+  });
+  parallel_for(k, [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r)
+      std::memcpy(rows + r * width,
+                  tail + static_cast<int64_t>(cold[r]) * width,
+                  sizeof(float) * width);
+  });
+  // zero the unused slots so the shipped block is deterministic
+  if (k < cap)
+    std::memset(rows + k * width, 0, sizeof(float) * (cap - k) * width);
+  return k;
+}
+
+int32_t cuembed_native_abi_version() { return 2; }
 
 }  // extern "C"

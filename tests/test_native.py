@@ -84,3 +84,30 @@ def test_native_transpose_matches_numpy_fallback():
     np.testing.assert_array_equal(t_i, idx[order])
     np.testing.assert_array_equal(t_s, sid[order])
     np.testing.assert_array_equal(t_w, w[order])
+
+
+def test_offload_prepare_matches_numpy_reference():
+    """Native offload prepare == the numpy formulation, including slot
+    assignment, dedup order, zero-padded rows, and the overflow error."""
+    rng = np.random.default_rng(21)
+    hot, V, W, cap = 64, 512, 8, 128
+    tail = rng.standard_normal((V - hot, W)).astype(np.float32)
+    idx = rng.integers(0, V, (32, 4)).astype(np.int32)
+
+    idx_hot, slot, is_cold, uniq, rows = native.offload_prepare(
+        idx, hot, tail, cap
+    )
+    # numpy reference
+    cold = idx >= hot
+    uniq_ref = np.unique(idx[cold]) - hot
+    np.testing.assert_array_equal(uniq, uniq_ref)
+    np.testing.assert_array_equal(is_cold, cold)
+    np.testing.assert_array_equal(idx_hot, np.where(cold, 0, idx))
+    slot_ref = np.zeros(idx.shape, np.int32)
+    slot_ref[cold] = np.searchsorted(uniq_ref, idx[cold] - hot)
+    np.testing.assert_array_equal(slot, slot_ref)
+    np.testing.assert_array_equal(rows[: uniq_ref.size], tail[uniq_ref])
+    np.testing.assert_array_equal(rows[uniq_ref.size :], 0.0)
+
+    with pytest.raises(ValueError, match="cold_cap"):
+        native.offload_prepare(idx, hot, tail, 2)
