@@ -56,3 +56,6 @@ if [ "$FAST" != "fast" ] && [ -f benchmarks/results_v5e_r3.csv ]; then
 fi
 
 log "done — commit results_v5e_r3*.csv + update SWEEP_SUMMARY/PERF_NOTES"
+
+log "stage 6c: offloaded-table step vs resident (host prepare pipelined)"
+python benchmarks/offload_benchmark.py
