@@ -44,6 +44,9 @@ python benchmarks/train_benchmark.py --chained
 log "stage 6b: fused multi-table group vs per-table dispatches"
 python benchmarks/fused_benchmark.py
 
+log "stage 6c: offloaded-table step vs resident (host prepare pipelined)"
+python benchmarks/offload_benchmark.py
+
 if [ "$FAST" != "fast" ] && [ -f benchmarks/results_v5e_r3.csv ]; then
   log "stage 7: regenerate the summary table from the fresh CSV"
   {
@@ -56,6 +59,3 @@ if [ "$FAST" != "fast" ] && [ -f benchmarks/results_v5e_r3.csv ]; then
 fi
 
 log "done — commit results_v5e_r3*.csv + update SWEEP_SUMMARY/PERF_NOTES"
-
-log "stage 6c: offloaded-table step vs resident (host prepare pipelined)"
-python benchmarks/offload_benchmark.py
