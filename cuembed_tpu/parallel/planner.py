@@ -300,6 +300,9 @@ def plan(
                 f"{t.name}={t.bytes_per_device / 2**20:.0f}MB({t.placement})"
                 for t in worst
             )
+            + " — add chips, or serve the largest tables host-offloaded "
+            "(cuembed_tpu.offload.HostOffloadTable) / int8-quantized "
+            "(cuembed_tpu.ops.quant)"
         )
     return Plan(tables, n_shards, per_dev, budget, cost)
 

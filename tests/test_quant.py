@@ -216,3 +216,51 @@ def test_enable_int8_head_uncalibrated_widens_mid_slots():
     want = min(base.chunk_elems,
                -(-(base.mid_slots + base.cold_slots) // 8) * 8)
     assert t._q_cfg.mid_slots == want
+
+
+def test_int8_serving_lookup_within_bound():
+    """Whole-table int8 serving: pooled output within the per-element
+    bound sum(|row_i| / 254) of the exact lookup; MEAN + weights too."""
+    from cuembed_tpu import CombineMode, embedding_lookup
+    from cuembed_tpu.ops.quant import int8_serving_lookup, quantize_head
+
+    rng = np.random.default_rng(30)
+    V, W, B, H = 512, 256, 32, 8
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    qt = quantize_head(table)
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    for mode, w in [
+        (CombineMode.SUM, None),
+        (CombineMode.MEAN, None),
+        (
+            CombineMode.SUM,
+            jnp.asarray(rng.standard_normal((B, H)).astype(np.float32)),
+        ),
+    ]:
+        got = int8_serving_lookup(qt, idx, w, mode=mode)
+        want = embedding_lookup(table, idx, w, mode=mode, backend="xla")
+        row_max = np.abs(np.asarray(table)).max(axis=1)
+        coeff = np.ones((B, H)) if w is None else np.abs(np.asarray(w))
+        if mode == CombineMode.MEAN:
+            coeff = coeff / H
+        bound = (
+            (row_max[np.asarray(idx)] / 254.0 * coeff).sum(axis=1) + 1e-5
+        )
+        err = np.abs(np.asarray(got) - np.asarray(want)).max(axis=1)
+        assert (err <= bound).all(), (err.max(), bound.min())
+
+
+def test_int8_serving_lookup_refuses_grad():
+    from cuembed_tpu.ops.quant import int8_serving_lookup, quantize_head
+
+    table = jnp.ones((16, 128), jnp.float32)
+    qt = quantize_head(table)
+    idx = jnp.zeros((4, 2), jnp.int32)
+
+    def loss(data):
+        from cuembed_tpu.ops.quant import QuantizedHead
+
+        return jnp.sum(int8_serving_lookup(QuantizedHead(data), idx))
+
+    with pytest.raises(Exception):
+        jax.grad(lambda t: loss(quantize_head(t).data))(table)
