@@ -191,3 +191,45 @@ def test_fused_group_on_chip():
         np.testing.assert_allclose(
             np.asarray(parts[n]), np.asarray(want), rtol=1e-4, atol=1e-5
         )
+
+
+def test_offload_lookup_on_chip():
+    """Host-offloaded table: device head + shipped cold rows, real
+    XLA:TPU lowering, parity vs a resident table."""
+    from cuembed_tpu.offload import HostOffloadTable
+
+    rng = np.random.default_rng(8)
+    V, hot, W = 4096, 512, 128
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    idx = np.where(
+        rng.random((64, 8)) < 0.7,
+        rng.integers(0, hot, (64, 8)),
+        rng.integers(hot, V, (64, 8)),
+    ).astype(np.int32)
+    off = HostOffloadTable(table, hot, cold_cap=512)
+    got = off.lookup(off.prepare(idx))
+    want = embedding_lookup(
+        jnp.asarray(table), jnp.asarray(idx), backend="xla"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+    gy = jnp.asarray(rng.standard_normal((64, W)).astype(np.float32))
+    off.sgd_update(off.prepare(idx), gy, lr=0.1)
+    assert np.isfinite(off.full_table()).all()
+
+
+def test_int8_serving_lookup_on_chip():
+    """Whole-table int8 serving gather+dequant in real TPU lowering."""
+    from cuembed_tpu.ops.quant import int8_serving_lookup, quantize_head
+
+    rng = np.random.default_rng(9)
+    table = jnp.asarray(rng.standard_normal((1024, 256)).astype(np.float32))
+    qt = quantize_head(table)
+    idx = jnp.asarray(rng.integers(0, 1024, (32, 8)).astype(np.int32))
+    got = int8_serving_lookup(qt, idx)
+    want = embedding_lookup(table, idx, backend="xla")
+    row_max = np.abs(np.asarray(table)).max(axis=1)
+    bound = (row_max[np.asarray(idx)] / 254.0).sum(axis=1) + 1e-5
+    err = np.abs(np.asarray(got) - np.asarray(want)).max(axis=1)
+    assert (err <= bound).all()
