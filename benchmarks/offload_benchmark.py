@@ -39,8 +39,10 @@ def bench_host(V, hot, W, B, H, alpha, iters=20):
     )
     cap = -(-cap // 64) * 64
 
+    has_native = native.AVAILABLE and native._HAS_OFFLOAD
+
     def run(use_native):
-        if use_native and not native.AVAILABLE:
+        if use_native and not has_native:
             return None, 0
         # monkeypatch-free: call the wrapper (native when built) or the
         # numpy fallback via a temporary flag flip
@@ -57,9 +59,9 @@ def bench_host(V, hot, W, B, H, alpha, iters=20):
             native._HAS_OFFLOAD = saved
         return dt, k
 
-    for label, use in (("numpy ", False), ("native", native.AVAILABLE)):
-        if label == "native" and not native.AVAILABLE:
-            print("native: library not built (make -C native)")
+    for label, use in (("numpy ", False), ("native", True)):
+        if label == "native" and not has_native:
+            print("native: library not built or stale (make -C native)")
             continue
         dt, k = run(use)
         nnz = B * H * iters

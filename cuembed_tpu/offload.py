@@ -25,6 +25,8 @@ tier_fractions`) with margin.
 
 from __future__ import annotations
 
+import threading
+
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
@@ -51,6 +53,8 @@ class OffloadBatch:
 @partial(jax.jit, static_argnames=("mode",))
 def _offload_lookup(head, idx_hot, slot_of_pos, is_cold, cold_rows,
                     weights, mode):
+    from cuembed_tpu.types import combine_coefficients
+
     b, h = idx_hot.shape
     flat_hot = idx_hot.reshape(-1)
     rows_h = jnp.take(head, flat_hot, axis=0).astype(jnp.float32)
@@ -58,13 +62,7 @@ def _offload_lookup(head, idx_hot, slot_of_pos, is_cold, cold_rows,
         jnp.float32
     )
     rows = jnp.where(is_cold.reshape(-1)[:, None], rows_c, rows_h)
-    coeff = (
-        weights.reshape(-1).astype(jnp.float32)
-        if weights is not None
-        else jnp.ones((b * h,), jnp.float32)
-    )
-    if mode == CombineMode.MEAN:
-        coeff = coeff / h
+    coeff = combine_coefficients(weights, mode, b, h)
     out = jnp.sum((rows * coeff[:, None]).reshape(b, h, -1), axis=1)
     return out.astype(head.dtype)
 
@@ -72,14 +70,10 @@ def _offload_lookup(head, idx_hot, slot_of_pos, is_cold, cold_rows,
 @partial(jax.jit, static_argnames=("mode", "cap"))
 def _split_grads(idx_hot, slot_of_pos, is_cold, grad_y, weights, mode, cap):
     """Per-position gradient rows split into (head coeffs, cold sums)."""
+    from cuembed_tpu.types import combine_coefficients
+
     b, h = idx_hot.shape
-    coeff = (
-        weights.reshape(-1).astype(jnp.float32)
-        if weights is not None
-        else jnp.ones((b * h,), jnp.float32)
-    )
-    if mode == CombineMode.MEAN:
-        coeff = coeff / h
+    coeff = combine_coefficients(weights, mode, b, h)
     flat_cold = is_cold.reshape(-1)
     gy_rows = jnp.repeat(
         grad_y.astype(jnp.float32), h, axis=0
@@ -124,6 +118,11 @@ class HostOffloadTable:
         self.tail = table[self.hot:].astype(np.float32).copy()
         self.tail_accum: Optional[np.ndarray] = None  # AdaGrad state
         self.head_accum: Optional[jax.Array] = None
+        # prepare() may run on the input-pipeline thread while training
+        # updates mutate the tail on the main thread; the lock keeps a
+        # shipped row from being read mid-update (torn floats). Held for
+        # the gather / the scatter only — microseconds at typical caps.
+        self._tail_lock = threading.Lock()
 
     # -- host side (input-pipeline thread) ------------------------------
     def prepare(self, indices: np.ndarray, weights=None) -> OffloadBatch:
@@ -135,9 +134,10 @@ class HostOffloadTable:
         """
         from cuembed_tpu import native
 
-        idx_hot, slot, is_cold, uniq, rows = native.offload_prepare(
-            np.asarray(indices), self.hot, self.tail, self.cold_cap
-        )
+        with self._tail_lock:
+            idx_hot, slot, is_cold, uniq, rows = native.offload_prepare(
+                np.asarray(indices), self.hot, self.tail, self.cold_cap
+            )
         return OffloadBatch(
             idx_hot=jnp.asarray(idx_hot),
             slot_of_pos=jnp.asarray(slot),
@@ -181,7 +181,9 @@ class HostOffloadTable:
             mode=CombineMode.SUM,
         )
         k = batch.uniq_cold.shape[0]
-        self.tail[batch.uniq_cold] -= lr * np.asarray(cold_grads)[:k]
+        g = np.asarray(cold_grads)[:k]
+        with self._tail_lock:
+            self.tail[batch.uniq_cold] -= lr * g
 
     def adagrad_init(self) -> None:
         self.head_accum = jnp.zeros((self.hot,), jnp.float32)
@@ -213,11 +215,12 @@ class HostOffloadTable:
         )
         k = batch.uniq_cold.shape[0]
         g = np.asarray(cold_grads)[:k]
-        acc = self.tail_accum[batch.uniq_cold] + np.mean(g * g, axis=1)
-        self.tail_accum[batch.uniq_cold] = acc
-        self.tail[batch.uniq_cold] -= (
-            lr * g / np.sqrt(acc + eps)[:, None]
-        )
+        with self._tail_lock:
+            acc = self.tail_accum[batch.uniq_cold] + np.mean(g * g, axis=1)
+            self.tail_accum[batch.uniq_cold] = acc
+            self.tail[batch.uniq_cold] -= (
+                lr * g / np.sqrt(acc + eps)[:, None]
+            )
 
     # -- export ----------------------------------------------------------
     def full_table(self) -> np.ndarray:

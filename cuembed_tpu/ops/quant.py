@@ -100,6 +100,10 @@ def quantize_rows(rows: jax.Array, pad: int = 4) -> jax.Array:
     """
     if pad < 4:
         raise ValueError("pad must hold the 4-byte f32 scale")
+    # Refuse differentiation HERE, on the float input: once the rows are
+    # int8 no tangent exists anywhere downstream, so a grad through
+    # quantization would otherwise come back silently zero.
+    rows = serving_only_guard(rows)
     f = rows.astype(jnp.float32)
     amax = jnp.max(jnp.abs(f), axis=1, keepdims=True)  # [m, 1]
     scale = jnp.where(amax == 0, 1.0, amax / 127.0)
@@ -167,22 +171,14 @@ def int8_serving_lookup(
     int8 head, differentiation is refused rather than silently dropped
     (:func:`serving_only_guard`).
     """
-    if mode == CombineMode.CONCAT:
-        raise ValueError("serving lookup pools rows; CONCAT unsupported")
-    if weights is not None and mode != CombineMode.SUM:
-        raise ValueError("weights are only supported with CombineMode.SUM")
+    from cuembed_tpu.types import combine_coefficients
+
     b, h = indices.shape
     w = qtable.width
+    coeff = combine_coefficients(weights, mode, b, h)
     lines = jnp.take(
         serving_only_guard(qtable.data), indices.reshape(-1), axis=0
     )  # [b*h, W+128] int8 (+ inline scales)
     scales = extract_scales(lines)  # [b*h]
-    coeff = (
-        weights.reshape(-1).astype(jnp.float32)
-        if weights is not None
-        else jnp.ones((b * h,), jnp.float32)
-    )
-    if mode == CombineMode.MEAN:
-        coeff = coeff / h
     rows = lines[:, :w].astype(jnp.float32) * (scales * coeff)[:, None]
     return jnp.sum(rows.reshape(b, h, w), axis=1)

@@ -125,3 +125,28 @@ class CSRFormat:
     def __post_init__(self):
         if self.capacity < 0:
             raise ValueError("capacity must be >= 0")
+
+
+def combine_coefficients(weights, mode, batch: int, hotness: int):
+    """Flat ``[batch*hotness]`` f32 combine coefficients for pooled
+    lookups: weights (SUM only) or ones, with MEAN's 1/hotness folded in.
+
+    The shared helper behind every fixed-hotness pooled path that builds
+    per-position coefficients explicitly (int8 serving, host offload);
+    the main engine folds the same logic inside
+    :func:`cuembed_tpu.train._flatten_coo`.
+    """
+    import jax.numpy as jnp
+
+    if mode == CombineMode.CONCAT:
+        raise ValueError("pooled combine; CONCAT has no coefficients")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    coeff = (
+        weights.reshape(-1).astype(jnp.float32)
+        if weights is not None
+        else jnp.ones((batch * hotness,), jnp.float32)
+    )
+    if mode == CombineMode.MEAN:
+        coeff = coeff / max(hotness, 1)
+    return coeff

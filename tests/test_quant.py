@@ -251,16 +251,15 @@ def test_int8_serving_lookup_within_bound():
 
 
 def test_int8_serving_lookup_refuses_grad():
+    import jax
+
     from cuembed_tpu.ops.quant import int8_serving_lookup, quantize_head
 
     table = jnp.ones((16, 128), jnp.float32)
-    qt = quantize_head(table)
     idx = jnp.zeros((4, 2), jnp.int32)
 
-    def loss(data):
-        from cuembed_tpu.ops.quant import QuantizedHead
+    def loss(t):
+        return jnp.sum(int8_serving_lookup(quantize_head(t), idx))
 
-        return jnp.sum(int8_serving_lookup(QuantizedHead(data), idx))
-
-    with pytest.raises(Exception):
-        jax.grad(lambda t: loss(quantize_head(t).data))(table)
+    with pytest.raises(NotImplementedError, match="serving-only"):
+        jax.grad(loss)(table)
