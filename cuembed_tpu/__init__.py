@@ -31,6 +31,8 @@ from cuembed_tpu.fused import (
     unfuse_table,
 )
 from cuembed_tpu.train import (
+    adam_init,
+    adam_sparse_update,
     rowwise_adagrad_init,
     rowwise_adagrad_sparse_update,
     sgd_sparse_update,
@@ -68,6 +70,8 @@ __all__ = [
     "unfuse_table",
     "sgd_sparse_update",
     "rowwise_adagrad_init",
+    "adam_init",
+    "adam_sparse_update",
     "rowwise_adagrad_sparse_update",
     "embedding_forward_xla",
     "embedding_backward_xla",

@@ -385,3 +385,83 @@ def rowwise_adagrad_sparse_update(
             0,
         )
     return apply_rest(n)
+
+
+def adam_init(
+    num_categories: int, width: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-element Adam moments ``(m, v)``, fp32, zero-initialized."""
+    z = jnp.zeros((num_categories, width), jnp.float32)
+    return z, z
+
+
+def adam_sparse_update(
+    table: jax.Array,
+    m: jax.Array,
+    v: jax.Array,
+    step: jax.Array,
+    indices: jax.Array,
+    grad_y: jax.Array,
+    *,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    offsets: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+    mode: CombineMode = CombineMode.SUM,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sparse LAZY Adam: moments decay and update only on touched rows.
+
+    Per touched row r with batch gradient row ``G_r``::
+
+        m[r] = b1*m[r] + (1-b1)*G_r
+        v[r] = b2*v[r] + (1-b2)*G_r^2
+        table[r] -= lr * (m[r]/(1-b1^t)) / (sqrt(v[r]/(1-b2^t)) + eps)
+
+    Untouched rows keep their moments unchanged (the "lazy" convention —
+    dense Adam would decay every row every step, an O(V*W) pass this
+    path exists to avoid). ``step`` is the 1-based global step (scalar,
+    may be traced) for bias correction. Moments are per-element fp32
+    (``adam_init``) — 8 extra bytes per table element; prefer row-wise
+    AdaGrad (:func:`rowwise_adagrad_sparse_update`) when state memory
+    matters, which is the production DLRM convention.
+    """
+    acc_dt = jnp.float32
+    gy = grad_y.astype(acc_dt)
+    if weights is None and offsets is None and mode == CombineMode.MEAN:
+        gy = gy * (1.0 / indices.shape[1])
+    flat_idx, sample_ids, coeff = _flatten_coo(
+        indices, offsets, weights, mode, acc_dt
+    )
+    sentinel = jnp.iinfo(jnp.int32).max
+    live_idx = (
+        flat_idx if coeff is None
+        else jnp.where(coeff != 0, flat_idx, sentinel)
+    )
+    t_idx, t_sid, t_coeff = transpose(sample_ids, live_idx, coeff)
+    rows, uniq, nu = _segment_partials(gy, t_idx, t_sid, t_coeff, None)
+    k = rows.shape[0]
+    rid = jnp.arange(k, dtype=jnp.int32)
+    valid = rid < nu
+    safe = jnp.where(valid, uniq, 0)
+    g = rows * valid[:, None]
+    m_rows = b1 * jnp.take(m, safe, axis=0) + (1.0 - b1) * g
+    v_rows = b2 * jnp.take(v, safe, axis=0) + (1.0 - b2) * g * g
+    t_f = jnp.asarray(step, jnp.float32)
+    bc1 = 1.0 - jnp.power(b1, t_f)
+    bc2 = 1.0 - jnp.power(b2, t_f)
+    upd = lr * (m_rows / bc1) / (jnp.sqrt(v_rows / bc2) + eps)
+    droppable = (~valid) | (uniq >= table.shape[0])
+    scat = jnp.where(droppable, table.shape[0] + rid, uniq)
+    new_m = m.at[scat].set(
+        m_rows, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
+    new_v = v.at[scat].set(
+        v_rows, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
+    new_table = table.at[scat].add(
+        (-upd).astype(table.dtype), mode="drop",
+        indices_are_sorted=True, unique_indices=True,
+    )
+    return new_table, new_m, new_v

@@ -230,3 +230,102 @@ def test_sparse_updates_overflow_drop_matches_when_capacity_ok():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Sparse lazy Adam
+# ---------------------------------------------------------------------------
+
+
+def _lazy_adam_ref(table, m, v, step, idx, gy, lr, b1, b2, eps,
+                   offsets=None, weights=None, mean=False):
+    """Numpy golden model: touched rows only, G_r = sum of coeff*gy."""
+    table, m, v = table.copy(), m.copy(), v.copy()
+    V, W = table.shape
+    G = np.zeros((V, W), np.float64)
+    touched = np.zeros(V, bool)
+    if offsets is None:
+        B, H = idx.shape
+        for b in range(B):
+            for h in range(H):
+                c = 1.0 if weights is None else weights[b, h]
+                if mean:
+                    c /= H
+                if c != 0:
+                    G[idx[b, h]] += c * gy[b]
+                    touched[idx[b, h]] = True
+    else:
+        B = offsets.shape[0] - 1
+        for b in range(B):
+            hot = offsets[b + 1] - offsets[b]
+            for p in range(offsets[b], offsets[b + 1]):
+                c = 1.0 if weights is None else weights[p]
+                if mean and hot > 0:
+                    c /= hot
+                if c != 0:
+                    G[idx[p]] += c * gy[b]
+                    touched[idx[p]] = True
+    r = touched
+    m[r] = b1 * m[r] + (1 - b1) * G[r]
+    v[r] = b2 * v[r] + (1 - b2) * G[r] ** 2
+    upd = lr * (m[r] / (1 - b1**step)) / (np.sqrt(v[r] / (1 - b2**step)) + eps)
+    table[r] -= upd.astype(np.float32)
+    return table, m, v
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_adam_sparse_matches_golden(weighted):
+    from cuembed_tpu.train import adam_init, adam_sparse_update
+
+    rng = np.random.default_rng(40)
+    V, W, B, H = 128, 16, 24, 4
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    idx = rng.integers(0, V, (B, H)).astype(np.int32)
+    gy = rng.standard_normal((B, W)).astype(np.float32)
+    w = (
+        rng.standard_normal((B, H)).astype(np.float32)
+        if weighted else None
+    )
+    jt = jnp.asarray(table)
+    jm, jv = adam_init(V, W)
+    rt, rm, rv = table, np.zeros((V, W)), np.zeros((V, W))
+    for step in (1, 2, 3):
+        jt, jm, jv = adam_sparse_update(
+            jt, jm, jv, jnp.int32(step), jnp.asarray(idx),
+            jnp.asarray(gy), lr=0.05,
+            weights=None if w is None else jnp.asarray(w),
+        )
+        rt, rm, rv = _lazy_adam_ref(
+            rt, rm, rv, step, idx, gy, 0.05, 0.9, 0.999, 1e-8, weights=w
+        )
+    np.testing.assert_allclose(np.asarray(jt), rt, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jm), rm, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jv), rv, rtol=1e-4, atol=1e-6)
+
+
+def test_adam_sparse_csr_and_untouched_rows():
+    from cuembed_tpu.train import adam_init, adam_sparse_update
+
+    rng = np.random.default_rng(41)
+    V, W, B = 128, 16, 24
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    hots = rng.integers(0, 5, B)
+    offs = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    vals = rng.integers(0, V // 2, max(int(offs[-1]), 1)).astype(np.int32)
+    gy = rng.standard_normal((B, W)).astype(np.float32)
+    jt = jnp.asarray(table)
+    jm, jv = adam_init(V, W)
+    jt, jm, jv = adam_sparse_update(
+        jt, jm, jv, jnp.int32(1), jnp.asarray(vals), jnp.asarray(gy),
+        lr=0.05, offsets=jnp.asarray(offs), mode=CombineMode.MEAN,
+    )
+    rt, rm, rv = _lazy_adam_ref(
+        table, np.zeros((V, W)), np.zeros((V, W)), 1, vals, gy,
+        0.05, 0.9, 0.999, 1e-8, offsets=offs, mean=True,
+    )
+    np.testing.assert_allclose(np.asarray(jt), rt, rtol=1e-4, atol=1e-5)
+    # rows >= V//2 never appear: table and moments untouched (lazy)
+    np.testing.assert_array_equal(
+        np.asarray(jt)[V // 2:], table[V // 2:]
+    )
+    np.testing.assert_array_equal(np.asarray(jm)[V // 2:], 0.0)
