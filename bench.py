@@ -36,7 +36,7 @@ def main():
     p.add_argument("--quick", action="store_true", help="small config (smoke)")
     p.add_argument("--backend", default="best",
                    choices=["best", "auto", "tiered", "tiered-int8",
-                            "pallas", "xla"])
+                            "int8-full", "pallas", "xla"])
     p.add_argument("--num-categories", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--hotness", type=int, default=None)
@@ -263,6 +263,17 @@ def main():
         print(f"# int8 head: {q_rows} rows (vs {cfg.hot_rows} exact), "
               f"mid/cold slots {mid_s}/{cold_s}", file=sys.stderr)
 
+    # --- opt-in whole-table int8 (--backend int8-full): quantize the
+    # ENTIRE table once at setup — (W+128)/(W*elem) of the exact bytes;
+    # every gather serves from int8. Lossy serving mode like the head.
+    q_full = None
+    if args.backend == "int8-full":
+        from cuembed_tpu.ops.quant import quantize_head
+
+        q_full = jax.block_until_ready(quantize_head(table))
+        print(f"# int8 full table: {q_full.data.nbytes / 2**30:.2f} GiB "
+              f"(vs {table.nbytes / 2**30:.2f})", file=sys.stderr)
+
     def make_step(backend):
         use_tiered = (
             backend in ("auto", "tiered", "tiered-int8")
@@ -273,6 +284,22 @@ def main():
 
         # table/idx_sets enter as jit arguments, NOT closure captures — a
         # captured GB-scale array would be baked into the HLO as a constant.
+        if backend == "int8-full":
+            from cuembed_tpu.ops.quant import int8_serving_lookup
+
+            @jax.jit
+            def step_full(q_data, idx_sets, carry):
+                from cuembed_tpu.ops.quant import QuantizedHead
+
+                i, dep = carry
+                idx = idx_sets + (dep * 0).astype(jnp.int32)
+                out = int8_serving_lookup(
+                    QuantizedHead(q_data), idx, mode=CombineMode.SUM
+                )
+                return (i + 1, out[0, 0].astype(jnp.float32))
+
+            return lambda carry: step_full(q_full.data, sets, carry)
+
         if backend == "tiered-int8":
             from cuembed_tpu.ops.tiered import tiered_forward
 

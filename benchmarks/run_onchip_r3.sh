@@ -32,6 +32,9 @@ python bench.py | tee /tmp/bench_r3_best.json
 log "stage 4b: headline bench (tiered-int8 serving mode)"
 python bench.py --backend tiered-int8 | tee /tmp/bench_r3_int8.json
 
+log "stage 4b2: headline bench (whole-table int8 serving mode)"
+python bench.py --backend int8-full | tee /tmp/bench_r3_int8full.json
+
 log "stage 4c: CSR flagship point"
 python bench.py --csr | tee /tmp/bench_r3_csr.json
 
