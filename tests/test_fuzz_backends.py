@@ -113,3 +113,73 @@ def test_fuzz_tiered_and_narrow_match_xla(trial):
                 np.asarray(got, np.float32), np.asarray(base, np.float32),
                 rtol=tol, atol=tol,
             )
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_fuzz_fused_and_offload_match_xla(trial):
+    """Random table groups: the fused lookup and the host-offloaded
+    table must both reproduce the per-table XLA baseline."""
+    from cuembed_tpu.fused import fuse_tables, fused_lookup
+    from cuembed_tpu.offload import HostOffloadTable
+
+    rng = np.random.default_rng(3000 + trial)
+    T = int(rng.integers(2, 5))
+    W = int(rng.choice([16, 32, 64]))
+    B = int(rng.integers(2, 49))
+    mode = [CombineMode.SUM, CombineMode.MEAN][rng.integers(0, 2)]
+    weighted = bool(rng.integers(0, 2)) and mode == CombineMode.SUM
+    names = [f"t{i}" for i in range(T)]
+    sizes = {n: int(rng.integers(32, 1500)) for n in names}
+    hot = {n: int(rng.integers(1, 9)) for n in names}
+    tables = {
+        n: jnp.asarray(rng.standard_normal((sizes[n], W)).astype(np.float32))
+        for n in names
+    }
+    idx = {
+        n: jnp.asarray(
+            rng.integers(0, sizes[n], (B, hot[n])).astype(np.int32)
+        )
+        for n in names
+    }
+    w = (
+        {
+            n: jnp.asarray(
+                rng.standard_normal((B, hot[n])).astype(np.float32)
+            )
+            for n in names
+        }
+        if weighted
+        else None
+    )
+    base = {
+        n: embedding_lookup(
+            tables[n], idx[n], None if w is None else w[n],
+            mode=mode, backend="xla",
+        )
+        for n in names
+    }
+
+    # fused group
+    fused, spec = fuse_tables(tables, hot)
+    got = fused_lookup(fused, spec, idx, w, mode=mode, backend="xla")
+    for n in names:
+        np.testing.assert_allclose(
+            np.asarray(got[n]), np.asarray(base[n]),
+            rtol=1e-5, atol=1e-5, err_msg=f"fused {n}",
+        )
+
+    # host-offloaded single table (first of the group)
+    n0 = names[0]
+    if sizes[n0] >= 8:
+        hrows = max(1, sizes[n0] // int(rng.integers(2, 8)))
+        off = HostOffloadTable(
+            np.asarray(tables[n0]), hrows, cold_cap=B * hot[n0]
+        )
+        batch = off.prepare(
+            np.asarray(idx[n0]), None if w is None else np.asarray(w[n0])
+        )
+        got0 = off.lookup(batch, mode=mode)
+        np.testing.assert_allclose(
+            np.asarray(got0), np.asarray(base[n0]),
+            rtol=1e-5, atol=1e-5, err_msg="offload",
+        )
