@@ -20,10 +20,13 @@ from cuembed_tpu.parallel.sharded_lookup import (
 )
 from cuembed_tpu.parallel.alltoall_lookup import (
     alltoall_row_sharded_lookup,
+    grid_sharded_lookup,
     hybrid_tiered_lookup,
     split_hybrid_table,
 )
 from cuembed_tpu.parallel.train import (
+    grid_sharded_sgd_sparse_update,
+    grid_sharded_rowwise_adagrad_sparse_update,
     sharded_sgd_sparse_update,
     sharded_rowwise_adagrad_sparse_update,
     sharded_hybrid_sgd_sparse_update,
@@ -57,6 +60,9 @@ __all__ = [
     "planned_lookup",
     "planned_sgd_update",
     "alltoall_row_sharded_lookup",
+    "grid_sharded_lookup",
+    "grid_sharded_sgd_sparse_update",
+    "grid_sharded_rowwise_adagrad_sparse_update",
     "hybrid_tiered_lookup",
     "split_hybrid_table",
     "sharded_sgd_sparse_update",

@@ -483,3 +483,110 @@ def alltoall_row_sharded_lookup(
         out_specs=out_specs,
         check_vma=False,
     )(*args)
+
+
+def grid_sharded_lookup(
+    table: jax.Array,
+    indices: jax.Array,
+    weights: Optional[jax.Array] = None,
+    *,
+    mesh: Mesh,
+    mode: CombineMode = CombineMode.SUM,
+    capacity_factor: float = 2.0,
+    row_axis: str = MODEL_AXIS,
+    col_axis: str = "data",
+    gather_output: bool = True,
+) -> jax.Array:
+    """Pooled lookup against a GRID-sharded table ``P(row, col)``.
+
+    The combined row x column strategy (torchrec's "grid" sharding) for
+    tables whose rows are too wide to serve comfortably from one chip
+    even after row sharding: every chip holds a ``[V/n_r, W/n_c]``
+    block. Ids route all-to-all over the ROW axis exactly as in
+    :func:`alltoall_row_sharded_lookup` — independently within each
+    column group, each of which serves its own width slice — so the
+    request volume per chip shrinks by ``n_c`` (each id is requested
+    once per column group but answered with ``W/n_c`` columns).
+
+    Args:
+      table: ``[V, W]``, sharded ``P(row_axis, col_axis)``;
+        ``V % n_r == 0`` and ``W % n_c == 0``.
+      indices: ``[batch, hotness]``, sharded ``P(row_axis, None)``
+        (replicated over the column axis).
+      weights: like indices (SUM only).
+      gather_output: all-gather the feature slices back to
+        ``P(row_axis, None)``; False keeps ``P(row_axis, col_axis)``
+        (feed a feature-parallel dense tower directly).
+
+    Returns:
+      ``[batch, W]`` pooled output (or the feature-sharded slice view).
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("grid routing pools rows; CONCAT unsupported")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    n_r = mesh.shape[row_axis]
+    n_c = mesh.shape[col_axis]
+    num_rows, width = table.shape
+    if num_rows % n_r != 0 or width % n_c != 0:
+        raise ValueError("pad table rows/cols to multiples of the axes")
+    rows_per = num_rows // n_r
+    w_local = width // n_c
+    batch, hotness = indices.shape
+    if batch % n_r != 0:
+        raise ValueError("batch must divide evenly across the row axis")
+    nnz_l = (batch // n_r) * hotness
+    cap = int(nnz_l / n_r * capacity_factor) + 1
+    cap = min(-(-cap // 8) * 8, nnz_l)
+
+    in_specs = [P(row_axis, col_axis), P(row_axis, None)]
+    args = [table, indices.astype(jnp.int32)]
+    if weights is not None:
+        in_specs.append(P(row_axis, None))
+        args.append(weights)
+
+    def local(table_l, idx_l, *rest):
+        w_l = rest[0] if weights is not None else None
+        flat, coeff, _, b_l = _coeff_and_samples(
+            idx_l, None, w_l, mode, nnz_l, hotness
+        )
+        owner = jnp.clip(flat // rows_per, 0, n_r - 1)
+        pos_s, counts, starts, rank, overflow = _owner_buckets(
+            owner, nnz_l, n_r, cap
+        )
+
+        def route(c):
+            resp = _route_serve(
+                table_l, flat, pos_s, counts, starts, nnz_l, n_r, c,
+                rows_per, w_local, row_axis, "none",
+            )
+            slot_of_pos = owner * c + jnp.clip(rank, 0, c - 1)
+            rows = jnp.take(resp, slot_of_pos, axis=0).astype(jnp.float32)
+            rows = rows * coeff[:, None]
+            return jnp.sum(rows.reshape(b_l, hotness, w_local), axis=1)
+
+        if cap >= nnz_l:
+            out = route(nnz_l)
+        else:
+            overflow_any = (
+                jax.lax.psum(overflow.astype(jnp.int32), row_axis) > 0
+            )
+            out = jax.lax.cond(
+                overflow_any, lambda _: route(nnz_l),
+                lambda _: route(cap), 0,
+            )
+        out = out.astype(table.dtype)
+        if gather_output:
+            out = jax.lax.all_gather(out, col_axis, axis=1, tiled=True)
+        return out
+
+    out_specs = (
+        P(row_axis, None) if gather_output else P(row_axis, col_axis)
+    )
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
+        check_vma=False,
+    )(*args)

@@ -797,3 +797,186 @@ def sharded_hybrid_rowwise_adagrad_sparse_update(
         out_specs=(P(None, None), P(axis, None), P(None), P(axis)),
         check_vma=False,
     )(*args)
+
+
+def grid_sharded_sgd_sparse_update(
+    table: jax.Array,
+    indices: jax.Array,
+    grad_y: jax.Array,
+    *,
+    mesh: Mesh,
+    lr: float,
+    weights: Optional[jax.Array] = None,
+    mode: CombineMode = CombineMode.SUM,
+    capacity_factor: float = 2.0,
+    row_axis: str = MODEL_AXIS,
+    col_axis: str = "data",
+) -> jax.Array:
+    """Sparse SGD on a grid-sharded table ``P(row, col)``.
+
+    The update mirror of
+    :func:`cuembed_tpu.parallel.alltoall_lookup.grid_sharded_lookup`:
+    each column group routes its own ``[*, W/n_c]`` gradient slices over
+    the ROW axis to the owning row shard — nothing crosses the column
+    axis (each chip owns its width slice outright).
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("routed updates pool rows; CONCAT unsupported")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    n_r = mesh.shape[row_axis]
+    rows_per = table.shape[0] // n_r
+    w_local = table.shape[1] // mesh.shape[col_axis]
+    batch, hotness = indices.shape
+    if batch % n_r != 0:
+        raise ValueError("batch must divide evenly across the row axis")
+    nnz_l = (batch // n_r) * hotness
+    cap = int(nnz_l / n_r * capacity_factor) + 1
+    cap = max(min(-(-cap // 8) * 8, nnz_l), 8)
+
+    in_specs = [P(row_axis, col_axis), P(row_axis, None),
+                P(row_axis, col_axis)]
+    args = [table, indices.astype(jnp.int32), grad_y]
+    if weights is not None:
+        in_specs.append(P(row_axis, None))
+        args.append(weights)
+
+    def local(table_l, idx_l, gy_l, *rest):
+        w_l = rest[0] if weights is not None else None
+        flat, sids, coeff, gy, valid = _prep_coo(
+            idx_l, None, w_l, mode, gy_l
+        )
+        bucket = _bucket(flat, valid, n_r, rows_per)
+
+        def apply(c):
+            local_rows, grad_rows = _route_grad_rows(
+                flat, sids, gy, coeff, n_r, rows_per, c, row_axis,
+                w_local, bucket,
+            )
+            m = local_rows.shape[0]
+            rows_s, order = jax.lax.sort(
+                [local_rows, jnp.arange(m, dtype=jnp.int32)], num_keys=1
+            )
+            g = jnp.take(grad_rows, order, axis=0)
+            return table_l.at[rows_s].add(
+                (-lr * g).astype(table_l.dtype), mode="drop",
+                indices_are_sorted=True,
+            )
+
+        if cap >= nnz_l:
+            return apply(nnz_l)
+        return jax.lax.cond(
+            _overflowed(bucket[1], cap, row_axis),
+            lambda _: apply(nnz_l), lambda _: apply(cap), 0,
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(row_axis, col_axis),
+        check_vma=False,
+    )(*args)
+
+
+def grid_sharded_rowwise_adagrad_sparse_update(
+    table: jax.Array,
+    accum: jax.Array,
+    indices: jax.Array,
+    grad_y: jax.Array,
+    *,
+    mesh: Mesh,
+    lr: float,
+    eps: float = 1e-8,
+    weights: Optional[jax.Array] = None,
+    mode: CombineMode = CombineMode.SUM,
+    capacity_factor: float = 2.0,
+    row_axis: str = MODEL_AXIS,
+    col_axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-wise AdaGrad on a grid-sharded table.
+
+    Per-row stats span the FULL row, but each chip holds a width slice:
+    after routing, the owner computes its slice's per-unique-row squared
+    sums and one ``psum`` over the COLUMN axis completes ``mean(G_r^2)``
+    — column replicas of the ``P(row)`` accumulator stay identical by
+    construction.
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("routed updates pool rows; CONCAT unsupported")
+    if weights is not None and mode != CombineMode.SUM:
+        raise ValueError("weights are only supported with CombineMode.SUM")
+    n_r = mesh.shape[row_axis]
+    rows_per = table.shape[0] // n_r
+    if accum.shape[0] != table.shape[0]:
+        raise ValueError("accum must be row-aligned with the table")
+    full_width = table.shape[1]
+    w_local = full_width // mesh.shape[col_axis]
+    batch, hotness = indices.shape
+    if batch % n_r != 0:
+        raise ValueError("batch must divide evenly across the row axis")
+    nnz_l = (batch // n_r) * hotness
+    cap = min(max(-(-int(nnz_l / n_r * capacity_factor) // 8) * 8, 8),
+              nnz_l)
+
+    in_specs = [
+        P(row_axis, col_axis), P(row_axis), P(row_axis, None),
+        P(row_axis, col_axis),
+    ]
+    args = [table, accum, indices.astype(jnp.int32), grad_y]
+    if weights is not None:
+        in_specs.append(P(row_axis, None))
+        args.append(weights)
+
+    def local(table_l, accum_l, idx_l, gy_l, *rest):
+        w_l = rest[0] if weights is not None else None
+        flat, sids, coeff, gy, valid = _prep_coo(
+            idx_l, None, w_l, mode, gy_l
+        )
+        bucket = _bucket(flat, valid, n_r, rows_per)
+
+        def apply(c):
+            local_rows, grad_rows = _route_grad_rows(
+                flat, sids, gy, coeff, n_r, rows_per, c, row_axis,
+                w_local, bucket,
+            )
+            rows, uniq, nu = _compressed_local(local_rows, grad_rows)
+            k = rows.shape[0]
+            rid = jnp.arange(k, dtype=jnp.int32)
+            valid_r = rid < nu
+            safe = jnp.where(valid_r, uniq, 0)
+            # full-row statistic: psum the slice's squared sums
+            g2 = (
+                jax.lax.psum(jnp.sum(rows * rows, axis=1), col_axis)
+                / full_width
+            ) * valid_r
+            new_acc_rows = jnp.take(accum_l, safe) + g2
+            droppable = (~valid_r) | (uniq >= accum_l.shape[0])
+            scat = jnp.where(droppable, accum_l.shape[0] + rid, uniq)
+            new_accum = accum_l.at[scat].set(
+                new_acc_rows, mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )
+            scale = jnp.where(
+                valid_r, -lr / jnp.sqrt(new_acc_rows + eps), 0.0
+            )
+            new_table = table_l.at[scat].add(
+                (rows * scale[:, None]).astype(table_l.dtype),
+                mode="drop", indices_are_sorted=True, unique_indices=True,
+            )
+            return new_table, new_accum
+
+        if cap >= nnz_l:
+            return apply(nnz_l)
+        return jax.lax.cond(
+            _overflowed(bucket[1], cap, row_axis),
+            lambda _: apply(nnz_l), lambda _: apply(cap), 0,
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(row_axis, col_axis), P(row_axis)),
+        check_vma=False,
+    )(*args)

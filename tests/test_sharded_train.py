@@ -651,3 +651,109 @@ def test_hybrid_adagrad_csr_matches_single_chip(mesh):
     np.testing.assert_allclose(
         got_a, np.asarray(want_a), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.fixture(scope="module")
+def grid_mesh():
+    return Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), ("data", "model")
+    )
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_grid_lookup_matches_single_chip(grid_mesh, weighted):
+    """Grid-sharded (row x column) lookup == the plain lookup."""
+    from cuembed_tpu import embedding_lookup
+    from cuembed_tpu.parallel import grid_sharded_lookup
+
+    rng = np.random.default_rng(20)
+    V, W, B, H = 512, 64, 32, 4  # rows over model(4), cols over data(2)
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    w = (
+        jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+        if weighted else None
+    )
+    ts = jax.device_put(
+        table, NamedSharding(grid_mesh, P("model", "data"))
+    )
+    xs = jax.device_put(idx, NamedSharding(grid_mesh, P("model", None)))
+    ws = (
+        jax.device_put(w, NamedSharding(grid_mesh, P("model", None)))
+        if w is not None else None
+    )
+    got = grid_sharded_lookup(
+        ts, xs, ws, mesh=grid_mesh, row_axis="model", col_axis="data"
+    )
+    want = embedding_lookup(table, idx, w, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_grid_sgd_and_adagrad_match_single_chip(grid_mesh):
+    from cuembed_tpu.parallel import (
+        grid_sharded_rowwise_adagrad_sparse_update,
+        grid_sharded_sgd_sparse_update,
+    )
+
+    rng = np.random.default_rng(21)
+    V, W, B, H = 512, 64, 32, 4
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+
+    ts = jax.device_put(
+        table, NamedSharding(grid_mesh, P("model", "data"))
+    )
+    xs = jax.device_put(idx, NamedSharding(grid_mesh, P("model", None)))
+    gys = jax.device_put(gy, NamedSharding(grid_mesh, P("model", "data")))
+
+    want = sgd_sparse_update(table, idx, gy, lr=0.1)
+    got = grid_sharded_sgd_sparse_update(
+        ts, xs, gys, mesh=grid_mesh, lr=0.1,
+        row_axis="model", col_axis="data",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+    want_t, want_a = rowwise_adagrad_sparse_update(
+        table, rowwise_adagrad_init(V), idx, gy, lr=0.1
+    )
+    as_ = jax.device_put(
+        jnp.zeros((V,), jnp.float32), NamedSharding(grid_mesh, P("model"))
+    )
+    got_t, got_a = grid_sharded_rowwise_adagrad_sparse_update(
+        ts, as_, xs, gys, mesh=grid_mesh, lr=0.1,
+        row_axis="model", col_axis="data",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_t), np.asarray(want_t), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_a), np.asarray(want_a), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_grid_lookup_overflow_falls_back_exactly(grid_mesh):
+    from cuembed_tpu import embedding_lookup
+    from cuembed_tpu.parallel import grid_sharded_lookup
+
+    rng = np.random.default_rng(22)
+    V, W, B, H = 512, 32, 32, 4
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    # all ids owned by row shard 0 -> guaranteed bucket overflow
+    idx = jnp.asarray(rng.integers(0, V // 4, (B, H)).astype(np.int32))
+    ts = jax.device_put(
+        table, NamedSharding(grid_mesh, P("model", "data"))
+    )
+    xs = jax.device_put(idx, NamedSharding(grid_mesh, P("model", None)))
+    got = grid_sharded_lookup(
+        ts, xs, mesh=grid_mesh, capacity_factor=0.25,
+        row_axis="model", col_axis="data",
+    )
+    want = embedding_lookup(table, idx, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
