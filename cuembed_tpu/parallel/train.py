@@ -236,18 +236,9 @@ def sharded_sgd_sparse_update(
         bucket = _bucket(flat, valid, n, rows_per)
 
         def apply(c):
-            local_rows, grad_rows = _route_grad_rows(
-                flat, sids, gy, coeff, n, rows_per, c, axis, width, bucket
-            )
-            m = local_rows.shape[0]
-            rows_s, order = jax.lax.sort(
-                [local_rows, jnp.arange(m, dtype=jnp.int32)], num_keys=1
-            )
-            g = jnp.take(grad_rows, order, axis=0)
-            # Sorted scatter-add; sentinel rows drop out of range.
-            return table_l.at[rows_s].add(
-                (-lr * g).astype(table_l.dtype), mode="drop",
-                indices_are_sorted=True,
+            return _routed_sgd_apply(
+                table_l, flat, sids, gy, coeff, n, rows_per, c, axis,
+                width, bucket, lr,
             )
 
         if cap >= nnz_l:
@@ -380,20 +371,53 @@ def _hybrid_shapes(
     return hot, width, rows_per, nnz_l, cap
 
 
-def _compressed_adagrad_apply(table_l, accum_l, rows, uniq, nu, lr, eps):
+def _routed_sgd_apply(table_l, flat, sids, gy, coeff, n, rows_per, c,
+                      axis, width, bucket, lr):
+    """Route gradient rows to their owning row shard and scatter-add the
+    SGD step — shared by the row-sharded and grid-sharded updates (the
+    grid case passes its local width slice as ``width``)."""
+    local_rows, grad_rows = _route_grad_rows(
+        flat, sids, gy, coeff, n, rows_per, c, axis, width, bucket
+    )
+    m = local_rows.shape[0]
+    rows_s, order = jax.lax.sort(
+        [local_rows, jnp.arange(m, dtype=jnp.int32)], num_keys=1
+    )
+    g = jnp.take(grad_rows, order, axis=0)
+    # Sorted scatter-add; sentinel rows drop out of range.
+    return table_l.at[rows_s].add(
+        (-lr * g).astype(table_l.dtype), mode="drop",
+        indices_are_sorted=True,
+    )
+
+
+def _grid_cap(nnz_l, n_r, capacity_factor):
+    """Static per-destination slot count for the grid-sharded updates —
+    one formula for SGD and AdaGrad so the overflow threshold can never
+    drift between the paired paths."""
+    cap = int(nnz_l / n_r * capacity_factor) + 1
+    return max(min(-(-cap // 8) * 8, nnz_l), 8)
+
+
+def _compressed_adagrad_apply(table_l, accum_l, rows, uniq, nu, lr, eps,
+                              g2_fn=None):
     """Row-wise AdaGrad step on compressed (unique-row, summed-grad)
-    lanes — shared by the routed and hybrid-tail updates.
+    lanes — shared by the routed, hybrid-tail, and grid updates.
 
     ``rows``/``uniq`` from :func:`_compressed_local`; slots at or past
     ``nu`` are dropped via distinct out-of-range scatter targets so the
     index vector stays unique and ascending (the single-chip convention,
-    cuembed_tpu/train.py).
+    cuembed_tpu/train.py). ``g2_fn`` overrides the per-row ``mean(G^2)``
+    statistic — the grid update passes a column-axis psum so the stat
+    spans the full row while each chip holds only a width slice.
     """
     k = rows.shape[0]
     rid = jnp.arange(k, dtype=jnp.int32)
     valid = rid < nu
     safe = jnp.where(valid, uniq, 0)
-    g2 = jnp.mean(rows * rows, axis=1) * valid
+    if g2_fn is None:
+        g2_fn = lambda r: jnp.mean(r * r, axis=1)  # noqa: E731
+    g2 = g2_fn(rows) * valid
     new_acc_rows = jnp.take(accum_l, safe) + g2
     droppable = (~valid) | (uniq >= accum_l.shape[0])
     scat = jnp.where(droppable, accum_l.shape[0] + rid, uniq)
@@ -825,14 +849,16 @@ def grid_sharded_sgd_sparse_update(
     if weights is not None and mode != CombineMode.SUM:
         raise ValueError("weights are only supported with CombineMode.SUM")
     n_r = mesh.shape[row_axis]
+    n_c = mesh.shape[col_axis]
+    if table.shape[0] % n_r or table.shape[1] % n_c:
+        raise ValueError("pad table rows/cols to multiples of the axes")
     rows_per = table.shape[0] // n_r
-    w_local = table.shape[1] // mesh.shape[col_axis]
+    w_local = table.shape[1] // n_c
     batch, hotness = indices.shape
     if batch % n_r != 0:
         raise ValueError("batch must divide evenly across the row axis")
     nnz_l = (batch // n_r) * hotness
-    cap = int(nnz_l / n_r * capacity_factor) + 1
-    cap = max(min(-(-cap // 8) * 8, nnz_l), 8)
+    cap = _grid_cap(nnz_l, n_r, capacity_factor)
 
     in_specs = [P(row_axis, col_axis), P(row_axis, None),
                 P(row_axis, col_axis)]
@@ -849,18 +875,9 @@ def grid_sharded_sgd_sparse_update(
         bucket = _bucket(flat, valid, n_r, rows_per)
 
         def apply(c):
-            local_rows, grad_rows = _route_grad_rows(
-                flat, sids, gy, coeff, n_r, rows_per, c, row_axis,
-                w_local, bucket,
-            )
-            m = local_rows.shape[0]
-            rows_s, order = jax.lax.sort(
-                [local_rows, jnp.arange(m, dtype=jnp.int32)], num_keys=1
-            )
-            g = jnp.take(grad_rows, order, axis=0)
-            return table_l.at[rows_s].add(
-                (-lr * g).astype(table_l.dtype), mode="drop",
-                indices_are_sorted=True,
+            return _routed_sgd_apply(
+                table_l, flat, sids, gy, coeff, n_r, rows_per, c,
+                row_axis, w_local, bucket, lr,
             )
 
         if cap >= nnz_l:
@@ -907,17 +924,19 @@ def grid_sharded_rowwise_adagrad_sparse_update(
     if weights is not None and mode != CombineMode.SUM:
         raise ValueError("weights are only supported with CombineMode.SUM")
     n_r = mesh.shape[row_axis]
+    n_c = mesh.shape[col_axis]
+    if table.shape[0] % n_r or table.shape[1] % n_c:
+        raise ValueError("pad table rows/cols to multiples of the axes")
     rows_per = table.shape[0] // n_r
     if accum.shape[0] != table.shape[0]:
         raise ValueError("accum must be row-aligned with the table")
     full_width = table.shape[1]
-    w_local = full_width // mesh.shape[col_axis]
+    w_local = full_width // n_c
     batch, hotness = indices.shape
     if batch % n_r != 0:
         raise ValueError("batch must divide evenly across the row axis")
     nnz_l = (batch // n_r) * hotness
-    cap = min(max(-(-int(nnz_l / n_r * capacity_factor) // 8) * 8, 8),
-              nnz_l)
+    cap = _grid_cap(nnz_l, n_r, capacity_factor)
 
     in_specs = [
         P(row_axis, col_axis), P(row_axis), P(row_axis, None),
@@ -941,30 +960,15 @@ def grid_sharded_rowwise_adagrad_sparse_update(
                 w_local, bucket,
             )
             rows, uniq, nu = _compressed_local(local_rows, grad_rows)
-            k = rows.shape[0]
-            rid = jnp.arange(k, dtype=jnp.int32)
-            valid_r = rid < nu
-            safe = jnp.where(valid_r, uniq, 0)
-            # full-row statistic: psum the slice's squared sums
-            g2 = (
-                jax.lax.psum(jnp.sum(rows * rows, axis=1), col_axis)
-                / full_width
-            ) * valid_r
-            new_acc_rows = jnp.take(accum_l, safe) + g2
-            droppable = (~valid_r) | (uniq >= accum_l.shape[0])
-            scat = jnp.where(droppable, accum_l.shape[0] + rid, uniq)
-            new_accum = accum_l.at[scat].set(
-                new_acc_rows, mode="drop", indices_are_sorted=True,
-                unique_indices=True,
+            # Full-row statistic: psum the slice's squared sums over the
+            # column axis (slot order is deterministic given replicated
+            # indices, so slots align across column groups).
+            return _compressed_adagrad_apply(
+                table_l, accum_l, rows, uniq, nu, lr, eps,
+                g2_fn=lambda r: jax.lax.psum(
+                    jnp.sum(r * r, axis=1), col_axis
+                ) / full_width,
             )
-            scale = jnp.where(
-                valid_r, -lr / jnp.sqrt(new_acc_rows + eps), 0.0
-            )
-            new_table = table_l.at[scat].add(
-                (rows * scale[:, None]).astype(table_l.dtype),
-                mode="drop", indices_are_sorted=True, unique_indices=True,
-            )
-            return new_table, new_accum
 
         if cap >= nnz_l:
             return apply(nnz_l)

@@ -448,7 +448,10 @@ def adam_sparse_update(
     g = rows * valid[:, None]
     m_rows = b1 * jnp.take(m, safe, axis=0) + (1.0 - b1) * g
     v_rows = b2 * jnp.take(v, safe, axis=0) + (1.0 - b2) * g * g
-    t_f = jnp.asarray(step, jnp.float32)
+    # Bias correction needs t >= 1; a 0-based step counter would give
+    # bc1 = bc2 = 0 and scatter NaN into every touched row. Clamp so a
+    # first-call step=0 behaves as step=1 instead of corrupting the table.
+    t_f = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
     bc1 = 1.0 - jnp.power(b1, t_f)
     bc2 = 1.0 - jnp.power(b2, t_f)
     upd = lr * (m_rows / bc1) / (jnp.sqrt(v_rows / bc2) + eps)

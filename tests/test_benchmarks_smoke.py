@@ -75,9 +75,6 @@ def test_train_benchmark_chained(capsys):
     assert "sparse" in out.out and "adagrad" in out.out
 
 
-@pytest.mark.skipif(
-    os.environ.get("CI") is None and False, reason="always runs"
-)
 def test_sweep_summary_generator(tmp_path, capsys):
     csv = tmp_path / "r.csv"
     csv.write_text(

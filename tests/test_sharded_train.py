@@ -757,3 +757,27 @@ def test_grid_lookup_overflow_falls_back_exactly(grid_mesh):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+def test_grid_updates_validate_table_divisibility(grid_mesh):
+    """Non-divisible tables raise the library's actionable error up
+    front instead of an opaque shard_map trace (parity with
+    grid_sharded_lookup)."""
+    from cuembed_tpu.parallel import (
+        grid_sharded_rowwise_adagrad_sparse_update,
+        grid_sharded_sgd_sparse_update,
+    )
+
+    table = jnp.zeros((510, 64), jnp.float32)  # 510 % 4 != 0
+    idx = jnp.zeros((32, 4), jnp.int32)
+    gy = jnp.zeros((32, 64), jnp.float32)
+    with pytest.raises(ValueError, match="pad table"):
+        grid_sharded_sgd_sparse_update(
+            table, idx, gy, mesh=grid_mesh, lr=0.1,
+            row_axis="model", col_axis="data",
+        )
+    with pytest.raises(ValueError, match="pad table"):
+        grid_sharded_rowwise_adagrad_sparse_update(
+            table, jnp.zeros((510,), jnp.float32), idx, gy,
+            mesh=grid_mesh, lr=0.1, row_axis="model", col_axis="data",
+        )

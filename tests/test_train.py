@@ -329,3 +329,29 @@ def test_adam_sparse_csr_and_untouched_rows():
         np.asarray(jt)[V // 2:], table[V // 2:]
     )
     np.testing.assert_array_equal(np.asarray(jm)[V // 2:], 0.0)
+
+
+def test_adam_sparse_step_zero_is_clamped_not_nan():
+    # A 0-based step counter's first call must behave as step=1, not
+    # divide bias correction by zero and scatter NaN into the table.
+    from cuembed_tpu.train import adam_init, adam_sparse_update
+
+    rng = np.random.default_rng(42)
+    V, W, B, H = 64, 16, 8, 4
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    idx = rng.integers(0, V, (B, H)).astype(np.int32)
+    gy = rng.standard_normal((B, W)).astype(np.float32)
+    jm, jv = adam_init(V, W)
+    t0, m0, v0 = adam_sparse_update(
+        jnp.asarray(table), jm, jv, jnp.int32(0), jnp.asarray(idx),
+        jnp.asarray(gy), lr=0.05,
+    )
+    jm, jv = adam_init(V, W)
+    t1, m1, v1 = adam_sparse_update(
+        jnp.asarray(table), jm, jv, jnp.int32(1), jnp.asarray(idx),
+        jnp.asarray(gy), lr=0.05,
+    )
+    assert np.isfinite(np.asarray(t0)).all()
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
