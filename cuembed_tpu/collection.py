@@ -184,6 +184,8 @@ class EmbeddingCollection:
         counts: Optional[Dict[str, np.ndarray]] = None,
         cost=None,
         column_ok: bool = False,
+        grid_ok: bool = False,
+        col_shards: int = 1,
         hot_bytes_total: int = DEFAULT_HOT_BYTES,
     ):
         """Place this collection over ``n_shards`` devices.
@@ -210,6 +212,8 @@ class EmbeddingCollection:
             head_hit_rate=hits,
             hot_bytes_total=hot_bytes_total,
             column_ok=column_ok,
+            grid_ok=grid_ok,
+            col_shards=col_shards,
         )
 
     # -- forward -------------------------------------------------------------

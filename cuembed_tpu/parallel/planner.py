@@ -20,6 +20,11 @@ the measured cost model (``docs/PERF_NOTES.md``), choose per table among
   caller supplies a measured hit rate — the planner never guesses skew.
 * ``column_sharded`` — very wide tables: the width axis is sliced
   ``P(None, model)`` so a single row never exceeds one chip's tile.
+* ``grid_sharded``   — huge AND wide tables (torchrec's "grid"): rows
+  over the routing axis x columns over the data axis
+  (:func:`~cuembed_tpu.parallel.grid_sharded_lookup`), cutting both the
+  per-device footprint and the routed row payload by the column count.
+  Opt-in like column sharding (requires a 2D mesh).
 
 :func:`plan` is pure host logic — deterministic and unit-testable with
 no devices. :func:`apply_plan` performs the ``device_put`` ceremony.
@@ -42,6 +47,7 @@ from cuembed_tpu.ops.api import embedding_lookup, embedding_lookup_csr
 from cuembed_tpu.ops.tiered import DEFAULT_HOT_BYTES
 from cuembed_tpu.parallel.alltoall_lookup import (
     alltoall_row_sharded_lookup,
+    grid_sharded_lookup,
     hybrid_tiered_lookup,
     split_hybrid_table,
 )
@@ -54,6 +60,8 @@ from cuembed_tpu.parallel.sharding import (
 from cuembed_tpu.parallel.train import (
     column_sharded_rowwise_adagrad_sparse_update,
     column_sharded_sgd_sparse_update,
+    grid_sharded_rowwise_adagrad_sparse_update,
+    grid_sharded_sgd_sparse_update,
     sharded_hybrid_rowwise_adagrad_sparse_update,
     sharded_hybrid_sgd_sparse_update,
     sharded_rowwise_adagrad_sparse_update,
@@ -76,6 +84,7 @@ REPLICATED = "replicated"
 ROW_SHARDED = "row_sharded"
 HYBRID = "hybrid"
 COLUMN_SHARDED = "column_sharded"
+GRID_SHARDED = "grid_sharded"
 
 
 class PlanError(ValueError):
@@ -114,6 +123,11 @@ class CostModel:
     grad_elem_bytes: int = 4
     #: all-to-all capacity headroom over the balanced share.
     capacity_factor: float = 2.0
+    #: row-sharded per-device footprint above which a grid-eligible
+    #: table (wide enough for full lane tiles per column slice) also
+    #: shards its width axis. Below this, plain row sharding serves the
+    #: table without grid's per-step output all-gather.
+    grid_bytes_min: int = 256 * 2**20
 
 
 @dataclass(frozen=True)
@@ -140,6 +154,9 @@ class Plan:
     bytes_per_device: int
     budget_bytes: int
     cost: CostModel = field(default_factory=CostModel)
+    #: devices along the column (data) axis for grid placements; 1 when
+    #: no grid table exists.
+    col_shards: int = 1
 
     def summary(self) -> str:
         lines = [
@@ -175,6 +192,8 @@ def plan(
     head_hit_rate: Optional[Dict[str, float]] = None,
     hot_bytes_total: int = DEFAULT_HOT_BYTES,
     column_ok: bool = False,
+    grid_ok: bool = False,
+    col_shards: int = 1,
 ) -> Plan:
     """Place every table; raise :class:`PlanError` if over budget.
 
@@ -193,8 +212,19 @@ def plan(
         hybrid tables by ``traffic_share``.
       column_ok: allow ``column_sharded`` placements (requires the
         caller to run lookups with a 2D (data, model) mesh).
+      grid_ok: allow ``grid_sharded`` placements — rows over the model
+        axis x columns over ``col_shards`` devices of the data axis.
+        Chosen when a table's row-sharded per-device footprint exceeds
+        ``cost.grid_bytes_min`` and its width splits into full lane
+        tiles; requires a 2D mesh whose data axis has ``col_shards``
+        devices. Fixed-hotness only (place CSR-trained tables
+        row-sharded).
+      col_shards: data-axis device count grid placements divide the
+        width over (ignored unless ``grid_ok``).
     """
     cost = cost or CostModel()
+    if grid_ok and col_shards < 2:
+        raise PlanError("grid_ok requires col_shards >= 2")
     hits = head_hit_rate or {}
     if n_shards < 1:
         raise PlanError("n_shards must be >= 1")
@@ -253,6 +283,29 @@ def plan(
             )
             continue
 
+        if (
+            grid_ok
+            and col_shards > 1
+            and -(-total // n_shards) > cost.grid_bytes_min
+            and c.width % col_shards == 0
+            and c.width >= cost.column_min_slice_lanes * col_shards
+        ):
+            w_slice = c.width // col_shards
+            # ids route once per column group; row/grad payloads carry
+            # only the local width slice; gather_output all-gathers the
+            # [batch/n_r, W] rows over the column axis.
+            grid_comm = routed * (
+                4 + w_slice * elem + 4 + w_slice * cost.grad_elem_bytes
+            ) + int(
+                (batch // n_shards) * c.width * elem
+                * (col_shards - 1) / col_shards
+            )
+            tables[c.name] = TablePlan(
+                c.name, GRID_SHARDED,
+                -(-total // (n_shards * col_shards)), grid_comm,
+            )
+            continue
+
         hit = hits.get(c.name, 0.0)
         if c.name in hybrid_names:
             budget = int(
@@ -304,7 +357,12 @@ def plan(
             "(cuembed_tpu.offload.HostOffloadTable) / int8-quantized "
             "(cuembed_tpu.ops.quant)"
         )
-    return Plan(tables, n_shards, per_dev, budget, cost)
+    used_cols = (
+        col_shards
+        if any(tp.placement == GRID_SHARDED for tp in tables.values())
+        else 1
+    )
+    return Plan(tables, n_shards, per_dev, budget, cost, used_cols)
 
 
 # --------------------------------------------------------------------------
@@ -318,6 +376,7 @@ def apply_plan(
     mesh: Mesh,
     *,
     axis: str = MODEL_AXIS,
+    col_axis: str = DATA_AXIS,
 ) -> Dict[str, Any]:
     """Place every table per its plan; hybrid becomes a (head, tail) pair.
 
@@ -331,6 +390,11 @@ def apply_plan(
         raise PlanError(
             f"plan was built for {p.n_shards} shards, mesh axis "
             f"'{axis}' has {n}"
+        )
+    if p.col_shards > 1 and mesh.shape.get(col_axis) != p.col_shards:
+        raise PlanError(
+            f"plan's grid placements want {p.col_shards} column shards, "
+            f"mesh axis '{col_axis}' has {mesh.shape.get(col_axis)}"
         )
     placed: Dict[str, Any] = {}
     for name, t in tables.items():
@@ -347,6 +411,16 @@ def apply_plan(
             placed[name] = (
                 jax.device_put(head, NamedSharding(mesh, P())),
                 jax.device_put(tail, NamedSharding(mesh, P(axis, None))),
+            )
+        elif tp.placement == GRID_SHARDED:
+            if t.shape[1] % p.col_shards != 0:
+                raise PlanError(
+                    f"{name}: width {t.shape[1]} must divide the column "
+                    f"count {p.col_shards} for grid sharding"
+                )
+            placed[name] = jax.device_put(
+                pad_table_for_shards(t, n),
+                NamedSharding(mesh, P(axis, col_axis)),
             )
         else:  # COLUMN_SHARDED
             if t.shape[1] % n != 0:
@@ -430,6 +504,17 @@ def planned_lookup(
                 capacity_factor=p.cost.capacity_factor,
                 cold_frac=max(1.0 - tp.head_hit_rate, 1e-3),
                 axis=axis, compress=compress,
+            )
+        elif tp.placement == GRID_SHARDED:
+            if off is not None:
+                raise NotImplementedError(
+                    "grid-sharded tables are fixed-hotness (place "
+                    "CSR-trained tables row_sharded)"
+                )
+            out[name] = grid_sharded_lookup(
+                placed[name], idx, w, mesh=mesh, mode=mode,
+                capacity_factor=p.cost.capacity_factor,
+                row_axis=axis, col_axis=data_axis,
             )
         else:  # COLUMN_SHARDED
             out[name] = column_sharded_lookup(
@@ -601,6 +686,17 @@ def planned_sgd_update(
                 cold_frac=max(1.0 - tp.head_hit_rate, 1e-3),
                 axis=axis,
             )
+        elif tp.placement == GRID_SHARDED:
+            if off is not None:
+                raise NotImplementedError(
+                    "grid-sharded sparse updates are fixed-hotness; "
+                    "place CSR-trained tables row_sharded"
+                )
+            new[name] = grid_sharded_sgd_sparse_update(
+                placed[name], idx, gy, mesh=mesh, lr=lr, weights=w,
+                mode=mode, capacity_factor=p.cost.capacity_factor,
+                row_axis=axis, col_axis=data_axis,
+            )
         else:  # COLUMN_SHARDED
             if off is not None:
                 raise NotImplementedError(
@@ -623,7 +719,9 @@ def planned_adagrad_init(
     for name, tp in p.tables.items():
         if name not in placed:
             continue
-        if tp.placement == ROW_SHARDED:
+        if tp.placement in (ROW_SHARDED, GRID_SHARDED):
+            # Grid: row-aligned, replicated over the column axis (the
+            # psum'd full-row statistic keeps column replicas identical).
             rows = placed[name].shape[0]
             out[name] = jax.device_put(
                 jnp.zeros((rows,), jnp.float32),
@@ -701,6 +799,20 @@ def planned_adagrad_update(
             )
             new_t[name] = (nh, nt)
             new_a[name] = (nha, nta)
+        elif tp.placement == GRID_SHARDED:
+            if off is not None:
+                raise NotImplementedError(
+                    "grid-sharded sparse updates are fixed-hotness; "
+                    "place CSR-trained tables row_sharded"
+                )
+            new_t[name], new_a[name] = (
+                grid_sharded_rowwise_adagrad_sparse_update(
+                    placed[name], accums[name], idx, gy, mesh=mesh,
+                    lr=lr, eps=eps, weights=w, mode=mode,
+                    capacity_factor=p.cost.capacity_factor,
+                    row_axis=axis, col_axis=data_axis,
+                )
+            )
         else:  # COLUMN_SHARDED
             if off is not None:
                 raise NotImplementedError(

@@ -440,3 +440,128 @@ def test_head_hit_rates_requires_evidence():
     )
     hits = coll.head_hit_rates(counts, hot_bytes_total=2 * 2**20)
     assert 0.0 < hits["uniform"] < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Grid placement
+# ---------------------------------------------------------------------------
+
+GRID_COST = CostModel(
+    hbm_bytes=1 << 30,
+    replicate_bytes_max=64 * 1024,
+    grid_bytes_min=1 << 20,  # grid above 1 MB/device row-sharded
+)
+
+
+def test_plan_grid_needs_opt_in_and_eligibility():
+    big_wide = TableConfig("bw", 100_000, 256, hotness=4)
+    p = plan([big_wide], 4, batch=1024, cost=GRID_COST)
+    assert p.tables["bw"].placement == "row_sharded"
+    p = plan(
+        [big_wide], 4, batch=1024, cost=GRID_COST,
+        grid_ok=True, col_shards=2,
+    )
+    assert p.tables["bw"].placement == "grid_sharded"
+    assert p.col_shards == 2
+    # per-device bytes shrink by the column count vs row sharding
+    row_p = plan([big_wide], 4, batch=1024, cost=GRID_COST)
+    assert (
+        p.tables["bw"].bytes_per_device
+        == -(-row_p.tables["bw"].bytes_per_device // 2)
+    )
+    # narrow table: a 128-wide row can't split into full lane tiles
+    narrow = TableConfig("n", 100_000, 128, hotness=4)
+    p = plan(
+        [narrow], 4, batch=1024, cost=GRID_COST,
+        grid_ok=True, col_shards=2,
+    )
+    assert p.tables["n"].placement == "row_sharded"
+    with pytest.raises(PlanError, match="col_shards"):
+        plan([big_wide], 4, batch=1024, cost=GRID_COST, grid_ok=True)
+
+
+def test_apply_plan_grid_mesh_mismatch_raises(mesh):
+    cfg = TableConfig("bw", 4096, 512, hotness=4)
+    p = plan(
+        [cfg], 4, batch=1024, cost=GRID_COST, grid_ok=True, col_shards=4,
+    )
+    assert p.tables["bw"].placement == "grid_sharded"
+    t = {"bw": jnp.zeros((4096, 512), jnp.float32)}
+    with pytest.raises(PlanError, match="column shards"):
+        apply_plan(p, t, mesh)  # mesh data axis has 2, plan wants 4
+
+
+def test_planned_grid_lookup_and_updates_match_single_chip(mesh):
+    rng = np.random.default_rng(7)
+    V, W, B, H = 512, 256, 64, 4
+    cfg = TableConfig("bw", V, W, hotness=H)
+    small_grid_cost = CostModel(
+        hbm_bytes=1 << 30,
+        replicate_bytes_max=64 * 1024,
+        grid_bytes_min=1 << 16,  # tiny test table must still go grid
+    )
+    p = plan(
+        [cfg], 4, batch=8192, cost=small_grid_cost,
+        grid_ok=True, col_shards=2,
+    )
+    assert p.tables["bw"].placement == "grid_sharded"
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (B, H)).astype(np.int32))
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    placed = apply_plan(p, {"bw": table}, mesh)
+
+    got = planned_lookup(p, placed, {"bw": idx}, mesh=mesh)["bw"]
+    want = embedding_lookup(table, idx, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+    new = planned_sgd_update(
+        p, placed, {"bw": idx}, {"bw": gy}, mesh=mesh, lr=0.1,
+    )["bw"]
+    want_t = sgd_sparse_update(table, idx, gy, lr=0.1)
+    np.testing.assert_allclose(
+        np.asarray(new)[:V], np.asarray(want_t), rtol=1e-5, atol=1e-5
+    )
+
+    accums = planned_adagrad_init(p, placed, mesh)
+    new_t, new_a = planned_adagrad_update(
+        p, placed, accums, {"bw": idx}, {"bw": gy}, mesh=mesh, lr=0.1,
+    )
+    want_t2, want_a = rowwise_adagrad_sparse_update(
+        table, jnp.zeros((V,), jnp.float32), idx, gy, lr=0.1
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_t["bw"])[:V], np.asarray(want_t2),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_a["bw"])[:V], np.asarray(want_a),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_planned_grid_refuses_csr():
+    cfg = TableConfig("bw", 4096, 512, hotness=4)
+    p = plan(
+        [cfg], 4, batch=1024, cost=GRID_COST, grid_ok=True, col_shards=2,
+    )
+    m = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("model", "data"))
+    t = {"bw": jax.device_put(
+        jnp.zeros((4096, 512), jnp.float32),
+        jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec("model", "data")
+        ),
+    )}
+    off = jnp.zeros((4, 17), jnp.int32)
+    idx = jnp.zeros((64, 4), jnp.int32)
+    gy = jnp.zeros((64, 512), jnp.float32)
+    with pytest.raises(NotImplementedError, match="grid"):
+        planned_lookup(
+            p, t, {"bw": idx}, offsets={"bw": off}, mesh=m,
+        )
+    with pytest.raises(NotImplementedError, match="grid"):
+        planned_sgd_update(
+            p, t, {"bw": idx}, {"bw": gy}, offsets={"bw": off},
+            mesh=m, lr=0.1,
+        )
