@@ -20,6 +20,8 @@ def _run(script, argv, capsys):
     sys.argv = [script] + argv
     try:
         runpy.run_path(os.path.join(ROOT, script), run_name="__main__")
+    except SystemExit as e:  # a clean CLI exit is not a failure
+        assert not e.code, f"{script} exited {e.code}"
     finally:
         sys.argv = old
     return capsys.readouterr()
