@@ -91,3 +91,32 @@ def test_sweep_summary_generator(tmp_path, capsys):
         "benchmarks/gen_sweep_summary.py", [str(csv)], capsys
     )
     assert "1M" in out.out  # fmt_cats renders 1000000 as 1M
+
+
+def test_sweep_runner_quick_and_resume(tmp_path, capsys):
+    """The chip-window workhorse must not break between windows: the
+    --quick subset runs end-to-end on CPU and --resume skips completed
+    configs instead of re-measuring them."""
+    out = str(tmp_path / "sweep.csv")
+    _run(
+        "benchmarks/sweep_runner.py",
+        ["--quick", "--no-gate", "--iters", "1", "--out", out],
+        capsys,
+    )
+    rows = open(out).read().strip().splitlines()
+    assert rows[0].startswith("num_categories,")
+    n_rows = len(rows)
+    assert n_rows > 1
+    # resume: nothing left to do, the CSV must not grow
+    second = _run(
+        "benchmarks/sweep_runner.py",
+        ["--quick", "--no-gate", "--iters", "1", "--out", out,
+         "--resume"],
+        capsys,
+    )
+    assert len(open(out).read().strip().splitlines()) == n_rows, second.out
+
+
+def test_profile_train_quick(capsys):
+    out = _run("benchmarks/profile_train.py", ["--quick"], capsys)
+    assert "sgd" in out.out.lower()
