@@ -28,6 +28,9 @@ from cuembed_tpu.fused import (
     fused_adagrad_update,
     fused_lookup,
     fused_sgd_update,
+    fused_sharded_adagrad_update,
+    fused_sharded_lookup,
+    fused_sharded_sgd_update,
     unfuse_table,
 )
 from cuembed_tpu.train import (
@@ -67,6 +70,9 @@ __all__ = [
     "fused_lookup",
     "fused_sgd_update",
     "fused_adagrad_update",
+    "fused_sharded_lookup",
+    "fused_sharded_sgd_update",
+    "fused_sharded_adagrad_update",
     "unfuse_table",
     "sgd_sparse_update",
     "rowwise_adagrad_init",

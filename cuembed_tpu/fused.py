@@ -266,3 +266,123 @@ def fused_adagrad_update(
         mode=CombineMode.SUM if big_w is not None else mode,
         tiered_cfg=tiered_cfg,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip mirrors: the fused group on a row-sharded fused table
+# ---------------------------------------------------------------------------
+
+
+def fused_sharded_lookup(
+    fused: jax.Array,
+    spec: FusedSpec,
+    indices: Dict[str, jax.Array],
+    weights: Optional[Dict[str, jax.Array]] = None,
+    *,
+    mesh,
+    mode: CombineMode = CombineMode.SUM,
+    remap: Optional[jax.Array] = None,
+    capacity_factor: float = 2.0,
+    axis: str = "model",
+    compress: str = "none",
+) -> Dict[str, jax.Array]:
+    """Routed pooled lookup of the whole group — ONE all-to-all.
+
+    The multi-chip mirror of :func:`fused_lookup`: ``fused`` lives
+    row-sharded ``P(axis, None)`` (pad rows with
+    :func:`cuembed_tpu.parallel.pad_table_for_shards`), the stacked
+    ``[batch*T, H_max]`` group batch rides one
+    :func:`~cuembed_tpu.parallel.alltoall_row_sharded_lookup` — T
+    routed dispatches become one. ``batch * T`` must divide the axis
+    size.
+    """
+    if mode == CombineMode.CONCAT:
+        raise ValueError("fusion pools per (sample, table); CONCAT keeps "
+                         "per-row outputs — look those tables up unfused")
+    from cuembed_tpu.parallel.alltoall_lookup import (
+        alltoall_row_sharded_lookup,
+    )
+
+    big_idx, big_w, batch, T = _fused_batch(spec, indices, weights, mode)
+    if remap is not None:
+        big_idx = jnp.asarray(remap)[big_idx]
+    out = alltoall_row_sharded_lookup(
+        fused, big_idx, big_w, None, mesh=mesh,
+        mode=CombineMode.SUM if big_w is not None else mode,
+        capacity_factor=capacity_factor, axis=axis, compress=compress,
+    )
+    out = out.reshape(batch, T, spec.width)
+    return {n: out[:, t] for t, n in enumerate(spec.names)}
+
+
+def _fused_grad_batch(spec, indices, grads_y, weights, mode, remap):
+    big_idx, big_w, batch, T = _fused_batch(spec, indices, weights, mode)
+    if remap is not None:
+        big_idx = jnp.asarray(remap)[big_idx]
+    big_gy = jnp.stack(
+        [grads_y[n] for n in spec.names], axis=1
+    ).reshape(batch * T, spec.width)
+    return big_idx, big_w, big_gy
+
+
+def fused_sharded_sgd_update(
+    fused: jax.Array,
+    spec: FusedSpec,
+    indices: Dict[str, jax.Array],
+    grads_y: Dict[str, jax.Array],
+    *,
+    mesh,
+    lr: float,
+    weights: Optional[Dict[str, jax.Array]] = None,
+    mode: CombineMode = CombineMode.SUM,
+    remap: Optional[jax.Array] = None,
+    capacity_factor: float = 2.0,
+    axis: str = "model",
+) -> jax.Array:
+    """Sparse SGD for the whole group — ONE routed scatter update."""
+    from cuembed_tpu.parallel.train import sharded_sgd_sparse_update
+
+    big_idx, big_w, big_gy = _fused_grad_batch(
+        spec, indices, grads_y, weights, mode, remap
+    )
+    return sharded_sgd_sparse_update(
+        fused, big_idx, big_gy, mesh=mesh, lr=lr, weights=big_w,
+        mode=CombineMode.SUM if big_w is not None else mode,
+        capacity_factor=capacity_factor, axis=axis,
+    )
+
+
+def fused_sharded_adagrad_update(
+    fused: jax.Array,
+    accum: jax.Array,
+    spec: FusedSpec,
+    indices: Dict[str, jax.Array],
+    grads_y: Dict[str, jax.Array],
+    *,
+    mesh,
+    lr: float,
+    eps: float = 1e-8,
+    weights: Optional[Dict[str, jax.Array]] = None,
+    mode: CombineMode = CombineMode.SUM,
+    remap: Optional[jax.Array] = None,
+    capacity_factor: float = 2.0,
+    axis: str = "model",
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-wise AdaGrad for the whole group — ONE routed state update.
+
+    ``accum`` is row-aligned with the (padded) fused table, co-sharded
+    ``P(axis)``.
+    """
+    from cuembed_tpu.parallel.train import (
+        sharded_rowwise_adagrad_sparse_update,
+    )
+
+    big_idx, big_w, big_gy = _fused_grad_batch(
+        spec, indices, grads_y, weights, mode, remap
+    )
+    return sharded_rowwise_adagrad_sparse_update(
+        fused, accum, big_idx, big_gy, mesh=mesh, lr=lr, eps=eps,
+        weights=big_w,
+        mode=CombineMode.SUM if big_w is not None else mode,
+        capacity_factor=capacity_factor, axis=axis,
+    )

@@ -242,3 +242,80 @@ def test_dlrm_fused_matches_unfused():
     assert not np.array_equal(
         np.asarray(p1b["tables"]), np.asarray(p1["tables"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded fused group (multi-chip mirror)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+def test_fused_sharded_matches_per_table(mode):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from cuembed_tpu import (
+        fused_sharded_adagrad_update,
+        fused_sharded_lookup,
+        fused_sharded_sgd_update,
+    )
+    from cuembed_tpu.parallel import pad_table_for_shards
+
+    rng = np.random.default_rng(9)
+    # batch * T = 32 * 4 = 128, divisible by the 4-way model axis
+    names, tables, hot, idx = _group(
+        rng, [64, 128, 32, 96], [4, 2, 4, 3]
+    )
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), ("data", "model")
+    )
+    fused, spec = fuse_tables(tables, hot)
+    padded = pad_table_for_shards(fused, 4)
+    fs = jax.device_put(padded, NamedSharding(mesh, P("model", None)))
+
+    got = fused_sharded_lookup(fs, spec, idx, mesh=mesh, mode=mode)
+    for n in names:
+        want = embedding_lookup(
+            tables[n], idx[n], mode=mode, backend="xla"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[n]), np.asarray(want),
+            rtol=1e-5, atol=1e-5, err_msg=n,
+        )
+
+    gys = {
+        n: jnp.asarray(
+            rng.standard_normal((32, spec.width)).astype(np.float32)
+        )
+        for n in names
+    }
+    new = fused_sharded_sgd_update(
+        fs, spec, idx, gys, mesh=mesh, lr=0.1, mode=mode
+    )
+    want_new = fused_sgd_update(fused, spec, idx, gys, lr=0.1, mode=mode)
+    np.testing.assert_allclose(
+        np.asarray(new)[: spec.total_rows], np.asarray(want_new),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    accum = jax.device_put(
+        jnp.zeros((padded.shape[0],), jnp.float32),
+        NamedSharding(mesh, P("model")),
+    )
+    nt, na = fused_sharded_adagrad_update(
+        fs, accum, spec, idx, gys, mesh=mesh, lr=0.1, mode=mode
+    )
+    want_t, want_a = fused_adagrad_update(
+        fused, jnp.zeros((spec.total_rows,), jnp.float32), spec, idx,
+        gys, lr=0.1, mode=mode,
+    )
+    np.testing.assert_allclose(
+        np.asarray(nt)[: spec.total_rows], np.asarray(want_t),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(na)[: spec.total_rows], np.asarray(want_a),
+        rtol=1e-4, atol=1e-5,
+    )
