@@ -10,5 +10,6 @@ model for the benchmark entrypoint and the multi-chip dry run.
 
 from cuembed_tpu.models.embedding_bag import EmbeddingBag
 from cuembed_tpu.models.dlrm import DLRM, DLRMConfig
+from cuembed_tpu.models.qr_embedding import QREmbeddingBag
 
-__all__ = ["EmbeddingBag", "DLRM", "DLRMConfig"]
+__all__ = ["EmbeddingBag", "DLRM", "DLRMConfig", "QREmbeddingBag"]
