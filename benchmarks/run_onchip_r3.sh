@@ -11,6 +11,7 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 
 FAST="${1:-}"
+export CUEMBED_SKIP_PROBE=1  # stage 1 already proves the tunnel
 log() { printf '\n=== [%s] %s ===\n' "$(date +%H:%M:%S)" "$*"; }
 
 log "stage 1: on-chip test lane (pytest -m tpu)"
@@ -27,28 +28,28 @@ if [ "$FAST" != "fast" ]; then
 fi
 
 log "stage 4: headline bench (best backend)"
-python bench.py | tee /tmp/bench_r3_best.json
+python bench.py | tee /tmp/bench_r3_best.json || exit 1
 
 log "stage 4b: headline bench (tiered-int8 serving mode)"
-python bench.py --backend tiered-int8 | tee /tmp/bench_r3_int8.json
+python bench.py --backend tiered-int8 | tee /tmp/bench_r3_int8.json || exit 1
 
 log "stage 4b2: headline bench (whole-table int8 serving mode)"
-python bench.py --backend int8-full | tee /tmp/bench_r3_int8full.json
+python bench.py --backend int8-full | tee /tmp/bench_r3_int8full.json || exit 1
 
 log "stage 4c: CSR flagship point"
-python bench.py --csr | tee /tmp/bench_r3_csr.json
+python bench.py --csr | tee /tmp/bench_r3_csr.json || exit 1
 
 log "stage 5: train-step profile (SGD/AdaGrad device vs wall)"
-python benchmarks/profile_train.py
+python benchmarks/profile_train.py || exit 1
 
 log "stage 6: train benchmark, chained (production dispatch regime)"
-python benchmarks/train_benchmark.py --chained
+python benchmarks/train_benchmark.py --chained || exit 1
 
 log "stage 6b: fused multi-table group vs per-table dispatches"
-python benchmarks/fused_benchmark.py
+python benchmarks/fused_benchmark.py || exit 1
 
 log "stage 6c: offloaded-table step vs resident (host prepare pipelined)"
-python benchmarks/offload_benchmark.py
+python benchmarks/offload_benchmark.py || exit 1
 
 if [ "$FAST" != "fast" ] && [ -f benchmarks/results_v5e_r3.csv ]; then
   log "stage 7: regenerate the summary table from the fresh CSV"

@@ -227,12 +227,9 @@ def fused_sgd_update(
     tiered_cfg: Optional[TieredConfig] = None,
 ) -> jax.Array:
     """Sparse SGD for the whole group — ONE sorted-scatter update."""
-    big_idx, big_w, batch, T = _fused_batch(spec, indices, weights, mode)
-    if remap is not None:
-        big_idx = jnp.asarray(remap)[big_idx]
-    big_gy = jnp.stack(
-        [grads_y[n] for n in spec.names], axis=1
-    ).reshape(batch * T, spec.width)
+    big_idx, big_w, big_gy = _fused_grad_batch(
+        spec, indices, grads_y, weights, mode, remap
+    )
     return sgd_sparse_update(
         fused, big_idx, big_gy, lr=lr, weights=big_w,
         mode=CombineMode.SUM if big_w is not None else mode,
@@ -254,13 +251,10 @@ def fused_adagrad_update(
     remap: Optional[jax.Array] = None,
     tiered_cfg: Optional[TieredConfig] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Row-wise AdaGrad for the whole group — ONE routed state update."""
-    big_idx, big_w, batch, T = _fused_batch(spec, indices, weights, mode)
-    if remap is not None:
-        big_idx = jnp.asarray(remap)[big_idx]
-    big_gy = jnp.stack(
-        [grads_y[n] for n in spec.names], axis=1
-    ).reshape(batch * T, spec.width)
+    """Row-wise AdaGrad for the whole group — ONE state update."""
+    big_idx, big_w, big_gy = _fused_grad_batch(
+        spec, indices, grads_y, weights, mode, remap
+    )
     return rowwise_adagrad_sparse_update(
         fused, accum, big_idx, big_gy, lr=lr, eps=eps, weights=big_w,
         mode=CombineMode.SUM if big_w is not None else mode,
@@ -293,8 +287,8 @@ def fused_sharded_lookup(
     :func:`cuembed_tpu.parallel.pad_table_for_shards`), the stacked
     ``[batch*T, H_max]`` group batch rides one
     :func:`~cuembed_tpu.parallel.alltoall_row_sharded_lookup` — T
-    routed dispatches become one. ``batch * T`` must divide the axis
-    size.
+    routed dispatches become one. The axis size must divide
+    ``batch * T``.
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("fusion pools per (sample, table); CONCAT keeps "

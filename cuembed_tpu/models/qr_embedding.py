@@ -51,6 +51,13 @@ class QREmbeddingBag:
     def __post_init__(self):
         if self.num_buckets < 1:
             raise ValueError("num_buckets must be >= 1")
+        if self.num_buckets > self.num_categories:
+            raise ValueError(
+                f"num_buckets ({self.num_buckets}) > num_categories "
+                f"({self.num_categories}): the remainder table alone "
+                "would outgrow the exact table QR exists to compress — "
+                "pick Q ~ sqrt(num_categories)"
+            )
         if self.operation not in ("add", "mult"):
             raise ValueError("operation must be 'add' or 'mult'")
         if self.mode == CombineMode.CONCAT:

@@ -496,6 +496,7 @@ def grid_sharded_lookup(
     row_axis: str = MODEL_AXIS,
     col_axis: str = "data",
     gather_output: bool = True,
+    compress: str = "none",
 ) -> jax.Array:
     """Pooled lookup against a GRID-sharded table ``P(row, col)``.
 
@@ -517,6 +518,9 @@ def grid_sharded_lookup(
       gather_output: all-gather the feature slices back to
         ``P(row_axis, None)``; False keeps ``P(row_axis, col_axis)``
         (feed a feature-parallel dense tower directly).
+      compress: ``"int8"`` quantizes the routed response payloads over
+        ICI (opt-in lossy serving mode, as in
+        :func:`alltoall_row_sharded_lookup`).
 
     Returns:
       ``[batch, W]`` pooled output (or the feature-sharded slice view).
@@ -558,7 +562,7 @@ def grid_sharded_lookup(
         def route(c):
             resp = _route_serve(
                 table_l, flat, pos_s, counts, starts, nnz_l, n_r, c,
-                rows_per, w_local, row_axis, "none",
+                rows_per, w_local, row_axis, compress,
             )
             slot_of_pos = owner * c + jnp.clip(rank, 0, c - 1)
             rows = jnp.take(resp, slot_of_pos, axis=0).astype(jnp.float32)

@@ -217,8 +217,10 @@ def plan(
         Chosen when a table's row-sharded per-device footprint exceeds
         ``cost.grid_bytes_min`` and its width splits into full lane
         tiles; requires a 2D mesh whose data axis has ``col_shards``
-        devices. Fixed-hotness only (place CSR-trained tables
-        row-sharded).
+        devices. Hybrid wins over grid when a measured head-hit rate
+        qualifies the table (skew evidence routes a fraction of the
+        traffic; grid always routes all of it). Fixed-hotness only
+        (place CSR-trained tables row-sharded).
       col_shards: data-axis device count grid placements divide the
         width over (ignored unless ``grid_ok``).
     """
@@ -283,29 +285,6 @@ def plan(
             )
             continue
 
-        if (
-            grid_ok
-            and col_shards > 1
-            and -(-total // n_shards) > cost.grid_bytes_min
-            and c.width % col_shards == 0
-            and c.width >= cost.column_min_slice_lanes * col_shards
-        ):
-            w_slice = c.width // col_shards
-            # ids route once per column group; row/grad payloads carry
-            # only the local width slice; gather_output all-gathers the
-            # [batch/n_r, W] rows over the column axis.
-            grid_comm = routed * (
-                4 + w_slice * elem + 4 + w_slice * cost.grad_elem_bytes
-            ) + int(
-                (batch // n_shards) * c.width * elem
-                * (col_shards - 1) / col_shards
-            )
-            tables[c.name] = TablePlan(
-                c.name, GRID_SHARDED,
-                -(-total // (n_shards * col_shards)), grid_comm,
-            )
-            continue
-
         hit = hits.get(c.name, 0.0)
         if c.name in hybrid_names:
             budget = int(
@@ -335,6 +314,34 @@ def plan(
                     hot_rows=hot_rows, head_hit_rate=hit,
                 )
                 continue
+
+        # Grid is checked AFTER hybrid: a caller-measured head-hit rate
+        # is direct evidence that hybrid routes a fraction of the
+        # traffic; grid serves the remaining big-and-wide tables (no
+        # skew evidence) where the width split cuts both the footprint
+        # and the routed payload.
+        if (
+            grid_ok
+            and col_shards > 1
+            and -(-total // n_shards) > cost.grid_bytes_min
+            and c.width % col_shards == 0
+            and c.width >= cost.column_min_slice_lanes * col_shards
+        ):
+            w_slice = c.width // col_shards
+            # ids route once per column group; row/grad payloads carry
+            # only the local width slice; gather_output all-gathers the
+            # [batch/n_r, W] rows over the column axis.
+            grid_comm = routed * (
+                4 + w_slice * elem + 4 + w_slice * cost.grad_elem_bytes
+            ) + int(
+                (batch // n_shards) * c.width * elem
+                * (col_shards - 1) / col_shards
+            )
+            tables[c.name] = TablePlan(
+                c.name, GRID_SHARDED,
+                -(-total // (n_shards * col_shards)), grid_comm,
+            )
+            continue
 
         tables[c.name] = TablePlan(
             c.name, ROW_SHARDED, -(-total // n_shards), row_comm
@@ -415,8 +422,8 @@ def apply_plan(
         elif tp.placement == GRID_SHARDED:
             if t.shape[1] % p.col_shards != 0:
                 raise PlanError(
-                    f"{name}: width {t.shape[1]} must divide the column "
-                    f"count {p.col_shards} for grid sharding"
+                    f"{name}: width {t.shape[1]} must be a multiple of "
+                    f"the column count {p.col_shards} for grid sharding"
                 )
             placed[name] = jax.device_put(
                 pad_table_for_shards(t, n),
@@ -425,8 +432,8 @@ def apply_plan(
         else:  # COLUMN_SHARDED
             if t.shape[1] % n != 0:
                 raise PlanError(
-                    f"{name}: width {t.shape[1]} must divide the axis "
-                    f"size {n} for column sharding"
+                    f"{name}: width {t.shape[1]} must be a multiple of "
+                    f"the axis size {n} for column sharding"
                 )
             placed[name] = jax.device_put(
                 t, NamedSharding(mesh, P(None, axis))
@@ -514,7 +521,7 @@ def planned_lookup(
             out[name] = grid_sharded_lookup(
                 placed[name], idx, w, mesh=mesh, mode=mode,
                 capacity_factor=p.cost.capacity_factor,
-                row_axis=axis, col_axis=data_axis,
+                row_axis=axis, col_axis=data_axis, compress=compress,
             )
         else:  # COLUMN_SHARDED
             out[name] = column_sharded_lookup(

@@ -565,3 +565,21 @@ def test_planned_grid_refuses_csr():
             p, t, {"bw": idx}, {"bw": gy}, offsets={"bw": off},
             mesh=m, lr=0.1,
         )
+
+
+def test_plan_hybrid_wins_over_grid():
+    """Measured skew evidence (head-hit rate) beats grid: hybrid routes
+    a fraction of the traffic, grid always routes all of it."""
+    cfg = TableConfig("t", 100_000, 256, hotness=4)
+    p = plan(
+        [cfg], 4, batch=65536, cost=GRID_COST,
+        head_hit_rate={"t": 0.9}, grid_ok=True, col_shards=2,
+        hot_bytes_total=2048 * 256 * 4,
+    )
+    assert p.tables["t"].placement == "hybrid"
+    # without the skew evidence the same table goes grid
+    p2 = plan(
+        [cfg], 4, batch=65536, cost=GRID_COST,
+        grid_ok=True, col_shards=2,
+    )
+    assert p2.tables["t"].placement == "grid_sharded"

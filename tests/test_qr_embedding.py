@@ -121,3 +121,8 @@ def test_qr_validation():
         QREmbeddingBag(100, 8, 10, operation="cat")
     with pytest.raises(ValueError, match="CONCAT"):
         QREmbeddingBag(100, 8, 10, mode=CombineMode.CONCAT)
+
+
+def test_qr_oversized_buckets_rejected():
+    with pytest.raises(ValueError, match="num_buckets"):
+        QREmbeddingBag(10_000, 64, 1_000_000)

@@ -781,3 +781,37 @@ def test_grid_updates_validate_table_divisibility(grid_mesh):
             table, jnp.zeros((510,), jnp.float32), idx, gy,
             mesh=grid_mesh, lr=0.1, row_axis="model", col_axis="data",
         )
+
+
+def test_grid_lookup_int8_compress_within_bound(grid_mesh):
+    """Grid routing with compress='int8' stays within the documented
+    per-row quantization bound (each width slice quantizes against its
+    own amax <= the full row's amax)."""
+    from cuembed_tpu.parallel import grid_sharded_lookup
+
+    rng = np.random.default_rng(23)
+    V, W, B, H = 512, 256, 32, 4
+    table_np = rng.standard_normal((V, W)).astype(np.float32)
+    idx_np = rng.integers(0, V, (B, H)).astype(np.int32)
+    ts = jax.device_put(
+        jnp.asarray(table_np),
+        NamedSharding(grid_mesh, P("model", "data")),
+    )
+    xs = jax.device_put(
+        jnp.asarray(idx_np), NamedSharding(grid_mesh, P("model", None))
+    )
+    exact = np.asarray(
+        grid_sharded_lookup(
+            ts, xs, mesh=grid_mesh, row_axis="model", col_axis="data"
+        )
+    )
+    lossy = np.asarray(
+        grid_sharded_lookup(
+            ts, xs, mesh=grid_mesh, row_axis="model", col_axis="data",
+            compress="int8",
+        )
+    )
+    amax = np.abs(table_np).max(axis=1)
+    bound = (amax[idx_np] / 254).sum(axis=1) + 1e-5
+    assert (np.abs(lossy - exact).max(axis=1) <= bound).all()
+    np.testing.assert_allclose(lossy, exact, rtol=0.02, atol=0.05)
