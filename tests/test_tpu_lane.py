@@ -233,3 +233,32 @@ def test_int8_serving_lookup_on_chip():
     bound = (row_max[np.asarray(idx)] / 254.0).sum(axis=1) + 1e-5
     err = np.abs(np.asarray(got) - np.asarray(want)).max(axis=1)
     assert (err <= bound).all()
+
+
+def test_qr_embedding_on_chip():
+    """QR compositional embeddings: both compose ops lower and match the
+    composed full table on real hardware (the mult path exercises
+    CONCAT lookups + elementwise pooling)."""
+    from cuembed_tpu.models import QREmbeddingBag
+
+    rng = np.random.default_rng(11)
+    V, W, Q, B, H = 2000, 64, 43, 32, 8
+    idx = rng.integers(0, V, (B, H)).astype(np.int32)
+    for operation in ("add", "mult"):
+        bag = QREmbeddingBag(V, W, Q, operation=operation)
+        params = bag.init(jax.random.key(7))
+        got = np.asarray(bag.apply(params, jnp.asarray(idx)))
+        q = np.asarray(params["q"])
+        r = np.asarray(params["r"])
+        ids = np.arange(V)
+        full = (
+            q[ids // Q] + r[ids % Q]
+            if operation == "add"
+            else q[ids // Q] * r[ids % Q]
+        )
+        ref = embedding_forward_ref(
+            full.astype(np.float32), idx, mode=CombineMode.SUM
+        )
+        np.testing.assert_allclose(
+            got, ref, rtol=3e-5, atol=3e-5, err_msg=operation
+        )
