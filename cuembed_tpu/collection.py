@@ -48,6 +48,11 @@ class TableConfig:
     dtype: object = jnp.float32
     hotness: int = 1            # expected hotness (capacity planning only)
     traffic_share: float = 1.0  # relative lookup volume (hot-budget split)
+    #: features served by this table (torchrec's shared-table pattern —
+    #: e.g. one "video_id" table behind "watched", "liked", "shared"
+    #: features). Empty = one feature named like the table. Used by the
+    #: ``*_features`` entry points; the per-table API ignores it.
+    feature_names: Tuple[str, ...] = ()
 
 
 class EmbeddingCollection:
@@ -65,6 +70,15 @@ class EmbeddingCollection:
         if len(set(names)) != len(names):
             raise ValueError("table names must be unique")
         self.configs: Dict[str, TableConfig] = {c.name: c for c in configs}
+        self.feature_to_table: Dict[str, str] = {}
+        for c in configs:
+            for f in (c.feature_names or (c.name,)):
+                if f in self.feature_to_table:
+                    raise ValueError(
+                        f"feature {f!r} claimed by both "
+                        f"{self.feature_to_table[f]!r} and {c.name!r}"
+                    )
+                self.feature_to_table[f] = c.name
         total_share = sum(max(c.traffic_share, 0.0) for c in configs) or 1.0
         self.tiered: Dict[str, Optional[TieredConfig]] = {}
         for c in configs:
@@ -254,6 +268,158 @@ class EmbeddingCollection:
                     backend=be, tiered_cfg=tc,
                 )
         return out
+
+    # -- feature-level entry points (shared tables) ---------------------------
+    def apply_features(
+        self,
+        tables: Dict[str, jax.Array],
+        indices: Dict[str, jax.Array],
+        weights: Optional[Dict[str, jax.Array]] = None,
+        offsets: Optional[Dict[str, jax.Array]] = None,
+        *,
+        backend: str = "auto",
+        tiered: bool = False,
+    ) -> Dict[str, jax.Array]:
+        """Pooled lookup per FEATURE; features resolve to their shared
+        table (``TableConfig.feature_names``). Output keyed by feature."""
+        out = {}
+        for f, idx in indices.items():
+            name = self.feature_to_table[f]
+            c = self.configs[name]
+            w = weights.get(f) if weights else None
+            off = offsets.get(f) if offsets else None
+            tc = (
+                self.tiered[name]
+                if (tiered and c.mode != CombineMode.CONCAT)
+                else None
+            )
+            be = "tiered" if tc is not None else backend
+            if off is not None:
+                out[f] = embedding_lookup_csr(
+                    tables[name], idx, off, w, mode=c.mode,
+                    backend=be, tiered_cfg=tc,
+                )
+            else:
+                out[f] = embedding_lookup(
+                    tables[name], idx, w, mode=c.mode,
+                    backend=be, tiered_cfg=tc,
+                )
+        return out
+
+    def update_counts_features(
+        self, counts: Dict[str, np.ndarray], indices: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        """Aggregate per-FEATURE draws into each shared table's counts."""
+        for f, idx in indices.items():
+            name = self.feature_to_table[f]
+            counts[name] = freq.count_frequencies(
+                idx, self.configs[name].num_categories, counts[name]
+            )
+        return counts
+
+    def _features_coo(self, name, indices, grads_y, weights, offsets):
+        """Joint positions-as-samples COO over every feature of table
+        ``name`` present in ``grads_y``.
+
+        Gradients from all features of a shared table are SUMMED before
+        the optimizer step (the torchrec semantics): each feature's
+        (position -> row, coefficient) pairs and per-position gradient
+        rows concatenate into ONE batch, so AdaGrad sees the joint
+        per-row gradient, not a sequence of partial ones.
+        """
+        from cuembed_tpu.train import _flatten_coo
+
+        c = self.configs[name]
+        if c.mode == CombineMode.CONCAT:
+            raise ValueError(
+                "feature-level updates pool per sample; CONCAT tables "
+                "have per-position outputs — update them per table"
+            )
+        feats = [
+            f for f in (c.feature_names or (c.name,)) if f in grads_y
+        ]
+        if not feats:
+            return None
+        flats, rows, coeffs = [], [], []
+        for f in feats:
+            idx = indices[f]
+            w = weights.get(f) if weights else None
+            off = offsets.get(f) if offsets else None
+            gy = grads_y[f].astype(jnp.float32)
+            if off is None and w is None and c.mode == CombineMode.MEAN:
+                gy = gy * (1.0 / idx.shape[1])
+            flat, sids, coeff = _flatten_coo(
+                idx, off, w, c.mode, jnp.float32
+            )
+            flats.append(flat)
+            rows.append(jnp.take(gy, sids, axis=0))
+            coeffs.append(
+                coeff if coeff is not None
+                else jnp.ones((flat.shape[0],), jnp.float32)
+            )
+        return (
+            jnp.concatenate(flats)[:, None],
+            jnp.concatenate(rows, axis=0),
+            jnp.concatenate(coeffs)[:, None],
+        )
+
+    def sgd_update_features(
+        self,
+        tables: Dict[str, jax.Array],
+        indices: Dict[str, jax.Array],
+        grads_y: Dict[str, jax.Array],
+        *,
+        lr: float,
+        weights: Optional[Dict[str, jax.Array]] = None,
+        offsets: Optional[Dict[str, jax.Array]] = None,
+    ) -> Dict[str, jax.Array]:
+        """Sparse SGD with per-FEATURE gradients on shared tables —
+        one joint update per table."""
+        new = dict(tables)
+        for name in {self.feature_to_table[f] for f in grads_y}:
+            coo = self._features_coo(
+                name, indices, grads_y, weights, offsets
+            )
+            if coo is None:
+                continue
+            pidx, pgy, pw = coo
+            new[name] = sgd_sparse_update(
+                tables[name], pidx, pgy, lr=lr, weights=pw,
+                mode=CombineMode.SUM,
+            )
+        return new
+
+    def adagrad_update_features(
+        self,
+        tables: Dict[str, jax.Array],
+        accums: Dict[str, jax.Array],
+        indices: Dict[str, jax.Array],
+        grads_y: Dict[str, jax.Array],
+        *,
+        lr: float,
+        eps: float = 1e-8,
+        weights: Optional[Dict[str, jax.Array]] = None,
+        offsets: Optional[Dict[str, jax.Array]] = None,
+    ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+        """Row-wise AdaGrad with per-FEATURE gradients on shared tables.
+
+        Exact joint-batch semantics: the per-row gradient is summed
+        across features BEFORE squaring (the compressed lanes do that by
+        construction), matching a fused single-batch step.
+        """
+        new_t, new_a = dict(tables), dict(accums)
+        for name in {self.feature_to_table[f] for f in grads_y}:
+            coo = self._features_coo(
+                name, indices, grads_y, weights, offsets
+            )
+            if coo is None:
+                continue
+            pidx, pgy, pw = coo
+            new_t[name], new_a[name] = rowwise_adagrad_sparse_update(
+                tables[name], accums[name], pidx, pgy, lr=lr, eps=eps,
+                weights=pw, mode=CombineMode.SUM,
+            )
+        return new_t, new_a
 
     # -- sparse training ------------------------------------------------------
     def sgd_update(

@@ -176,3 +176,132 @@ def test_collection_sharded_flow():
             np.asarray(got_a[k])[:V], np.asarray(want_a[k]),
             rtol=1e-5, atol=1e-6,
         )
+
+
+# ---------------------------------------------------------------------------
+# Feature -> shared-table mapping (torchrec's shared-table pattern)
+# ---------------------------------------------------------------------------
+
+
+def _shared_setup(rng):
+    coll = EmbeddingCollection([
+        TableConfig(
+            "video", 500, 16, hotness=4,
+            feature_names=("watched", "liked"),
+        ),
+        TableConfig("user", 200, 16, hotness=2),
+    ])
+    tables = coll.init(jax.random.key(0))
+    idx = {
+        "watched": jnp.asarray(
+            rng.integers(0, 500, (24, 4)).astype(np.int32)
+        ),
+        "liked": jnp.asarray(
+            rng.integers(0, 500, (24, 3)).astype(np.int32)
+        ),
+        "user": jnp.asarray(
+            rng.integers(0, 200, (24, 2)).astype(np.int32)
+        ),
+    }
+    return coll, tables, idx
+
+
+def test_feature_mapping_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="claimed by both"):
+        EmbeddingCollection([
+            TableConfig("a", 100, 8, feature_names=("x", "y")),
+            TableConfig("b", 100, 8, feature_names=("y",)),
+        ])
+
+
+def test_apply_features_matches_per_table():
+    rng = np.random.default_rng(0)
+    coll, tables, idx = _shared_setup(rng)
+    out = coll.apply_features(tables, idx, backend="xla")
+    assert set(out) == {"watched", "liked", "user"}
+    for f in idx:
+        name = coll.feature_to_table[f]
+        want = embedding_lookup(tables[name], idx[f], backend="xla")
+        np.testing.assert_allclose(
+            np.asarray(out[f]), np.asarray(want), rtol=1e-6, atol=1e-6,
+            err_msg=f,
+        )
+
+
+def test_update_counts_features_aggregates():
+    rng = np.random.default_rng(1)
+    coll, _, idx = _shared_setup(rng)
+    counts = coll.init_counts()
+    counts = coll.update_counts_features(
+        counts, {f: np.asarray(v) for f, v in idx.items()}
+    )
+    # both video features land in the ONE shared table's counts
+    nnz_video = idx["watched"].size + idx["liked"].size
+    assert counts["video"].sum() == nnz_video
+    assert counts["user"].sum() == idx["user"].size
+
+
+def test_sgd_update_features_joint_equals_sequential():
+    """SGD is linear in the gradient: the joint shared-table update must
+    equal applying each feature's sparse update in sequence."""
+    from cuembed_tpu.train import sgd_sparse_update
+
+    rng = np.random.default_rng(2)
+    coll, tables, idx = _shared_setup(rng)
+    gys = {
+        f: jnp.asarray(rng.standard_normal((24, 16)).astype(np.float32))
+        for f in idx
+    }
+    new = coll.sgd_update_features(tables, idx, gys, lr=0.1)
+
+    seq = tables["video"]
+    for f in ("watched", "liked"):
+        seq = sgd_sparse_update(seq, idx[f], gys[f], lr=0.1)
+    np.testing.assert_allclose(
+        np.asarray(new["video"]), np.asarray(seq), rtol=1e-5, atol=1e-6
+    )
+    want_user = sgd_sparse_update(
+        tables["user"], idx["user"], gys["user"], lr=0.1
+    )
+    np.testing.assert_allclose(
+        np.asarray(new["user"]), np.asarray(want_user),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_adagrad_update_features_joint_golden():
+    """AdaGrad must see the per-row gradient summed ACROSS features
+    before squaring (joint-batch semantics, not sequential updates)."""
+    rng = np.random.default_rng(3)
+    coll, tables, idx = _shared_setup(rng)
+    gys = {
+        f: jnp.asarray(rng.standard_normal((24, 16)).astype(np.float32))
+        for f in idx
+    }
+    accums = coll.adagrad_init()
+    new_t, new_a = coll.adagrad_update_features(
+        tables, accums, idx, gys, lr=0.1
+    )
+
+    # numpy golden: joint summed per-row gradient for the shared table
+    V, W = 500, 16
+    G = np.zeros((V, W), np.float64)
+    for f in ("watched", "liked"):
+        for b in range(24):
+            for h in range(np.asarray(idx[f]).shape[1]):
+                G[np.asarray(idx[f])[b, h]] += np.asarray(gys[f])[b]
+    touched = np.abs(G).sum(axis=1) > 0
+    acc = np.zeros((V,), np.float64)
+    acc[touched] = (G[touched] ** 2).mean(axis=1)
+    table = np.asarray(tables["video"], np.float64).copy()
+    table[touched] -= (
+        0.1 * G[touched] / np.sqrt(acc[touched, None] + 1e-8)
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_t["video"]), table, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_a["video"]), acc, rtol=1e-4, atol=1e-6
+    )
