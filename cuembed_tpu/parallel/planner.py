@@ -121,7 +121,11 @@ class CostModel:
     hybrid_min_hit_rate: float = 0.5
     #: fp32 gradient rows ride the update wire (PERF_NOTES §routed).
     grad_elem_bytes: int = 4
-    #: all-to-all capacity headroom over the balanced share.
+    #: all-to-all capacity headroom over the balanced share. 2.0 is a
+    #: guess; calibrate from measured traffic with
+    #: :func:`cuembed_tpu.utils.frequency.calibrate_capacity_factor`
+    #: (frequency-ordered tables concentrate hot rows on shard 0 and
+    #: can need much more).
     capacity_factor: float = 2.0
     #: row-sharded per-device footprint above which a grid-eligible
     #: table (wide enough for full lane tiles per column slice) also

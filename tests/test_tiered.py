@@ -367,3 +367,40 @@ def test_backward_seg_prefix_unaligned_kcap():
 
     np.testing.assert_allclose(dense(got), dense(want), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_calibrate_capacity_factor():
+    """Routed capacity calibration: uniform traffic needs little slack,
+    frequency-ordered zipf (hot rows on shard 0) needs a lot; the
+    returned factor actually covers the stated overflow quantile."""
+    from cuembed_tpu.utils.frequency import calibrate_capacity_factor
+
+    rng = np.random.default_rng(0)
+    uniform = np.ones(10_000)
+    f_uni = calibrate_capacity_factor(
+        uniform, 8, 4096, 8, trials=50, seed=1
+    )
+    zipf = 1.0 / np.arange(1, 10_001) ** 1.2
+    f_zipf = calibrate_capacity_factor(
+        zipf, 8, 4096, 8, trials=50, seed=1
+    )
+    assert 1.0 < f_uni < 2.0 < f_zipf
+
+    # the calibrated cap covers fresh draws at ~the target rate
+    p = zipf / zipf.sum()
+    rows_per = -(-10_000 // 8)
+    nnz_l = 4096 * 8 // 8
+    cap = f_zipf * nnz_l / 8
+    overflows = 0
+    for _ in range(50):
+        draws = rng.choice(10_000, size=(8, nnz_l), p=p)
+        per = np.stack([
+            np.bincount(np.minimum(d // rows_per, 7), minlength=8)
+            for d in draws
+        ])
+        overflows += int(per.max() > cap)
+    assert overflows <= 5  # ~1% target; generous bound for 50 trials
+
+    with pytest.raises(ValueError, match="counts"):
+        calibrate_capacity_factor(np.zeros(10), 8, 64, 4)
+    assert calibrate_capacity_factor(uniform, 1, 64, 4) == 1.0
