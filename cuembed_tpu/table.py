@@ -402,3 +402,53 @@ class EmbeddingTable:
                 self.table, indices, offsets, weights, **kwargs
             )
         return embedding_lookup(self.table, indices, weights, **kwargs)
+
+
+def resize_table(
+    table: jax.Array,
+    new_num_categories: int,
+    key: Optional[jax.Array] = None,
+    *,
+    accum: Optional[jax.Array] = None,
+):
+    """Vocabulary warm-start: grow or shrink a table's row count.
+
+    Growing appends rows drawn U(-1/sqrt(W), 1/sqrt(W)) (the collection
+    init scale) — or zeros when ``key`` is None — so existing categories
+    keep their trained vectors exactly. Shrinking truncates the highest
+    rows; on a frequency-ordered table (:func:`cuembed_tpu.utils.
+    frequency.frequency_order`) that drops the COLDEST categories, which
+    is the production-sane way to cap a runaway vocabulary.
+
+    ``accum``: an optional row-aligned optimizer state vector or array
+    (row-wise AdaGrad accumulator, Adam moments) resized alongside —
+    new rows get zero state. Returns ``table`` or ``(table, accum)``.
+
+    The caller owns the id space: after a grow, ids ``[old_V, new_V)``
+    become valid; after a shrink, ids must be re-capped (out-of-range
+    ids would be clipped or dropped by the lookups' validation).
+    """
+    old_v, width = table.shape[0], table.shape[1]
+    if new_num_categories == old_v:
+        return table if accum is None else (table, accum)
+    if new_num_categories < old_v:
+        new_t = table[:new_num_categories]
+        if accum is None:
+            return new_t
+        return new_t, accum[:new_num_categories]
+    extra = new_num_categories - old_v
+    if key is None:
+        rows = jnp.zeros((extra, width), table.dtype)
+    else:
+        scale = 1.0 / (width ** 0.5)
+        rows = jax.random.uniform(
+            key, (extra, width), jnp.float32, -scale, scale
+        ).astype(table.dtype)
+    new_t = jnp.concatenate([table, rows], axis=0)
+    if accum is None:
+        return new_t
+    pad_shape = (extra,) + tuple(accum.shape[1:])
+    new_a = jnp.concatenate(
+        [accum, jnp.zeros(pad_shape, accum.dtype)], axis=0
+    )
+    return new_t, new_a

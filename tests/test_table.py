@@ -128,3 +128,33 @@ def test_csr_calibration_uses_live_hotness():
         np.asarray(raw), flat[:nnz], offsets=offsets,
     )
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-5)
+
+
+def test_resize_table_grow_and_shrink():
+    from cuembed_tpu.table import resize_table
+
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.standard_normal((100, 16)).astype(np.float32))
+    acc = jnp.asarray(rng.random(100).astype(np.float32))
+
+    # grow with random init: old rows exact, new rows in init range
+    big, big_acc = resize_table(t, 150, jax.random.key(0), accum=acc)
+    assert big.shape == (150, 16) and big_acc.shape == (150,)
+    np.testing.assert_array_equal(np.asarray(big)[:100], np.asarray(t))
+    np.testing.assert_array_equal(np.asarray(big_acc)[:100], np.asarray(acc))
+    new_rows = np.asarray(big)[100:]
+    assert (np.abs(new_rows) <= 1.0 / 4.0 + 1e-6).all()
+    assert np.abs(new_rows).sum() > 0  # actually initialized
+    np.testing.assert_array_equal(np.asarray(big_acc)[100:], 0.0)
+
+    # grow with zeros (no key)
+    z = resize_table(t, 120)
+    np.testing.assert_array_equal(np.asarray(z)[100:], 0.0)
+
+    # shrink truncates the tail (coldest rows on an ordered table)
+    small = resize_table(t, 60)
+    np.testing.assert_array_equal(np.asarray(small), np.asarray(t)[:60])
+
+    # no-op
+    same = resize_table(t, 100)
+    assert same.shape == (100, 16)
