@@ -75,7 +75,7 @@ def _make_bwd_kernel(nb: int, wtiles: int, num_categories: int,
 
         def gy_dma(slot, p):
             return pltpu.make_async_copy(
-                gy_ref.at[sid_ref[p]], gy_buf.at[slot], sem_gy.at[slot]
+                gy_ref.at[sid_ref[0, 0, p]], gy_buf.at[slot], sem_gy.at[slot]
             )
 
         def flush(row):
@@ -107,7 +107,7 @@ def _make_bwd_kernel(nb: int, wtiles: int, num_categories: int,
             def _():
                 gy_dma(jax.lax.rem(p + 1, NBUF), p + 1).start()
 
-            row = idx_ref[p]
+            row = idx_ref[0, 0, p]
             live = (row >= 0) & (row < num_categories)
             open_row = carry_ref[0]
 
@@ -122,7 +122,7 @@ def _make_bwd_kernel(nb: int, wtiles: int, num_categories: int,
                 carry_ref[0] = row
                 contrib = gy_buf[slot].astype(jnp.float32)
                 if has_coeff:
-                    contrib = contrib * coeff_ref[p]
+                    contrib = contrib * coeff_ref[0, 0, p]
                 acc_ref[...] = acc_ref[...] + contrib
 
             return 0
@@ -185,19 +185,22 @@ def embedding_backward_pallas(
     ).reshape(num_categories, wtiles, LANES)
 
     has_coeff = transpose_weights is not None
-    in_specs = [
-        pl.BlockSpec((nb,), lambda g: (g,), memory_space=pltpu.SMEM),
-        pl.BlockSpec((nb,), lambda g: (g,), memory_space=pltpu.SMEM),
-    ]
-    args = [t_idx, t_sid]
+    # [n_blocks, 1, nb] blocked at (1, 1, nb): Mosaic requires the last
+    # two block dims be divisible by (8, 128) or EQUAL to the array's —
+    # (1, nb) is equal, so the block is legal for any n_blocks. 1D (nb,)
+    # blocked operands (and 2D (1, nb) blocks) fail Mosaic/XLA layout
+    # verification on real chips whenever n_blocks > 1.
+    stream_spec = pl.BlockSpec(
+        (1, 1, nb), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+    )
+    in_specs = [stream_spec, stream_spec]
+    args = [t_idx.reshape(-1, 1, nb), t_sid.reshape(-1, 1, nb)]
     if has_coeff:
         t_w = transpose_weights.astype(jnp.float32)
         if pad:
             t_w = jnp.pad(t_w, (0, pad))
-        in_specs.append(
-            pl.BlockSpec((nb,), lambda g: (g,), memory_space=pltpu.SMEM)
-        )
-        args.append(t_w)
+        in_specs.append(stream_spec)
+        args.append(t_w.reshape(-1, 1, nb))
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # grad_y
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # aliased grad
     args += [gy3, grad0]

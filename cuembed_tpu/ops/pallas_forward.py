@@ -266,8 +266,9 @@ def _make_csr_fwd_kernel(nb: int, wtiles: int, batch: int, acc_dtype,
     (``embedding_lookup_kernels.cuh:96-135``) without its
     one-CTA-per-sample shape, which has no TPU analog.
 
-    Ref layout: idx SMEM [1, nb] (table rows, padding clamped to 0);
-    sid SMEM [1, nb] (sample ids, padding = SENTINEL); (coeff SMEM [1, nb]);
+    Ref layout: idx SMEM [1, 1, nb] (table rows, padding clamped to 0);
+    sid SMEM [1, 1, nb] (sample ids, padding = SENTINEL);
+    (coeff SMEM [1, 1, nb]);
     table ANY [rows, wtiles, 128]; out0 ANY aliased to out (zeros —
     zero-hotness samples are never written and must read 0).
     """
@@ -290,7 +291,8 @@ def _make_csr_fwd_kernel(nb: int, wtiles: int, batch: int, acc_dtype,
 
         def row_dma(slot, p):
             return pltpu.make_async_copy(
-                table_ref.at[idx_ref[0, p]], row_buf.at[slot], sem_row.at[slot]
+                table_ref.at[idx_ref[0, 0, p]], row_buf.at[slot],
+                sem_row.at[slot],
             )
 
         def flush(sid):
@@ -309,7 +311,7 @@ def _make_csr_fwd_kernel(nb: int, wtiles: int, batch: int, acc_dtype,
             def _():
                 row_dma(jax.lax.rem(p + 1, NBUF), p + 1).start()
 
-            sid = sid_ref[0, p]
+            sid = sid_ref[0, 0, p]
             live = (sid >= 0) & (sid < batch)
             open_sid = carry_ref[0]
 
@@ -324,7 +326,7 @@ def _make_csr_fwd_kernel(nb: int, wtiles: int, batch: int, acc_dtype,
                 carry_ref[0] = sid
                 contrib = row_buf[slot].astype(acc_dtype)
                 if has_coeff:
-                    contrib = contrib * coeff_ref[0, p]  # SMEM scalar FMA
+                    contrib = contrib * coeff_ref[0, 0, p]  # SMEM scalar FMA
                 acc_ref[...] = acc_ref[...] + contrib
 
             return 0
@@ -411,22 +413,23 @@ def embedding_forward_pallas_csr(
     table3 = table.reshape(table.shape[0], wtiles, LANES)
     out0 = jnp.zeros((batch, wtiles, LANES), table.dtype)
 
-    # The streams ride as [n_blocks, nb] 2D operands: a 1D s32 operand
-    # blocked at nb < len triggers a Mosaic/XLA layout disagreement on
-    # real chips (XLA picks T(len), Mosaic wants T(nb)); a leading
-    # grid-mapped axis of size 1 sidesteps the 1D tiling entirely.
-    vals = vals.reshape(n_blocks, nb)
-    sid_arr = sid_arr.reshape(n_blocks, nb)
-    in_specs = [
-        pl.BlockSpec((1, nb), lambda g: (g, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, nb), lambda g: (g, 0), memory_space=pltpu.SMEM),
-    ]
+    # The streams ride as [n_blocks, 1, nb] 3D operands blocked at
+    # (1, 1, nb): Mosaic requires the last two block dims be divisible by
+    # (8, 128) or EQUAL to the array's — (1, nb) vs array (1, nb) is
+    # equal, so the block is legal for any n_blocks, and the stream keeps
+    # SMEM residency bounded at nb entries per grid step (a whole-array
+    # SMEM operand would cap the kernel at SMEM size). Verified on chip:
+    # 2D blocked (1, nb) with n_blocks > 1 is rejected by the front end.
+    vals = vals.reshape(n_blocks, 1, nb)
+    sid_arr = sid_arr.reshape(n_blocks, 1, nb)
+    stream_spec = pl.BlockSpec(
+        (1, 1, nb), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+    )
+    in_specs = [stream_spec, stream_spec]
     args = [vals, sid_arr]
     if coeff is not None:
-        in_specs.append(
-            pl.BlockSpec((1, nb), lambda g: (g, 0), memory_space=pltpu.SMEM)
-        )
-        args.append(coeff.astype(acc_dt).reshape(n_blocks, nb))
+        in_specs.append(stream_spec)
+        args.append(coeff.astype(acc_dt).reshape(n_blocks, 1, nb))
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # table
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # aliased out0
     args += [table3, out0]

@@ -122,13 +122,19 @@ def test_pallas_csr_forward_on_chip_compiled():
     np.testing.assert_array_equal(np.asarray(got), ref)
 
 
-def test_pallas_backward_on_chip_compiled():
-    """The run-grouped Pallas backward in real Mosaic lowering."""
+@pytest.mark.parametrize("batch,hotness", [(32, 8), (128, 12)])
+def test_pallas_backward_on_chip_compiled(batch, hotness):
+    """The run-grouped Pallas backward in real Mosaic lowering.
+
+    The (128, 12) case gives cap = 1536 > 512, so the multi-block SMEM
+    stream lowering (3 grid steps, runs spanning block boundaries) is
+    exercised — the single-block case alone left that path latent.
+    """
     from cuembed_tpu.ops.lookup_xla import embedding_backward_xla
     from cuembed_tpu.ops.pallas_backward import embedding_backward_pallas
 
     rng = np.random.default_rng(6)
-    V, W, batch, hotness = 300, 128, 32, 8
+    V, W = 300, 128
     idx = rng.integers(0, V, batch * hotness).astype(np.int32)
     sid = (np.arange(batch * hotness, dtype=np.int32) // hotness)
     order = np.argsort(idx, kind="stable")
@@ -137,6 +143,27 @@ def test_pallas_backward_on_chip_compiled():
 
     ref = embedding_backward_xla(gy, V, t_idx, t_sid, None)
     got = embedding_backward_pallas(gy, V, t_idx, t_sid, None)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_backward_weighted_multiblock_on_chip():
+    """Weighted multi-block backward: the coeff SMEM stream also rides
+    the [n_blocks, 1, nb] layout."""
+    from cuembed_tpu.ops.lookup_xla import embedding_backward_xla
+    from cuembed_tpu.ops.pallas_backward import embedding_backward_pallas
+
+    rng = np.random.default_rng(7)
+    V, W, batch, hotness = 200, 128, 96, 8  # cap = 768 -> 2 blocks
+    idx = rng.integers(0, V, batch * hotness).astype(np.int32)
+    sid = (np.arange(batch * hotness, dtype=np.int32) // hotness)
+    w = rng.integers(-4, 5, batch * hotness).astype(np.float32)
+    order = np.argsort(idx, kind="stable")
+    t_idx, t_sid = jnp.asarray(idx[order]), jnp.asarray(sid[order])
+    t_w = jnp.asarray(w[order])
+    gy = jnp.asarray(rng.integers(-10, 11, (batch, W)).astype(np.float32))
+
+    ref = embedding_backward_xla(gy, V, t_idx, t_sid, t_w)
+    got = embedding_backward_pallas(gy, V, t_idx, t_sid, t_w)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
