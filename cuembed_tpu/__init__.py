@@ -19,6 +19,7 @@ from cuembed_tpu.ops.lookup_xla import (
     embedding_forward_xla,
 )
 from cuembed_tpu.ops.tiered import TieredConfig, tiered_forward
+from cuembed_tpu.table import EmbeddingTable, resize_table
 from cuembed_tpu.collection import EmbeddingCollection, TableConfig
 from cuembed_tpu.offload import HostOffloadTable, OffloadBatch
 from cuembed_tpu.fused import (
@@ -60,6 +61,8 @@ __all__ = [
     "embedding_lookup_csr",
     "TieredConfig",
     "tiered_forward",
+    "EmbeddingTable",
+    "resize_table",
     "EmbeddingCollection",
     "TableConfig",
     "HostOffloadTable",

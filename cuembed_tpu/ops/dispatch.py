@@ -10,6 +10,7 @@ with the kernels themselves (:mod:`cuembed_tpu.ops.pallas_forward`).
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -18,6 +19,12 @@ import jax.numpy as jnp
 from cuembed_tpu.ops import lookup_xla
 from cuembed_tpu.ops.tiered import TieredConfig, auto_config, tiered_forward
 from cuembed_tpu.types import CombineMode
+
+# One-time hint when auto-dispatch serves a >VMEM-budget table through the
+# plain gather (2.6x off the tiered engine at flagship scale) because no
+# tiered_cfg was supplied. Keyed by table shape so distinct tables each get
+# one hint; cleared only by tests.
+_slow_path_hinted: set = set()
 
 # Lane width of the TPU vector unit; Pallas kernels require the embedding
 # width padded to a multiple of this.
@@ -166,6 +173,29 @@ def forward(
             raise ValueError(
                 "backend='tiered' but the table fits the VMEM budget; "
                 "use backend='auto' (the plain gather is already fast)"
+            )
+    if (
+        backend == "auto"
+        and tiered_cfg is None
+        and _on_tpu()
+        and mode != CombineMode.CONCAT
+    ):
+        key = (table.shape, str(table.dtype))
+        if key not in _slow_path_hinted and (
+            tiered_auto_config(table, indices, offsets, mode) is not None
+        ):
+            _slow_path_hinted.add(key)
+            mb = table.shape[0] * table.shape[1] * table.dtype.itemsize / 2**20
+            warnings.warn(
+                f"embedding_lookup is serving a {mb:.0f} MB table through "
+                "the plain XLA gather — ~2.6x slower than the tiered "
+                "engine at this scale (docs/PERF_NOTES.md). Fast path: "
+                "wrap the table once in cuembed_tpu.EmbeddingTable and "
+                "call calibrate(batch) (or refresh_layout()); if your ids "
+                "are already assigned hot-first, "
+                "EmbeddingTable(t).use_natural_order() skips the "
+                "calibration ceremony entirely.",
+                stacklevel=3,
             )
     # The Pallas forward is kept as an explicit opt-in: its scalar-core
     # DMA issue rate (~34 M rows/s measured on v5e) loses to XLA's own

@@ -489,6 +489,7 @@ def grid_sharded_lookup(
     table: jax.Array,
     indices: jax.Array,
     weights: Optional[jax.Array] = None,
+    offsets: Optional[jax.Array] = None,
     *,
     mesh: Mesh,
     mode: CombineMode = CombineMode.SUM,
@@ -513,8 +514,13 @@ def grid_sharded_lookup(
       table: ``[V, W]``, sharded ``P(row_axis, col_axis)``;
         ``V % n_r == 0`` and ``W % n_c == 0``.
       indices: ``[batch, hotness]``, sharded ``P(row_axis, None)``
-        (replicated over the column axis).
+        (replicated over the column axis). With ``offsets``: the
+        *sharded-CSR* layout ``[n_r, cap]`` (see
+        :func:`cuembed_tpu.parallel.sharding.shard_csr`), blocks
+        sharded over the ROW axis.
       weights: like indices (SUM only).
+      offsets: optional sharded-CSR offsets ``[n_r, local_batch + 1]``,
+        ``P(row_axis, None)``.
       gather_output: all-gather the feature slices back to
         ``P(row_axis, None)``; False keeps ``P(row_axis, col_axis)``
         (feed a feature-parallel dense tower directly).
@@ -523,7 +529,9 @@ def grid_sharded_lookup(
         :func:`alltoall_row_sharded_lookup`).
 
     Returns:
-      ``[batch, W]`` pooled output (or the feature-sharded slice view).
+      ``[batch, W]`` pooled output (or the feature-sharded slice view);
+      ``[n_r, local_batch, W]``-shaped for sharded CSR (the routed
+      paths' block convention).
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("grid routing pools rows; CONCAT unsupported")
@@ -536,10 +544,18 @@ def grid_sharded_lookup(
         raise ValueError("pad table rows/cols to multiples of the axes")
     rows_per = num_rows // n_r
     w_local = width // n_c
-    batch, hotness = indices.shape
-    if batch % n_r != 0:
-        raise ValueError("batch must divide evenly across the row axis")
-    nnz_l = (batch // n_r) * hotness
+    if offsets is not None:
+        if indices.ndim != 2 or indices.shape[0] != n_r:
+            raise ValueError(
+                "sharded CSR wants indices [n_shards, cap]; see shard_csr"
+            )
+        nnz_l = indices.shape[1]
+        hotness = None
+    else:
+        batch, hotness = indices.shape
+        if batch % n_r != 0:
+            raise ValueError("batch must divide evenly across the row axis")
+        nnz_l = (batch // n_r) * hotness
     cap = int(nnz_l / n_r * capacity_factor) + 1
     cap = min(-(-cap // 8) * 8, nnz_l)
 
@@ -548,11 +564,16 @@ def grid_sharded_lookup(
     if weights is not None:
         in_specs.append(P(row_axis, None))
         args.append(weights)
+    if offsets is not None:
+        in_specs.append(P(row_axis, None))
+        args.append(offsets.astype(jnp.int32))
 
     def local(table_l, idx_l, *rest):
-        w_l = rest[0] if weights is not None else None
-        flat, coeff, _, b_l = _coeff_and_samples(
-            idx_l, None, w_l, mode, nnz_l, hotness
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        offs_l = rest.pop(0) if offsets is not None else None
+        flat, coeff, sample_of_pos, b_l = _coeff_and_samples(
+            idx_l, offs_l, w_l, mode, nnz_l, hotness
         )
         owner = jnp.clip(flat // rows_per, 0, n_r - 1)
         pos_s, counts, starts, rank, overflow = _owner_buckets(
@@ -567,6 +588,12 @@ def grid_sharded_lookup(
             slot_of_pos = owner * c + jnp.clip(rank, 0, c - 1)
             rows = jnp.take(resp, slot_of_pos, axis=0).astype(jnp.float32)
             rows = rows * coeff[:, None]
+            if sample_of_pos is not None:
+                out = jax.ops.segment_sum(
+                    rows, sample_of_pos, num_segments=b_l,
+                    indices_are_sorted=True,
+                )
+                return out[None]  # [1, local_batch, W/n_c] block
             return jnp.sum(rows.reshape(b_l, hotness, w_local), axis=1)
 
         if cap >= nnz_l:
@@ -581,12 +608,21 @@ def grid_sharded_lookup(
             )
         out = out.astype(table.dtype)
         if gather_output:
-            out = jax.lax.all_gather(out, col_axis, axis=1, tiled=True)
+            out = jax.lax.all_gather(
+                out, col_axis, axis=out.ndim - 1, tiled=True
+            )
         return out
 
-    out_specs = (
-        P(row_axis, None) if gather_output else P(row_axis, col_axis)
-    )
+    if offsets is not None:
+        out_specs = (
+            P(row_axis, None, None)
+            if gather_output
+            else P(row_axis, None, col_axis)
+        )
+    else:
+        out_specs = (
+            P(row_axis, None) if gather_output else P(row_axis, col_axis)
+        )
     return shard_map(
         local,
         mesh=mesh,

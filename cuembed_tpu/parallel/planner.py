@@ -223,8 +223,7 @@ def plan(
         tiles; requires a 2D mesh whose data axis has ``col_shards``
         devices. Hybrid wins over grid when a measured head-hit rate
         qualifies the table (skew evidence routes a fraction of the
-        traffic; grid always routes all of it). Fixed-hotness only
-        (place CSR-trained tables row-sharded).
+        traffic; grid always routes all of it).
       col_shards: data-axis device count grid placements divide the
         width over (ignored unless ``grid_ok``).
     """
@@ -517,13 +516,8 @@ def planned_lookup(
                 axis=axis, compress=compress,
             )
         elif tp.placement == GRID_SHARDED:
-            if off is not None:
-                raise NotImplementedError(
-                    "grid-sharded tables are fixed-hotness (place "
-                    "CSR-trained tables row_sharded)"
-                )
             out[name] = grid_sharded_lookup(
-                placed[name], idx, w, mesh=mesh, mode=mode,
+                placed[name], idx, w, off, mesh=mesh, mode=mode,
                 capacity_factor=p.cost.capacity_factor,
                 row_axis=axis, col_axis=data_axis, compress=compress,
             )
@@ -698,26 +692,19 @@ def planned_sgd_update(
                 axis=axis,
             )
         elif tp.placement == GRID_SHARDED:
-            if off is not None:
-                raise NotImplementedError(
-                    "grid-sharded sparse updates are fixed-hotness; "
-                    "place CSR-trained tables row_sharded"
-                )
             new[name] = grid_sharded_sgd_sparse_update(
-                placed[name], idx, gy, mesh=mesh, lr=lr, weights=w,
-                mode=mode, capacity_factor=p.cost.capacity_factor,
+                placed[name], idx, gy, mesh=mesh, lr=lr, offsets=off,
+                weights=w, mode=mode,
+                capacity_factor=p.cost.capacity_factor,
                 row_axis=axis, col_axis=data_axis,
             )
         else:  # COLUMN_SHARDED
-            if off is not None:
-                raise NotImplementedError(
-                    "column-sharded sparse updates are fixed-hotness "
-                    "(the sharded-CSR blocks would be misread as a "
-                    "fixed batch); place CSR-trained tables row_sharded"
-                )
+            # CSR here is the column lookup's replicated-flat layout
+            # (indices [nnz], offsets [batch+1]), NOT sharded-CSR blocks.
             new[name] = column_sharded_sgd_sparse_update(
-                placed[name], idx, gy, mesh=mesh, lr=lr, weights=w,
-                mode=mode, data_axis=data_axis, model_axis=axis,
+                placed[name], idx, gy, mesh=mesh, lr=lr, offsets=off,
+                weights=w, mode=mode, data_axis=data_axis,
+                model_axis=axis,
             )
     return new
 
@@ -811,29 +798,20 @@ def planned_adagrad_update(
             new_t[name] = (nh, nt)
             new_a[name] = (nha, nta)
         elif tp.placement == GRID_SHARDED:
-            if off is not None:
-                raise NotImplementedError(
-                    "grid-sharded sparse updates are fixed-hotness; "
-                    "place CSR-trained tables row_sharded"
-                )
             new_t[name], new_a[name] = (
                 grid_sharded_rowwise_adagrad_sparse_update(
                     placed[name], accums[name], idx, gy, mesh=mesh,
-                    lr=lr, eps=eps, weights=w, mode=mode,
+                    lr=lr, eps=eps, offsets=off, weights=w, mode=mode,
                     capacity_factor=p.cost.capacity_factor,
                     row_axis=axis, col_axis=data_axis,
                 )
             )
         else:  # COLUMN_SHARDED
-            if off is not None:
-                raise NotImplementedError(
-                    "column-sharded sparse updates are fixed-hotness; "
-                    "place CSR-trained tables row_sharded"
-                )
+            # CSR here is the column lookup's replicated-flat layout.
             new_t[name], new_a[name] = (
                 column_sharded_rowwise_adagrad_sparse_update(
                     placed[name], accums[name], idx, gy, mesh=mesh,
-                    lr=lr, eps=eps, weights=w, mode=mode,
+                    lr=lr, eps=eps, offsets=off, weights=w, mode=mode,
                     data_axis=data_axis, model_axis=axis,
                 )
             )

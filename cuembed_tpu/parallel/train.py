@@ -564,6 +564,7 @@ def column_sharded_sgd_sparse_update(
     *,
     mesh: Mesh,
     lr: float,
+    offsets: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
     mode: CombineMode = CombineMode.SUM,
     data_axis: str = "data",
@@ -579,12 +580,49 @@ def column_sharded_sgd_sparse_update(
     Row-sharding + routed updates is the production layout; this exists
     for the column layout's symmetry (wide tables whose single rows
     exceed one chip's comfortable tile).
+
+    CSR follows the column LOOKUP's convention — replicated flat CSR:
+    ``indices [nnz]`` / ``offsets [batch + 1]`` / ``weights [nnz]`` all
+    ``P(None)``, ``grad_y [batch, W]`` ``P(None, model)`` (already
+    global, so no data-axis gather is needed).
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("pooled updates only; CONCAT unsupported")
     if weights is not None and mode != CombineMode.SUM:
         raise ValueError("weights are only supported with CombineMode.SUM")
     from cuembed_tpu.train import sgd_sparse_update as _sgd
+
+    if offsets is not None:
+        if indices.ndim != 1 or offsets.ndim != 1:
+            raise ValueError(
+                "column-sharded CSR wants replicated flat CSR "
+                "(indices [nnz], offsets [batch+1]) — the "
+                "column_sharded_lookup convention"
+            )
+        in_specs = [P(None, model_axis), P(None), P(None, model_axis)]
+        args = [table, indices.astype(jnp.int32), grad_y]
+        if weights is not None:
+            in_specs.append(P(None))
+            args.append(weights)
+        in_specs.append(P(None))
+        args.append(offsets.astype(jnp.int32))
+
+        def local_csr(table_l, idx_l, gy_l, *rest):
+            rest = list(rest)
+            w_l = rest.pop(0) if weights is not None else None
+            offs_l = rest.pop(0)
+            return _sgd(
+                table_l, idx_l, gy_l, lr=lr, offsets=offs_l,
+                weights=w_l, mode=mode,
+            )
+
+        return shard_map(
+            local_csr,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=P(None, model_axis),
+            check_vma=False,
+        )(*args)
 
     in_specs = [
         P(None, model_axis), P(data_axis, None), P(data_axis, model_axis),
@@ -623,6 +661,7 @@ def column_sharded_rowwise_adagrad_sparse_update(
     mesh: Mesh,
     lr: float,
     eps: float = 1e-8,
+    offsets: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
     mode: CombineMode = CombineMode.SUM,
     data_axis: str = "data",
@@ -637,6 +676,11 @@ def column_sharded_rowwise_adagrad_sparse_update(
     accumulator update. The deterministic sort makes the unique-row
     ordering identical on every shard, so the psum-ed vectors align.
     ``accum``: ``[V]`` fp32 replicated (``P(None)``).
+
+    CSR (``offsets``) takes the replicated flat layout of
+    :func:`column_sharded_sgd_sparse_update`; the model shards all see
+    the identical global COO, so the deterministic sort keeps the
+    psum'd unique-row vectors aligned exactly as in the fixed path.
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("pooled updates only; CONCAT unsupported")
@@ -644,25 +688,53 @@ def column_sharded_rowwise_adagrad_sparse_update(
         raise ValueError("weights are only supported with CombineMode.SUM")
     full_width = table.shape[1]
 
-    in_specs = [
-        P(None, model_axis), P(None), P(data_axis, None),
-        P(data_axis, model_axis),
-    ]
-    args = [table, accum, indices.astype(jnp.int32), grad_y]
-    if weights is not None:
-        in_specs.append(P(data_axis, None))
-        args.append(weights)
+    if offsets is not None:
+        if indices.ndim != 1 or offsets.ndim != 1:
+            raise ValueError(
+                "column-sharded CSR wants replicated flat CSR "
+                "(indices [nnz], offsets [batch+1]) — the "
+                "column_sharded_lookup convention"
+            )
+        in_specs = [
+            P(None, model_axis), P(None), P(None), P(None, model_axis),
+        ]
+        args = [table, accum, indices.astype(jnp.int32), grad_y]
+        if weights is not None:
+            in_specs.append(P(None))
+            args.append(weights)
+        in_specs.append(P(None))
+        args.append(offsets.astype(jnp.int32))
+    else:
+        in_specs = [
+            P(None, model_axis), P(None), P(data_axis, None),
+            P(data_axis, model_axis),
+        ]
+        args = [table, accum, indices.astype(jnp.int32), grad_y]
+        if weights is not None:
+            in_specs.append(P(data_axis, None))
+            args.append(weights)
 
     def local(table_l, accum_l, idx_l, gy_l, *rest):
-        w_l = rest[0] if weights is not None else None
-        idx_g = jax.lax.all_gather(idx_l, data_axis, axis=0, tiled=True)
-        gy_g = jax.lax.all_gather(gy_l, data_axis, axis=0, tiled=True)
-        w_g = (
-            jax.lax.all_gather(w_l, data_axis, axis=0, tiled=True)
-            if w_l is not None
-            else None
-        )
-        flat, sids, coeff, gy, _ = _prep_coo(idx_g, None, w_g, mode, gy_g)
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        if offsets is not None:
+            offs_l = rest.pop(0)
+            flat, sids, coeff, gy, _ = _prep_coo(
+                idx_l, offs_l, w_l, mode, gy_l
+            )
+        else:
+            idx_g = jax.lax.all_gather(
+                idx_l, data_axis, axis=0, tiled=True
+            )
+            gy_g = jax.lax.all_gather(gy_l, data_axis, axis=0, tiled=True)
+            w_g = (
+                jax.lax.all_gather(w_l, data_axis, axis=0, tiled=True)
+                if w_l is not None
+                else None
+            )
+            flat, sids, coeff, gy, _ = _prep_coo(
+                idx_g, None, w_g, mode, gy_g
+            )
         m = flat.shape[0]
         rows_s, order = jax.lax.sort(
             [flat, jnp.arange(m, dtype=jnp.int32)], num_keys=1
@@ -823,6 +895,26 @@ def sharded_hybrid_rowwise_adagrad_sparse_update(
     )(*args)
 
 
+def _grid_update_shapes(table, indices, offsets, n_r, n_c, capacity_factor):
+    """Shared validation + capacity sizing for the grid-routed updates."""
+    if table.shape[0] % n_r or table.shape[1] % n_c:
+        raise ValueError("pad table rows/cols to multiples of the axes")
+    rows_per = table.shape[0] // n_r
+    w_local = table.shape[1] // n_c
+    if offsets is not None:
+        if indices.ndim != 2 or indices.shape[0] != n_r:
+            raise ValueError(
+                "sharded CSR wants indices [n_shards, cap]; see shard_csr"
+            )
+        nnz_l = indices.shape[1]
+    else:
+        batch, hotness = indices.shape
+        if batch % n_r != 0:
+            raise ValueError("batch must divide evenly across the row axis")
+        nnz_l = (batch // n_r) * hotness
+    return rows_per, w_local, nnz_l, _grid_cap(nnz_l, n_r, capacity_factor)
+
+
 def grid_sharded_sgd_sparse_update(
     table: jax.Array,
     indices: jax.Array,
@@ -830,6 +922,7 @@ def grid_sharded_sgd_sparse_update(
     *,
     mesh: Mesh,
     lr: float,
+    offsets: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
     mode: CombineMode = CombineMode.SUM,
     capacity_factor: float = 2.0,
@@ -843,6 +936,11 @@ def grid_sharded_sgd_sparse_update(
     each column group routes its own ``[*, W/n_c]`` gradient slices over
     the ROW axis to the owning row shard — nothing crosses the column
     axis (each chip owns its width slice outright).
+
+    With ``offsets``, indices take the sharded-CSR block layout
+    ``[n_r, cap]`` / ``[n_r, local_batch + 1]`` (``P(row_axis, None)``,
+    replicated over the column axis like fixed-hotness indices);
+    ``grad_y`` stays ``[batch, W]`` with ``batch = n_r * local_batch``.
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("routed updates pool rows; CONCAT unsupported")
@@ -850,15 +948,9 @@ def grid_sharded_sgd_sparse_update(
         raise ValueError("weights are only supported with CombineMode.SUM")
     n_r = mesh.shape[row_axis]
     n_c = mesh.shape[col_axis]
-    if table.shape[0] % n_r or table.shape[1] % n_c:
-        raise ValueError("pad table rows/cols to multiples of the axes")
-    rows_per = table.shape[0] // n_r
-    w_local = table.shape[1] // n_c
-    batch, hotness = indices.shape
-    if batch % n_r != 0:
-        raise ValueError("batch must divide evenly across the row axis")
-    nnz_l = (batch // n_r) * hotness
-    cap = _grid_cap(nnz_l, n_r, capacity_factor)
+    rows_per, w_local, nnz_l, cap = _grid_update_shapes(
+        table, indices, offsets, n_r, n_c, capacity_factor
+    )
 
     in_specs = [P(row_axis, col_axis), P(row_axis, None),
                 P(row_axis, col_axis)]
@@ -866,11 +958,16 @@ def grid_sharded_sgd_sparse_update(
     if weights is not None:
         in_specs.append(P(row_axis, None))
         args.append(weights)
+    if offsets is not None:
+        in_specs.append(P(row_axis, None))
+        args.append(offsets.astype(jnp.int32))
 
     def local(table_l, idx_l, gy_l, *rest):
-        w_l = rest[0] if weights is not None else None
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        offs_l = rest.pop(0) if offsets is not None else None
         flat, sids, coeff, gy, valid = _prep_coo(
-            idx_l, None, w_l, mode, gy_l
+            idx_l, offs_l, w_l, mode, gy_l
         )
         bucket = _bucket(flat, valid, n_r, rows_per)
 
@@ -905,6 +1002,7 @@ def grid_sharded_rowwise_adagrad_sparse_update(
     mesh: Mesh,
     lr: float,
     eps: float = 1e-8,
+    offsets: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
     mode: CombineMode = CombineMode.SUM,
     capacity_factor: float = 2.0,
@@ -917,7 +1015,10 @@ def grid_sharded_rowwise_adagrad_sparse_update(
     after routing, the owner computes its slice's per-unique-row squared
     sums and one ``psum`` over the COLUMN axis completes ``mean(G_r^2)``
     — column replicas of the ``P(row)`` accumulator stay identical by
-    construction.
+    construction. Sharded-CSR blocks (``offsets``) follow the layout of
+    :func:`grid_sharded_sgd_sparse_update`; the blocks are replicated
+    over the column axis, so every column group derives the identical
+    position stream and the psum'd slots align.
     """
     if mode == CombineMode.CONCAT:
         raise ValueError("routed updates pool rows; CONCAT unsupported")
@@ -925,18 +1026,12 @@ def grid_sharded_rowwise_adagrad_sparse_update(
         raise ValueError("weights are only supported with CombineMode.SUM")
     n_r = mesh.shape[row_axis]
     n_c = mesh.shape[col_axis]
-    if table.shape[0] % n_r or table.shape[1] % n_c:
-        raise ValueError("pad table rows/cols to multiples of the axes")
-    rows_per = table.shape[0] // n_r
     if accum.shape[0] != table.shape[0]:
         raise ValueError("accum must be row-aligned with the table")
     full_width = table.shape[1]
-    w_local = full_width // n_c
-    batch, hotness = indices.shape
-    if batch % n_r != 0:
-        raise ValueError("batch must divide evenly across the row axis")
-    nnz_l = (batch // n_r) * hotness
-    cap = _grid_cap(nnz_l, n_r, capacity_factor)
+    rows_per, w_local, nnz_l, cap = _grid_update_shapes(
+        table, indices, offsets, n_r, n_c, capacity_factor
+    )
 
     in_specs = [
         P(row_axis, col_axis), P(row_axis), P(row_axis, None),
@@ -946,11 +1041,16 @@ def grid_sharded_rowwise_adagrad_sparse_update(
     if weights is not None:
         in_specs.append(P(row_axis, None))
         args.append(weights)
+    if offsets is not None:
+        in_specs.append(P(row_axis, None))
+        args.append(offsets.astype(jnp.int32))
 
     def local(table_l, accum_l, idx_l, gy_l, *rest):
-        w_l = rest[0] if weights is not None else None
+        rest = list(rest)
+        w_l = rest.pop(0) if weights is not None else None
+        offs_l = rest.pop(0) if offsets is not None else None
         flat, sids, coeff, gy, valid = _prep_coo(
-            idx_l, None, w_l, mode, gy_l
+            idx_l, offs_l, w_l, mode, gy_l
         )
         bucket = _bucket(flat, valid, n_r, rows_per)
 

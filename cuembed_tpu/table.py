@@ -95,6 +95,7 @@ class EmbeddingTable:
         self.remap: Optional[np.ndarray] = None
         self._remap_dev: Optional[jax.Array] = None
         self.tiered_cfg: Optional[TieredConfig] = None
+        self._natural_order = False
         self._q_head = None  # ops.quant.QuantizedHead (opt-in, lossy)
         self._q_cfg: Optional[TieredConfig] = None
 
@@ -109,12 +110,19 @@ class EmbeddingTable:
         dtype=jnp.float32,
         mode: CombineMode = CombineMode.SUM,
         hot_bytes: int = DEFAULT_HOT_BYTES,
+        low_precision_math: bool = False,
+        layout: str = "auto",
+        vmem_table_bytes: int | None = None,
     ) -> "EmbeddingTable":
         scale = 1.0 / (width**0.5)
         table = jax.random.uniform(
             key, (num_categories, width), jnp.float32, -scale, scale
         ).astype(dtype)
-        return cls(table, mode=mode, hot_bytes=hot_bytes)
+        return cls(
+            table, mode=mode, hot_bytes=hot_bytes,
+            low_precision_math=low_precision_math, layout=layout,
+            vmem_table_bytes=vmem_table_bytes,
+        )
 
     @property
     def num_categories(self) -> int:
@@ -186,6 +194,7 @@ class EmbeddingTable:
             )
         self.remap = remap
         self._remap_dev = None
+        self._natural_order = False  # superseded by the measured reorder
         # The int8 head (if any) is a snapshot of the PREVIOUS physical
         # ordering; serving it against the new remap would return rows of
         # entirely different categories. Drop it — the existing
@@ -239,6 +248,76 @@ class EmbeddingTable:
             cfg = refine_tiered_config(cfg, remap[ci.reshape(1, -1)])
         self.tiered_cfg = cfg
 
+    def use_natural_order(
+        self, calibration_indices=None, calibration_offsets=None,
+        hotness: int = 1,
+    ) -> None:
+        """Zero-ceremony fast path: declare the id space ALREADY hot-first.
+
+        Production logs commonly assign category ids by descending
+        frequency (id 0 = most frequent). For such datasets the
+        observe/reorder/remap ceremony is a no-op: this method skips it
+        and calibrates the tiered config directly against the natural
+        ordering — no permutation, no remap gather, no relayout.
+
+        Correctness is unconditional (every backend returns the same
+        values); only SPEED depends on the claim. If the ids are NOT
+        frequency-ordered, the tiers misclassify and the engine degrades
+        toward the plain-gather rate — use :meth:`calibrate` instead.
+
+        ``calibration_indices`` (+ ``calibration_offsets`` for CSR), when
+        given, tighten the static per-chunk capacities to observed maxima
+        exactly as :meth:`refresh_layout` does; ``hotness`` seeds the
+        chunking when no calibration batch is supplied.
+        """
+        if self.remap is not None:
+            raise ValueError(
+                "the table was already reordered (refresh_layout); "
+                "natural order no longer holds for its storage layout"
+            )
+        if calibration_offsets is not None:
+            off = np.asarray(calibration_offsets)
+            batch = max(1, off.shape[0] - 1)
+            hotness = max(1, int(round(float(off[-1]) / batch)))
+        elif calibration_indices is not None:
+            ci = np.asarray(calibration_indices)
+            if ci.ndim >= 2:
+                hotness = int(ci.shape[-1])
+        ac_kw = dict(hot_bytes=self.hot_bytes)
+        if self.vmem_table_bytes is not None:
+            ac_kw["vmem_table_bytes"] = self.vmem_table_bytes
+        cfg = auto_config(
+            self.num_categories,
+            self.width,
+            jnp.dtype(self.table.dtype).itemsize,
+            max(1, hotness),
+            **ac_kw,
+        )
+        if cfg is not None and calibration_indices is not None:
+            from cuembed_tpu.utils.calibration import refine_tiered_config
+
+            ci = np.asarray(calibration_indices)
+            if calibration_offsets is not None:
+                ci = ci.reshape(-1)[
+                    : int(np.asarray(calibration_offsets)[-1])
+                ]
+            identity = np.arange(self.num_categories, dtype=np.int32)
+            head_f, cold_f = freq.tier_fractions(
+                ci, identity, cfg.mxu_head_rows, cfg.hot_rows, margin=1.15
+            )
+            cfg = auto_config(
+                self.num_categories,
+                self.width,
+                jnp.dtype(self.table.dtype).itemsize,
+                max(1, hotness),
+                cold_fraction=cold_f,
+                head_fraction=head_f,
+                **ac_kw,
+            )
+            cfg = refine_tiered_config(cfg, ci.reshape(1, -1))
+        self.tiered_cfg = cfg
+        self._natural_order = True
+
     def _compose_perm(self, perm: np.ndarray) -> np.ndarray:
         """Permutation taking the *current* layout to the new one.
 
@@ -283,11 +362,13 @@ class EmbeddingTable:
         from cuembed_tpu.ops.quant import int8_head_rows, quantize_head
         from cuembed_tpu.utils.frequency import calibrate_capacities
 
-        if self.tiered_cfg is None or self.remap is None:
+        if self.tiered_cfg is None or (
+            self.remap is None and not self._natural_order
+        ):
             raise ValueError(
-                "calibrate()/refresh_layout() first — the int8 head "
-                "extends the tiered layout (or the table is VMEM-served "
-                "already and needs no head)"
+                "calibrate()/refresh_layout()/use_natural_order() first — "
+                "the int8 head extends the tiered layout (or the table is "
+                "VMEM-served already and needs no head)"
             )
         if self._pack_k > 1:
             raise ValueError("int8 head supports wide tables only")
@@ -297,9 +378,10 @@ class EmbeddingTable:
         )
         cfg = replace(self.tiered_cfg, hot_rows=rows)
         if calibration_indices is not None:
-            remapped = self.remap[
-                np.asarray(calibration_indices).reshape(-1)
-            ]
+            flat_ids = np.asarray(calibration_indices).reshape(-1)
+            remapped = (
+                flat_ids if self.remap is None else self.remap[flat_ids]
+            )
             mid_s, cold_s = calibrate_capacities(
                 remapped, None, cfg.mxu_head_rows, rows,
                 cfg.chunk_elems, margin=1.15,
@@ -378,7 +460,11 @@ class EmbeddingTable:
             if self._remap_dev is None:
                 self._remap_dev = jnp.asarray(self.remap)
             remap_dev = self._remap_dev
-        tiered = self.tiered_cfg if self.remap is not None else None
+        tiered = (
+            self.tiered_cfg
+            if (self.remap is not None or self._natural_order)
+            else None
+        )
         if self._pack_k > 1:
             from cuembed_tpu.ops.narrow import narrow_lookup
 

@@ -541,30 +541,79 @@ def test_planned_grid_lookup_and_updates_match_single_chip(mesh):
     )
 
 
-def test_planned_grid_refuses_csr():
+def test_planned_grid_csr_lookup_and_update():
+    """CSR-trained tables keep the grid placement: sharded-CSR blocks
+    flow through the planned grid lookup and sparse update with no
+    runtime raise, matching the single-chip CSR semantics (reference
+    treats CSR co-equal with fixed: embedding_lookup.cuh:261-267)."""
+    from cuembed_tpu.ops.api import embedding_lookup_csr
+    from cuembed_tpu.parallel import shard_csr
+
     cfg = TableConfig("bw", 4096, 512, hotness=4)
     p = plan(
         [cfg], 4, batch=1024, cost=GRID_COST, grid_ok=True, col_shards=2,
     )
+    assert p.tables["bw"].placement == "grid_sharded"
     m = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("model", "data"))
-    t = {"bw": jax.device_put(
-        jnp.zeros((4096, 512), jnp.float32),
-        jax.sharding.NamedSharding(
+    rng = np.random.default_rng(41)
+    V, W, B = 4096, 512, 64
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    hots = rng.integers(0, 5, B)
+    offs = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    vals = rng.integers(0, V, max(int(offs[-1]), 1)).astype(np.int32)
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    ib, ob, _ = shard_csr(vals, offs, 4)
+    placed = apply_plan(p, {"bw": table}, m)
+    sh = jax.sharding.NamedSharding(
+        m, jax.sharding.PartitionSpec("model", None)
+    )
+    ibs = jax.device_put(jnp.asarray(ib), sh)
+    obs = jax.device_put(jnp.asarray(ob), sh)
+
+    got = planned_lookup(
+        p, placed, {"bw": ibs}, offsets={"bw": obs}, mesh=m,
+    )["bw"]
+    want = embedding_lookup_csr(
+        table, jnp.asarray(vals), jnp.asarray(offs), backend="xla"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(B, W), np.asarray(want),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    gys = jax.device_put(
+        gy, jax.sharding.NamedSharding(
             m, jax.sharding.PartitionSpec("model", "data")
         ),
-    )}
-    off = jnp.zeros((4, 17), jnp.int32)
-    idx = jnp.zeros((64, 4), jnp.int32)
-    gy = jnp.zeros((64, 512), jnp.float32)
-    with pytest.raises(NotImplementedError, match="grid"):
-        planned_lookup(
-            p, t, {"bw": idx}, offsets={"bw": off}, mesh=m,
-        )
-    with pytest.raises(NotImplementedError, match="grid"):
-        planned_sgd_update(
-            p, t, {"bw": idx}, {"bw": gy}, offsets={"bw": off},
-            mesh=m, lr=0.1,
-        )
+    )
+    new = planned_sgd_update(
+        p, placed, {"bw": ibs}, {"bw": gys}, offsets={"bw": obs},
+        mesh=m, lr=0.1,
+    )["bw"]
+    want_t = sgd_sparse_update(
+        table, jnp.asarray(vals), gy, lr=0.1, offsets=jnp.asarray(offs)
+    )
+    np.testing.assert_allclose(
+        np.asarray(new)[:V], np.asarray(want_t), rtol=1e-4, atol=1e-5
+    )
+
+    accums = planned_adagrad_init(p, placed, m)
+    new_t, new_a = planned_adagrad_update(
+        p, placed, accums, {"bw": ibs}, {"bw": gys},
+        offsets={"bw": obs}, mesh=m, lr=0.1,
+    )
+    want_t2, want_a = rowwise_adagrad_sparse_update(
+        table, jnp.zeros((V,), jnp.float32), jnp.asarray(vals), gy,
+        lr=0.1, offsets=jnp.asarray(offs),
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_t["bw"])[:V], np.asarray(want_t2),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_a["bw"])[:V], np.asarray(want_a),
+        rtol=1e-4, atol=1e-5,
+    )
 
 
 def test_plan_hybrid_wins_over_grid():

@@ -815,3 +815,217 @@ def test_grid_lookup_int8_compress_within_bound(grid_mesh):
     bound = (amax[idx_np] / 254).sum(axis=1) + 1e-5
     assert (np.abs(lossy - exact).max(axis=1) <= bound).all()
     np.testing.assert_allclose(lossy, exact, rtol=0.02, atol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# CSR parity for the grid / column placements (reference treats CSR as
+# co-equal with fixed everywhere: embedding_lookup.cuh:261-267)
+# ---------------------------------------------------------------------------
+
+
+def _csr_problem(rng, V, W, B, hmax):
+    hots = rng.integers(0, hmax + 1, B)
+    offs = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    vals = rng.integers(0, V, max(int(offs[-1]), 1)).astype(np.int32)
+    table = jnp.asarray(rng.standard_normal((V, W)).astype(np.float32))
+    gy = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+    return table, vals, offs, gy
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+def test_grid_lookup_csr_matches_single_chip(grid_mesh, mode):
+    """Sharded-CSR blocks through the grid (row x column) routing must
+    equal the single-chip CSR lookup on the global batch."""
+    from cuembed_tpu import embedding_lookup_csr
+    from cuembed_tpu.parallel import grid_sharded_lookup, shard_csr
+
+    rng = np.random.default_rng(30)
+    V, W, B = 512, 64, 32
+    table, vals, offs, _ = _csr_problem(rng, V, W, B, 6)
+    want = embedding_lookup_csr(
+        table, jnp.asarray(vals), jnp.asarray(offs), mode=mode,
+        backend="xla",
+    )
+
+    n_r = grid_mesh.shape["model"]
+    ib, ob, _ = shard_csr(vals, offs, n_r)
+    ts = jax.device_put(table, NamedSharding(grid_mesh, P("model", "data")))
+    ibs = jax.device_put(
+        jnp.asarray(ib), NamedSharding(grid_mesh, P("model", None))
+    )
+    obs = jax.device_put(
+        jnp.asarray(ob), NamedSharding(grid_mesh, P("model", None))
+    )
+    got = grid_sharded_lookup(
+        ts, ibs, None, obs, mesh=grid_mesh, mode=mode,
+        row_axis="model", col_axis="data",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(B, W), np.asarray(want),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_grid_lookup_csr_feature_sharded_output(grid_mesh):
+    """gather_output=False keeps the CSR block output feature-sharded."""
+    from cuembed_tpu import embedding_lookup_csr
+    from cuembed_tpu.parallel import grid_sharded_lookup, shard_csr
+
+    rng = np.random.default_rng(31)
+    V, W, B = 512, 64, 32
+    table, vals, offs, _ = _csr_problem(rng, V, W, B, 5)
+    n_r = grid_mesh.shape["model"]
+    ib, ob, _ = shard_csr(vals, offs, n_r)
+    ts = jax.device_put(table, NamedSharding(grid_mesh, P("model", "data")))
+    ibs = jax.device_put(
+        jnp.asarray(ib), NamedSharding(grid_mesh, P("model", None))
+    )
+    obs = jax.device_put(
+        jnp.asarray(ob), NamedSharding(grid_mesh, P("model", None))
+    )
+    got = grid_sharded_lookup(
+        ts, ibs, None, obs, mesh=grid_mesh, gather_output=False,
+        row_axis="model", col_axis="data",
+    )
+    want = embedding_lookup_csr(
+        table, jnp.asarray(vals), jnp.asarray(offs), backend="xla"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(B, W), np.asarray(want),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+def test_grid_sgd_csr_matches_single_chip(grid_mesh, mode):
+    from cuembed_tpu.parallel import (
+        grid_sharded_sgd_sparse_update,
+        shard_csr,
+    )
+
+    rng = np.random.default_rng(32)
+    V, W, B = 512, 64, 32
+    table, vals, offs, gy = _csr_problem(rng, V, W, B, 6)
+    want = sgd_sparse_update(
+        table, jnp.asarray(vals), gy, lr=0.1, offsets=jnp.asarray(offs),
+        mode=mode,
+    )
+
+    n_r = grid_mesh.shape["model"]
+    ib, ob, _ = shard_csr(vals, offs, n_r)
+    ts = jax.device_put(table, NamedSharding(grid_mesh, P("model", "data")))
+    ibs = jax.device_put(
+        jnp.asarray(ib), NamedSharding(grid_mesh, P("model", None))
+    )
+    obs = jax.device_put(
+        jnp.asarray(ob), NamedSharding(grid_mesh, P("model", None))
+    )
+    gys = jax.device_put(gy, NamedSharding(grid_mesh, P("model", "data")))
+    got = grid_sharded_sgd_sparse_update(
+        ts, ibs, gys, mesh=grid_mesh, lr=0.1, offsets=obs, mode=mode,
+        row_axis="model", col_axis="data",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_grid_adagrad_csr_matches_single_chip(grid_mesh):
+    from cuembed_tpu.parallel import (
+        grid_sharded_rowwise_adagrad_sparse_update,
+        shard_csr,
+    )
+
+    rng = np.random.default_rng(33)
+    V, W, B = 512, 64, 32
+    table, vals, offs, gy = _csr_problem(rng, V, W, B, 5)
+    accum0 = rowwise_adagrad_init(V) + 0.01
+    want_t, want_a = rowwise_adagrad_sparse_update(
+        table, accum0, jnp.asarray(vals), gy, lr=0.1,
+        offsets=jnp.asarray(offs),
+    )
+
+    n_r = grid_mesh.shape["model"]
+    ib, ob, _ = shard_csr(vals, offs, n_r)
+    ts = jax.device_put(table, NamedSharding(grid_mesh, P("model", "data")))
+    as_ = jax.device_put(accum0, NamedSharding(grid_mesh, P("model")))
+    ibs = jax.device_put(
+        jnp.asarray(ib), NamedSharding(grid_mesh, P("model", None))
+    )
+    obs = jax.device_put(
+        jnp.asarray(ob), NamedSharding(grid_mesh, P("model", None))
+    )
+    gys = jax.device_put(gy, NamedSharding(grid_mesh, P("model", "data")))
+    got_t, got_a = grid_sharded_rowwise_adagrad_sparse_update(
+        ts, as_, ibs, gys, mesh=grid_mesh, lr=0.1, offsets=obs,
+        row_axis="model", col_axis="data",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_a), np.asarray(want_a), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_t), np.asarray(want_t), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_column_sharded_sgd_csr_matches_single_chip(mesh2d, weighted):
+    """Replicated flat CSR (the column LOOKUP's convention) through the
+    column-sharded update must equal the single-chip CSR SGD."""
+    from cuembed_tpu.parallel import column_sharded_sgd_sparse_update
+
+    rng = np.random.default_rng(34)
+    V, W, B = 512, 64, 32
+    table, vals, offs, gy = _csr_problem(rng, V, W, B, 6)
+    w = (
+        rng.standard_normal(vals.shape[0]).astype(np.float32)
+        if weighted else None
+    )
+    want = sgd_sparse_update(
+        table, jnp.asarray(vals), gy, lr=0.1, offsets=jnp.asarray(offs),
+        weights=None if w is None else jnp.asarray(w),
+    )
+    ts = jax.device_put(table, NamedSharding(mesh2d, P(None, "model")))
+    xs = jax.device_put(jnp.asarray(vals), NamedSharding(mesh2d, P(None)))
+    obs = jax.device_put(jnp.asarray(offs), NamedSharding(mesh2d, P(None)))
+    gys = jax.device_put(gy, NamedSharding(mesh2d, P(None, "model")))
+    ws = (
+        jax.device_put(jnp.asarray(w), NamedSharding(mesh2d, P(None)))
+        if w is not None else None
+    )
+    got = column_sharded_sgd_sparse_update(
+        ts, xs, gys, mesh=mesh2d, lr=0.1, offsets=obs, weights=ws
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+def test_column_sharded_adagrad_csr_matches_single_chip(mesh2d, mode):
+    from cuembed_tpu.parallel import (
+        column_sharded_rowwise_adagrad_sparse_update,
+    )
+
+    rng = np.random.default_rng(35)
+    V, W, B = 512, 64, 32
+    table, vals, offs, gy = _csr_problem(rng, V, W, B, 5)
+    accum0 = rowwise_adagrad_init(V) + 0.02
+    want_t, want_a = rowwise_adagrad_sparse_update(
+        table, accum0, jnp.asarray(vals), gy, lr=0.1,
+        offsets=jnp.asarray(offs), mode=mode,
+    )
+    ts = jax.device_put(table, NamedSharding(mesh2d, P(None, "model")))
+    as_ = jax.device_put(accum0, NamedSharding(mesh2d, P(None)))
+    xs = jax.device_put(jnp.asarray(vals), NamedSharding(mesh2d, P(None)))
+    obs = jax.device_put(jnp.asarray(offs), NamedSharding(mesh2d, P(None)))
+    gys = jax.device_put(gy, NamedSharding(mesh2d, P(None, "model")))
+    got_t, got_a = column_sharded_rowwise_adagrad_sparse_update(
+        ts, as_, xs, gys, mesh=mesh2d, lr=0.1, offsets=obs, mode=mode
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_a), np.asarray(want_a), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_t), np.asarray(want_t), rtol=1e-5, atol=1e-5
+    )

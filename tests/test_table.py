@@ -158,3 +158,168 @@ def test_resize_table_grow_and_shrink():
     # no-op
     same = resize_table(t, 100)
     assert same.shape == (100, 16)
+
+
+# ---------------------------------------------------------------------------
+# use_natural_order: the zero-ceremony fast path for hot-first id spaces
+# ---------------------------------------------------------------------------
+
+
+def _force_tpu_dispatch(monkeypatch):
+    """Make dispatch believe it's on TPU so tiered_cfg engages (the
+    tiered engine itself runs fine on CPU — test_tiered.py covers it)."""
+    from cuembed_tpu.ops import dispatch
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+def test_use_natural_order_values_unchanged(monkeypatch, mode):
+    """Natural-order tiering must be value-identical to the plain path
+    (correctness is unconditional; only speed depends on the claim)."""
+    _force_tpu_dispatch(monkeypatch)
+    rng = np.random.default_rng(7)
+    t = EmbeddingTable.create(
+        jax.random.key(0), 600, 32, mode=mode, layout="raw", hot_bytes=4096,
+        vmem_table_bytes=1024,  # force tiering on a test-sized table
+    )
+    # hot-first ids: low ids dominate (the natural-order contract)
+    idx = np.minimum(
+        (rng.random((64, 8)) ** 3 * 600).astype(np.int64), 599
+    ).astype(np.int32)
+    before = np.asarray(t.lookup(jnp.asarray(idx)))
+
+    t.use_natural_order(calibration_indices=idx)
+    assert t.tiered_cfg is not None and t.remap is None
+    after = np.asarray(t.lookup(jnp.asarray(idx)))
+    np.testing.assert_allclose(after, before, rtol=2e-5, atol=2e-5)
+
+    # ids that are NOT hot-first still return exact values (only slower)
+    cold = rng.integers(0, 600, (16, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(t.lookup(jnp.asarray(cold))),
+        np.asarray(
+            EmbeddingTable(t.table, mode=mode, layout="raw").lookup(
+                jnp.asarray(cold)
+            )
+        ),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_use_natural_order_csr(monkeypatch):
+    _force_tpu_dispatch(monkeypatch)
+    rng = np.random.default_rng(8)
+    t = EmbeddingTable.create(
+        jax.random.key(1), 500, 32, layout="raw", hot_bytes=4096,
+        vmem_table_bytes=1024,
+    )
+    hots = rng.integers(0, 6, 48)
+    offs = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    vals = np.minimum(
+        (rng.random(int(offs[-1])) ** 3 * 500).astype(np.int64), 499
+    ).astype(np.int32)
+    before = np.asarray(
+        t.lookup(jnp.asarray(vals), offsets=jnp.asarray(offs))
+    )
+    t.use_natural_order(
+        calibration_indices=vals, calibration_offsets=offs
+    )
+    assert t.tiered_cfg is not None
+    after = np.asarray(
+        t.lookup(jnp.asarray(vals), offsets=jnp.asarray(offs))
+    )
+    np.testing.assert_allclose(after, before, rtol=2e-5, atol=2e-5)
+
+
+def test_use_natural_order_refuses_after_reorder():
+    rng = np.random.default_rng(9)
+    t = EmbeddingTable.create(
+        jax.random.key(2), 400, 16, layout="raw", vmem_table_bytes=1024,
+    )
+    idx = rng.integers(0, 400, (32, 4)).astype(np.int32)
+    t.calibrate(idx)
+    assert t.remap is not None
+    with pytest.raises(ValueError, match="already reordered"):
+        t.use_natural_order()
+
+
+def test_refresh_layout_supersedes_natural_order():
+    rng = np.random.default_rng(10)
+    t = EmbeddingTable.create(
+        jax.random.key(3), 400, 16, layout="raw", vmem_table_bytes=1024,
+    )
+    t.use_natural_order(hotness=4)
+    assert t._natural_order
+    idx = rng.integers(0, 400, (32, 4)).astype(np.int32)
+    t.calibrate(idx)
+    assert not t._natural_order  # measured reorder wins
+    assert t.remap is not None
+
+
+def test_int8_head_after_natural_order(monkeypatch):
+    """enable_int8_head accepts the natural-order layout (no remap)."""
+    _force_tpu_dispatch(monkeypatch)
+    rng = np.random.default_rng(11)
+    t = EmbeddingTable.create(
+        jax.random.key(4), 600, 128, layout="raw", hot_bytes=16384,
+        vmem_table_bytes=1024,
+    )
+    idx = np.minimum(
+        (rng.random((64, 8)) ** 3 * 600).astype(np.int64), 599
+    ).astype(np.int32)
+    exact = np.asarray(t.lookup(jnp.asarray(idx)))
+    t.use_natural_order(calibration_indices=idx)
+    t.enable_int8_head(calibration_indices=idx)
+    lossy = np.asarray(t.lookup(jnp.asarray(idx), use_int8_head=True))
+    np.testing.assert_allclose(lossy, exact, rtol=0.02, atol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# the one-time slow-path hint in auto dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_slow_path_hint_fires_once(monkeypatch):
+    import warnings as _w
+
+    from cuembed_tpu import embedding_lookup
+    from cuembed_tpu.ops import dispatch
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+    dispatch._slow_path_hinted.clear()
+    # > the 108 MB VMEM budget => tiered_auto_config is non-None
+    table = jnp.zeros((250_000, 128), jnp.float32)
+    idx = jnp.zeros((4, 2), jnp.int32)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        embedding_lookup(table, idx)
+    msgs = [str(r.message) for r in rec if "tiered engine" in str(r.message)]
+    assert len(msgs) == 1 and "EmbeddingTable" in msgs[0]
+
+    # second call on the same table: silent
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        embedding_lookup(table, idx)
+    assert not [r for r in rec2 if "tiered engine" in str(r.message)]
+    dispatch._slow_path_hinted.clear()
+
+
+def test_slow_path_hint_silent_when_ceremony_done(monkeypatch):
+    import warnings as _w
+
+    from cuembed_tpu.ops import dispatch
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+    dispatch._slow_path_hinted.clear()
+    t = EmbeddingTable.create(
+        jax.random.key(5), 600, 32, layout="raw", hot_bytes=4096,
+        vmem_table_bytes=1024,
+    )
+    t.use_natural_order(hotness=8)
+    idx = jnp.zeros((4, 8), jnp.int32)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        t.lookup(idx)
+    assert not [r for r in rec if "tiered engine" in str(r.message)]
+    dispatch._slow_path_hinted.clear()
