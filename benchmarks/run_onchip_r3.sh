@@ -14,8 +14,12 @@ FAST="${1:-}"
 export CUEMBED_SKIP_PROBE=1  # stage 1 already proves the tunnel
 log() { printf '\n=== [%s] %s ===\n' "$(date +%H:%M:%S)" "$*"; }
 
-log "stage 1: on-chip test lane (pytest -m tpu)"
-JAX_PLATFORMS=tpu python -m pytest tests/ -m tpu -q || exit 1
+if [ "${CUEMBED_SKIP_LANE:-}" = "1" ]; then
+  log "stage 1: SKIPPED (CUEMBED_SKIP_LANE=1 — lane already green this session)"
+else
+  log "stage 1: on-chip test lane (pytest -m tpu)"
+  JAX_PLATFORMS=tpu python -m pytest tests/ -m tpu -q || exit 1
+fi
 
 if [ "$FAST" != "fast" ]; then
   log "stage 2: full reference grid resweep (20 iters, stream gate)"

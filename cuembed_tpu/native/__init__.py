@@ -74,6 +74,36 @@ else:
     _HAS_OFFLOAD = False
 
 
+_fallback_noticed: set = set()
+
+
+def _fallback(feature: str) -> None:
+    """One-time notice (or hard error) when a hot path loses the C++ lib.
+
+    The numpy fallbacks are semantically identical but measurably slower
+    (offload ``prepare`` is ~3.7x slower — docs/PERF_NOTES.md); a user
+    who skipped ``make -C native`` should hear about it once instead of
+    silently paying it every batch. ``CUEMBED_NATIVE=require`` turns the
+    notice into an ImportError for deployments that must not regress.
+    """
+    if os.environ.get("CUEMBED_NATIVE", "").lower() == "require":
+        raise ImportError(
+            f"libcuembed_host.so not found and CUEMBED_NATIVE=require is "
+            f"set ({feature} would fall back to numpy); build it with "
+            f"`make -C native`"
+        )
+    if feature not in _fallback_noticed:
+        _fallback_noticed.add(feature)
+        import warnings
+
+        warnings.warn(
+            f"cuembed_tpu.native: libcuembed_host.so not found — "
+            f"{feature} is using the numpy fallback (identical results, "
+            f"slower host pipeline). Build it once: `make -C native`.",
+            stacklevel=3,
+        )
+
+
 def _ptr(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
@@ -97,6 +127,7 @@ def powerlaw_indices(
     draws.
     """
     if not AVAILABLE:
+        _fallback("powerlaw_indices (datagen)")
         from cuembed_tpu.utils.datagen import PowerLawGenerator
 
         gen = PowerLawGenerator(
@@ -236,6 +267,7 @@ def offload_prepare(
     tail = np.ascontiguousarray(tail, np.float32)
     width = tail.shape[1]
     if not _HAS_OFFLOAD:
+        _fallback("offload_prepare (host tail gather)")
         is_cold = idx >= hot
         uniq = np.unique(idx[is_cold]) - hot
         if uniq.shape[0] > cap:

@@ -111,3 +111,26 @@ def test_offload_prepare_matches_numpy_reference():
 
     with pytest.raises(ValueError, match="cold_cap"):
         native.offload_prepare(idx, hot, tail, 2)
+
+
+def test_fallback_notice_once(monkeypatch):
+    """Without the .so, the first numpy-fallback hot-path call warns once;
+    CUEMBED_NATIVE=require turns it into an ImportError."""
+    import warnings
+
+    monkeypatch.setattr(native, "AVAILABLE", False)
+    monkeypatch.setattr(native, "_HAS_OFFLOAD", False)
+    native._fallback_noticed.clear()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        native.powerlaw_indices(100, 4, 1.05, 8, seed=1)
+        native.powerlaw_indices(100, 4, 1.05, 8, seed=2)
+    hits = [r for r in rec if "numpy fallback" in str(r.message)]
+    assert len(hits) == 1 and "make -C native" in str(hits[0].message)
+
+    monkeypatch.setenv("CUEMBED_NATIVE", "require")
+    with pytest.raises(ImportError, match="make -C native"):
+        native.offload_prepare(
+            np.zeros(4, np.int32), 2, np.zeros((4, 8), np.float32), 4
+        )
+    native._fallback_noticed.clear()
