@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
 # Probe the axon TPU tunnel in a loop; whenever it is UP **and healthy**
 # (streaming rate above the sweep gate's own threshold), run the on-chip
-# runbook (benchmarks/run_onchip_r3.sh). If the runbook dies mid-run
+# runbook (benchmarks/run_onchip_r4.sh). If the runbook dies mid-run
 # (tunnel flap / degraded window), go back to probing and rerun — the
 # sweep stages use --resume, so completed work is never repeated.
 #
@@ -40,8 +40,8 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
   fi
   log "tunnel healthy: $(tail -1 /tmp/tunnel_probe.out)"
   attempt=$((attempt + 1))
-  log "launching run_onchip_r3.sh (attempt $attempt/$MAX_ATTEMPTS)"
-  bash benchmarks/run_onchip_r3.sh 2>&1 | tee -a /tmp/onchip_r3.log
+  log "launching run_onchip_r4.sh (attempt $attempt/$MAX_ATTEMPTS)"
+  bash benchmarks/run_onchip_r4.sh 2>&1 | tee -a /tmp/onchip_r4.log
   rc=${PIPESTATUS[0]}
   if [ "$rc" -eq 0 ]; then
     log "runbook finished clean (exit 0)"

@@ -92,9 +92,11 @@ def main():
     from cuembed_tpu.types import CombineMode
     from cuembed_tpu.utils.benchmarking import (
         backward_app_bytes,
-        chain_time,
         detect_hbm_peak_gbps,
         forward_app_bytes,
+        bump_from,
+        full_carry_x0,
+        robust_chain_time,
         stream_rate_gbps,
         transpose_app_bytes,
     )
@@ -117,41 +119,46 @@ def main():
             )
         print(f"[gate] stream {rate:.0f} GB/s ok", file=sys.stderr)
 
+    # Every step carries its FULL output array as loop state (not a
+    # [0,0] probe) — see benchmarking.bump_from: a scalar probe lets
+    # XLA dead-code-eliminate the measured work.
+    _bump_of = bump_from
+
     @functools.partial(jax.jit, static_argnames=("backend", "tiered"))
     def fwd_step(table, idx, carry, *, backend, tiered):
         i, dep = carry
-        ii = idx + (dep * 0).astype(jnp.int32)
+        ii = idx + _bump_of(dep)
         out = embedding_lookup(
             table, ii, mode=CombineMode.SUM,
             backend=backend, tiered_cfg=tiered,
         )
-        return (i + 1, out[0, 0].astype(jnp.float32))
+        return (i + 1, out.astype(jnp.float32))
 
     @functools.partial(jax.jit, static_argnames=("V", "W", "tiered"))
     def nfwd_step(packed, idx, carry, *, V, W, tiered):
         # Narrow points: the packed table was laid out ONCE at setup —
         # the timed path must never relayout storage (round-2 defect).
         i, dep = carry
-        ii = idx + (dep * 0).astype(jnp.int32)
+        ii = idx + _bump_of(dep)
         out = narrow_lookup(
             packed, V, W, ii, mode=CombineMode.SUM, tiered_cfg=tiered,
         )
-        return (i + 1, out[0, 0].astype(jnp.float32))
+        return (i + 1, out.astype(jnp.float32))
 
     @functools.partial(jax.jit, static_argnames=("batch", "hot"))
     def trans_step(flat_idx, carry, *, batch, hot):
         i, dep = carry
-        fi = flat_idx + (dep * 0).astype(jnp.int32)
+        fi = flat_idx + _bump_of(dep)
         sids = extract_row_ids_from_fixed(batch, hot)
         t_i, t_s, _ = transpose_op(sids.astype(jnp.int32), fi, None)
-        return (i + 1, (t_i[0] + t_s[0]).astype(jnp.float32))
+        return (i + 1, (t_i + t_s).astype(jnp.float32))
 
     @functools.partial(
         jax.jit, static_argnames=("num_categories", "tiered", "u_cap")
     )
     def bwd_step(gy, t_i, t_s, idx, carry, *, num_categories, tiered, u_cap):
         i, dep = carry
-        g = gy + dep.astype(gy.dtype) * 0
+        g = gy + _bump_of(dep).astype(gy.dtype)
         if tiered is not None:
             out = embedding_backward_compressed_tiered(
                 g, num_categories, idx, None, t_i, t_s, None,
@@ -159,25 +166,29 @@ def main():
             )
         else:
             out = embedding_backward_compressed_xla(g, t_i, t_s, None)
-        return (
-            i + 1,
-            out.rows[0, 0] + out.num_unique.astype(jnp.float32),
-        )
+        rows = out.rows.astype(jnp.float32)
+        rows = rows.at[0, 0].add(out.num_unique.astype(jnp.float32))
+        return (i + 1, rows)
 
-    def timed(step):
-        """Median-of-repeats + outlier policy (shared by the fixed and CSR
-        slices): a point whose slope spread (max/min) exceeds 2x is
-        re-measured once and flagged '!' in the name column if still
-        unstable; sub-resolution points re-time over a longer chain."""
+    def timed(step, *operands):
+        """min(rpc, fori) timing + outlier policy (shared by the fixed
+        and CSR slices). ``step(carry, *operands)``; all device arrays
+        the step reads MUST be operands (a closure capture bakes them
+        into the fori executable as constants). robust_chain_time takes
+        the min of per-RPC and on-device-fori chains — both upper
+        bounds; fori resolves the sub-ms points the ~1 ms/dispatch RPC
+        overhead used to inflate up to 10x (the round-2 width-32
+        defect). A point whose spread (max/min) exceeds 2x is
+        re-measured once and flagged '!' if still unstable."""
+        x0 = full_carry_x0(step, *operands)
+
         def once(lo, hi):
-            return chain_time(
-                step, (jnp.int32(0), jnp.float32(0)),
+            return robust_chain_time(
+                step, x0, operands=operands,
                 k_lo=lo, k_hi=hi, repeats=3, return_stats=True,
             )
 
         st = once(1, max(2, args.iters))
-        if st["median"] < 5e-4:
-            st = once(8, 8 + 4 * args.iters)
         flag = ""
         spread = st["max"] / max(st["min"], 1e-9)
         if spread > 2.0:
@@ -299,34 +310,33 @@ def main():
         @functools.partial(jax.jit, static_argnames=("backend", "tiered"))
         def cfwd_step(table, vals, offs, carry, *, backend, tiered):
             i, dep = carry
-            vv = vals + (dep * 0).astype(jnp.int32)
+            vv = vals + _bump_of(dep)
             out = embedding_lookup_csr(
                 table, vv, offs, mode=CombineMode.SUM,
                 backend=backend, tiered_cfg=tiered,
             )
-            return (i + 1, out[0, 0].astype(jnp.float32))
+            return (i + 1, out.astype(jnp.float32))
 
         @jax.jit
         def ctrans_step(vals, offs, carry):
             i, dep = carry
-            vv = vals + (dep * 0).astype(jnp.int32)
+            vv = vals + _bump_of(dep)
             sids = extract_row_ids_from_csr(offs, vv).astype(jnp.int32)
             live = (
                 jnp.arange(vv.shape[0], dtype=jnp.int32) < offs[-1]
             )
             masked = jnp.where(live, vv, jnp.iinfo(jnp.int32).max)
             t_i, t_s, _ = transpose_op(sids, masked, None)
-            return (i + 1, (t_i[0] + t_s[0]).astype(jnp.float32))
+            return (i + 1, (t_i + t_s).astype(jnp.float32))
 
         @jax.jit
         def cbwd_step(gy, t_i, t_s, carry):
             i, dep = carry
-            g = gy + dep.astype(gy.dtype) * 0
+            g = gy + _bump_of(dep).astype(gy.dtype)
             out = embedding_backward_compressed_xla(g, t_i, t_s, None)
-            return (
-                i + 1,
-                out.rows[0, 0] + out.num_unique.astype(jnp.float32),
-            )
+            rows = out.rows.astype(jnp.float32)
+            rows = rows.at[0, 0].add(out.num_unique.astype(jnp.float32))
+            return (i + 1, rows)
 
         gate()
         for V in CATS:
@@ -395,9 +405,10 @@ def main():
                             )
 
                         dt, fl = timed(
-                            lambda c: cfwd_step(table, vals, offs, c,
-                                                backend=backend,
-                                                tiered=tiered)
+                            lambda c, t, v, o: cfwd_step(
+                                t, v, o, c, backend=backend, tiered=tiered
+                            ),
+                            table, vals, offs,
                         )
                         # app bytes over LIVE entries (the reference's
                         # CSR accounting uses hotness/2 on average —
@@ -411,7 +422,8 @@ def main():
                                  fl)
 
                         dt_t, fl = timed(
-                            lambda c: ctrans_step(vals, offs, c)
+                            lambda c, v, o: ctrans_step(v, o, c),
+                            vals, offs,
                         )
                         tb = transpose_app_bytes(
                             nnz=cap, index_bytes=4, batch=B,
@@ -436,7 +448,8 @@ def main():
                             .integers(-10, 11, (B, W)).astype(np.float32)
                         )
                         dt_b, fl = timed(
-                            lambda c: cbwd_step(gy, t_i, t_s, c)
+                            lambda c, g, ti, ts: cbwd_step(g, ti, ts, c),
+                            gy, t_i, t_s,
                         )
                         bd = backward_app_bytes(
                             nnz=nnz_live, batch=B, width=W,
@@ -561,14 +574,17 @@ def main():
                                 tiered if nnz >= 65536 else None
                             )
                             dt, fl = timed(
-                                lambda c: nfwd_step(table, idx, c, V=V,
-                                                    W=W, tiered=tiered_n)
+                                lambda c, t, i: nfwd_step(
+                                    t, i, c, V=V, W=W, tiered=tiered_n
+                                ),
+                                table, idx,
                             )
                         else:
                             dt, fl = timed(
-                                lambda c: fwd_step(table, idx, c,
-                                                   backend=backend,
-                                                   tiered=tiered)
+                                lambda c, t, i: fwd_step(
+                                    t, i, c, backend=backend, tiered=tiered
+                                ),
+                                table, idx,
                             )
                         fb = forward_app_bytes(
                             batch=B, hotness=H, width=W, elem_bytes=elem,
@@ -580,7 +596,8 @@ def main():
                         # ---------------- transpose ----------------
                         flat = idx.reshape(-1)
                         dt_t, fl = timed(
-                            lambda c: trans_step(flat, c, batch=B, hot=H)
+                            lambda c, f: trans_step(f, c, batch=B, hot=H),
+                            flat,
                         )
                         tb = transpose_app_bytes(
                             nnz=nnz, index_bytes=4, batch=B,
@@ -615,10 +632,11 @@ def main():
                         u_cap = min(u_cap, nnz)
 
                         dt_b, fl = timed(
-                            lambda c: bwd_step(
-                                gy, t_i, t_s, idx, c, num_categories=V,
+                            lambda c, g, ti, ts, i: bwd_step(
+                                g, ti, ts, i, c, num_categories=V,
                                 tiered=tiered, u_cap=u_cap,
-                            )
+                            ),
+                            gy, t_i, t_s, idx,
                         )
                         bd = backward_app_bytes(
                             nnz=nnz, batch=B, width=W, num_unique=n_unique,

@@ -92,6 +92,106 @@ def chain_time(
     return slope(min)
 
 
+def opaque_bump(dep: jax.Array) -> jax.Array:
+    """A runtime-zero int32 the compiler cannot prove is zero.
+
+    Chained benchmark steps perturb their static operands with a value
+    derived from the carry so every iteration depends on the previous
+    one. The classic ``(dep * 0)`` trick works across separate dispatches
+    but NOT inside :func:`fori_chain_time`'s on-device loop — XLA folds
+    ``dep * 0`` to the constant 0 and hoists the entire body out of the
+    loop (measured: a "256 MB stream" timed at 2139 GB/s, 2.6x over HBM
+    peak). A comparison against an unreachable threshold has the same
+    runtime value (0) but is opaque to the algebraic simplifier.
+    """
+    return (dep > jnp.asarray(3e38, jnp.float32)).astype(jnp.int32)
+
+
+def fori_chain_time(
+    step: Callable,
+    x0,
+    *,
+    operands=(),
+    k_lo: int = 4,
+    k_hi: int = 16,
+    repeats: int = 3,
+    return_stats: bool = False,
+) -> Union[float, dict]:
+    """Per-step seconds with the chain run ON DEVICE in one executable.
+
+    :func:`chain_time` issues one dispatch per step; on the dev tunnel
+    each dispatch pays a round trip with **±10 ms variance in degraded
+    windows**, which poisons the slope of sub-millisecond steps (the
+    "stream gate failures" were this: the device streams ~680 GB/s while
+    RPC-chained timing reads 50-230). Here the whole chain is a
+    ``lax.fori_loop`` inside one executable: ``t(k) = RTT + k*step``, and
+    the slope over (k_lo, k_hi) cancels the RTT exactly. Requirements:
+
+    * ``step`` is fori-compatible (x -> x, same pytree/shape/dtype), and
+    * its perturbation of static operands must flow through
+      :func:`opaque_bump` — a ``dep * 0`` bump constant-folds inside the
+      loop and the body hoists out (see opaque_bump's docstring).
+
+    A fresh ``salt`` is mixed into the initial carry's first inexact
+    leaf on every call (``+ salt * 1e-38``), so no (executable, input)
+    pair ever repeats on memoizing tunnels.
+
+    ``operands``: device arrays the step reads (the table, the index
+    batch, ...), passed as ``step(carry, *operands)``. They MUST come
+    through here rather than being closed over — a closure capture
+    becomes a baked-in constant of the outer jit (measured: a 5.14 GB
+    table captured into the executable, wedging compile + upload).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(x0)
+    salt_i = next(
+        (i for i, leaf in enumerate(leaves)
+         if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact)),
+        None,
+    )
+    if salt_i is None:
+        raise ValueError(
+            "fori_chain_time needs at least one float leaf in x0 to "
+            "carry the anti-memoization salt"
+        )
+
+    def make(k):
+        @jax.jit
+        def run(x0_, salt, *ops):
+            ls = list(jax.tree_util.tree_leaves(x0_))
+            ls[salt_i] = ls[salt_i] + (salt * 1e-38).astype(
+                jnp.asarray(ls[salt_i]).dtype
+            )
+            x = jax.tree_util.tree_unflatten(treedef, ls)
+            return jax.lax.fori_loop(0, k, lambda i, c: step(c, *ops), x)
+
+        return run
+
+    f_lo, f_hi = make(k_lo), make(k_hi)
+
+    def t(f, salt):
+        t0 = time.perf_counter()
+        out = f(x0, jnp.float32(salt), *operands)
+        leaf = jax.tree_util.tree_leaves(out)[salt_i]
+        _ = float(jnp.sum(leaf) if getattr(leaf, "ndim", 0) else leaf)
+        return time.perf_counter() - t0
+
+    t(f_lo, -1.0)  # compile + warm
+    t(f_hi, -2.0)
+    lo = [t(f_lo, 10.0 + i) for i in range(repeats)]
+    hi = [t(f_hi, 100.0 + i) for i in range(repeats)]
+
+    def slope(red) -> float:
+        return max((red(hi) - red(lo)) / (k_hi - k_lo), 1e-9)
+
+    if return_stats:
+        return {
+            "min": slope(min),
+            "median": slope(statistics.median),
+            "max": slope(max),
+        }
+    return slope(min)
+
+
 # ---------------------------------------------------------------------------
 # Application-bandwidth formulas (reference manual_benchmark.cu)
 # ---------------------------------------------------------------------------
@@ -192,17 +292,97 @@ def lookups_per_sec(batch: int, hotness: int, seconds: float) -> float:
 def stream_rate_gbps(mib: int = 512) -> float:
     """Measured streaming-reduce bandwidth (GB/s) over a ``mib`` buffer.
 
-    The quiet-window gate (docs/PERF_NOTES.md #6): the dev tunnel has
-    degraded windows where every rate drops 10-20x for minutes. Known-good
-    v5e streams ~680 GB/s; callers should treat < ~half of
-    ``0.83 * detect_hbm_peak_gbps()`` as "degraded — do not trust or
-    commit measurements from this window".
+    Timed with :func:`fori_chain_time` (the whole chain on device in one
+    executable), so the number reflects DEVICE health, not tunnel RTT:
+    a ~0.4 ms stream step timed per-RPC reads 150-250 GB/s through a
+    noisy tunnel while the chip itself streams ~680 (measured both ways
+    in the same window). Known-good v5e streams ~680 GB/s; callers
+    should treat < ~half of ``0.83 * detect_hbm_peak_gbps()`` as
+    "device degraded — do not trust or commit measurements".
     """
     n = mib * 1024 * 1024 // 4
     big = jnp.arange(n, dtype=jnp.int32)
 
-    def step(c):
-        return c + jnp.sum(big + c.astype(jnp.int32)).astype(jnp.float32)
+    def step(c, big):
+        return c + jnp.sum(big + opaque_bump(c)).astype(jnp.float32)
 
-    dt = chain_time(step, jnp.float32(0), k_lo=1, k_hi=4, repeats=2)
+    # ~0.4 ms/step on a healthy v5e: a 128-step delta puts ~50 ms of
+    # device work between the two chain lengths, so even ±10 ms of
+    # residual RTT noise moves the slope < 20%.
+    dt = fori_chain_time(
+        step, jnp.float32(0), operands=(big,), k_lo=8, k_hi=136, repeats=3
+    )
     return mib * 1024 * 1024 / dt / 1e9
+
+
+def bump_from(dep: jax.Array) -> jax.Array:
+    """:func:`opaque_bump` from any carried output (array or scalar).
+
+    Timed steps must carry their FULL output array as chain state — a
+    scalar ``out[0, 0]`` probe lets XLA dead-code-eliminate the measured
+    work (algsimp rewrites slice(reduce(gather)) into a one-row gather;
+    a 256 MB gather measured 0.00 ms through a scalar probe on the CPU
+    backend). The next iteration perturbs its static operands with this
+    runtime-zero derived from the carried array.
+    """
+    return opaque_bump(jnp.ravel(dep)[0].astype(jnp.float32))
+
+
+def full_carry_x0(step: Callable, *operands) -> tuple:
+    """Initial ``(0, zeros)`` carry for a full-output-carrying step.
+
+    Discovers the carried output's shape/dtype with ``jax.eval_shape``
+    on a scalar bootstrap carry — steps must read their perturbation
+    via :func:`bump_from` (which tolerates scalar or array deps).
+    """
+    boot = (jnp.int32(0), jnp.float32(0))
+    o = jax.eval_shape(lambda c: step(c, *operands), boot)[1]
+    return (jnp.int32(0), jnp.zeros(o.shape, o.dtype))
+
+
+def robust_chain_time(
+    step: Callable,
+    x0,
+    *,
+    operands=(),
+    k_lo: int = 2,
+    k_hi: int = 10,
+    repeats: int = 3,
+    fori_crossover_s: float = 5e-3,
+    return_stats: bool = False,
+) -> Union[float, dict]:
+    """``min(rpc, fori)`` per-step seconds — both are upper bounds.
+
+    Measured facts (docs/PERF_NOTES.md §timing): per-RPC chained timing
+    carries ~1 ms/dispatch tunnel overhead, which inflates sub-ms steps
+    up to 10x (the round-2 width-32 sweep defect); the on-device
+    ``fori_loop`` chain cancels RTT exactly but runs the complex tiered
+    pipeline ~2x slower inside the loop (loop-carried scheduling).
+    Each method only ever ADDs overhead, so the min of the two mins is
+    the tightest available bound. fori is only consulted when the RPC
+    estimate is below ``fori_crossover_s`` (where RPC bias is material);
+    at/above it RPC and fori agree on simple steps (52.15 vs 52.27 ms
+    measured) and RPC is faithful.
+
+    ``step(carry, *operands)`` must be fori-compatible (carry -> carry,
+    same pytree) with a float leaf in ``x0``, and must perturb its
+    static operands through :func:`opaque_bump`.
+    """
+    st = chain_time(
+        lambda c: step(c, *operands), x0,
+        k_lo=k_lo, k_hi=k_hi, repeats=repeats, return_stats=True,
+    )
+    if st["min"] < fori_crossover_s:
+        # size the on-device chain so the slope delta dwarfs RTT noise
+        target = max(k_hi, int(0.1 / max(st["min"], 1e-6)))
+        fk_hi = min(1024, target)
+        fk_lo = max(2, fk_hi // 8)
+        fst = fori_chain_time(
+            step, x0, operands=operands,
+            k_lo=fk_lo, k_hi=fk_hi, repeats=2, return_stats=True,
+        )
+        if fst["min"] < st["min"]:
+            st = fst
+    if return_stats:
+        return st
+    return st["min"]

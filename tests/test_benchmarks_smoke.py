@@ -120,3 +120,25 @@ def test_sweep_runner_quick_and_resume(tmp_path, capsys):
 def test_profile_train_quick(capsys):
     out = _run("benchmarks/profile_train.py", ["--quick"], capsys)
     assert "sgd" in out.out.lower()
+
+
+def test_retune_headline_smoke(capsys):
+    out = _run(
+        "benchmarks/retune_headline.py", ["--smoke", "--iters", "2"],
+        capsys,
+    )
+    assert "GB/s" in out.out
+
+
+def test_offload_breakeven_sweep_host_only(tmp_path, capsys):
+    csv = str(tmp_path / "be.csv")
+    out = _run(
+        "benchmarks/offload_benchmark.py",
+        ["--sweep", "--host-only", "--hot", "4096", "--width", "32",
+         "--batch", "256", "--hotness", "4",
+         "--tails", "20000", "--batches", "256", "--csv", csv],
+        capsys,
+    )
+    assert "break-even sweep" in out.out
+    rows = open(csv).read().strip().splitlines()
+    assert rows[0].startswith("tail_rows") and len(rows) == 2

@@ -1,0 +1,154 @@
+"""Timing-helper correctness: the measurement layer itself.
+
+Round 4 found two defects in how this repo times device work (both
+measured on the real chip, docs/PERF_NOTES.md §timing):
+
+1. per-RPC chained timing carries ~1 ms/dispatch tunnel overhead, which
+   inflated every sub-ms sweep point (the round-2 width-32 rows were
+   10-40x high) — fixed by ``fori_chain_time`` (whole chain on device
+   in ONE executable; the slope between two chain lengths cancels RTT
+   exactly) and the ``robust_chain_time`` min(rpc, fori) policy;
+2. a scalar ``out[0, 0]`` carry probe lets XLA dead-code-eliminate the
+   measured work (a 256 MB gather timed 0.00 ms on the CPU backend) —
+   fixed by carrying the FULL output array as chain state
+   (``bump_from`` / ``full_carry_x0``).
+
+These tests pin the mechanics on CPU; magnitudes are asserted only
+where they are backend-independent (DCE resistance shows up as a
+measurable floor even on CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuembed_tpu.utils.benchmarking import (
+    bump_from,
+    chain_time,
+    fori_chain_time,
+    full_carry_x0,
+    opaque_bump,
+    robust_chain_time,
+    stream_rate_gbps,
+)
+
+
+def test_opaque_bump_is_runtime_zero():
+    assert int(opaque_bump(jnp.float32(0.0))) == 0
+    assert int(opaque_bump(jnp.float32(1e20))) == 0
+    assert opaque_bump(jnp.float32(3.0)).dtype == jnp.int32
+
+
+def test_bump_from_accepts_scalar_and_array():
+    assert int(bump_from(jnp.float32(2.0))) == 0
+    assert int(bump_from(jnp.zeros((4, 8)))) == 0
+
+
+def test_fori_chain_time_positive_and_operandized():
+    table = jnp.asarray(
+        np.random.default_rng(0).standard_normal((512, 64)),
+        dtype=jnp.float32,
+    )
+    idx = jnp.arange(128, dtype=jnp.int32) % 512
+
+    def step(c, table, idx):
+        i, dep = c
+        out = table[idx + bump_from(dep)]
+        return (i + 1, out)
+
+    x0 = (jnp.int32(0), jnp.zeros((128, 64), jnp.float32))
+    dt = fori_chain_time(step, x0, operands=(table, idx), k_lo=2, k_hi=8,
+                         repeats=2)
+    assert dt > 0
+
+    st = fori_chain_time(step, x0, operands=(table, idx), k_lo=2, k_hi=8,
+                         repeats=2, return_stats=True)
+    assert set(st) == {"min", "median", "max"}
+    assert st["min"] <= st["median"] <= st["max"]
+
+
+def test_fori_chain_time_requires_float_leaf():
+    def step(c):
+        return c + 1
+
+    with pytest.raises(ValueError, match="float leaf"):
+        fori_chain_time(step, jnp.int32(0), k_lo=1, k_hi=2)
+
+
+def test_full_carry_x0_discovers_output_shape():
+    table = jnp.ones((100, 32), jnp.bfloat16)
+    idx = jnp.zeros((16,), jnp.int32)
+
+    def step(c, table, idx):
+        i, dep = c
+        return (i + 1, table[idx + bump_from(dep)])
+
+    x0 = full_carry_x0(step, table, idx)
+    assert x0[1].shape == (16, 32)
+    assert x0[1].dtype == jnp.bfloat16
+
+
+def test_robust_chain_time_matches_chain_time_contract():
+    def step(c, v):
+        i, dep = c
+        return (i + 1, v * 1.0 + bump_from(dep))
+
+    v = jnp.ones((64,), jnp.float32)
+    x0 = (jnp.int32(0), jnp.zeros((64,), jnp.float32))
+    r = robust_chain_time(step, x0, operands=(v,), k_lo=1, k_hi=4,
+                          repeats=2, return_stats=True)
+    assert r["min"] >= 0 and r["min"] <= r["max"]
+    # scalar form
+    s = robust_chain_time(step, x0, operands=(v,), k_lo=1, k_hi=4,
+                          repeats=2)
+    assert isinstance(s, float)
+
+
+def test_full_carry_defeats_dce():
+    """The DCE regression this round fixed: through a scalar probe, a
+    large gather measures ~0 because XLA slices it to one row; through
+    a full-output carry it must do the work. On any backend the full
+    carry must measure materially slower than the probed one for a
+    gather whose output is ~100 MB."""
+    V, B, W = 4096, 262_144, 128  # out = 128 MB f32
+    table = jnp.asarray(
+        np.random.default_rng(1).standard_normal((V, W)), jnp.float32
+    )
+    idx = jnp.asarray(
+        np.random.default_rng(2).integers(0, V, B).astype(np.int32)
+    )
+
+    def probed(c, table, idx):
+        i, dep = c
+        out = table[idx + bump_from(dep)]
+        return (i + 1, out[0, 0] * 1.0)
+
+    def full(c, table, idx):
+        i, dep = c
+        out = table[idx + bump_from(dep)]
+        return (i + 1, out)
+
+    t_probe = fori_chain_time(
+        probed, (jnp.int32(0), jnp.float32(0)), operands=(table, idx),
+        k_lo=2, k_hi=16, repeats=2,
+    )
+    t_full = fori_chain_time(
+        full, full_carry_x0(full, table, idx), operands=(table, idx),
+        k_lo=2, k_hi=16, repeats=2,
+    )
+    # DCE'd probe collapses to ~0; the honest step moves >=128 MB.
+    assert t_full > 5 * t_probe, (t_probe, t_full)
+
+
+def test_stream_rate_runs():
+    r = stream_rate_gbps(8)
+    assert r > 0
+
+
+def test_chain_time_basic():
+    def step(x):
+        return x + 1.0
+
+    dt = chain_time(step, jnp.float32(0), k_lo=1, k_hi=4, repeats=2)
+    assert dt > 0
