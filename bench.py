@@ -111,10 +111,10 @@ def main():
     from cuembed_tpu.types import CombineMode
     from cuembed_tpu.utils.benchmarking import (
         bump_from,
-        chain_time,
+        robust_chain_time,
         detect_hbm_peak_gbps,
         forward_app_bytes,
-        full_carry_x0,
+        carry_probe,
         lookups_per_sec,
     )
     from cuembed_tpu.utils.datagen import PowerLawGenerator
@@ -195,18 +195,20 @@ def main():
         offs = jnp.asarray(offs_np.astype(np.int32))
 
         def make_csr_step(backend, cfg_b):
-            # The FULL output rides the carry (not a [0,0] probe): a
-            # scalar probe lets XLA DCE the gather — benchmarking.bump_from.
+            # Chain dependency = sum-of-squares of the full output
+            # (benchmarking.carry_probe): a bare scalar probe lets XLA
+            # DCE the gather. Operands (not closures): a captured table
+            # bakes into the fori executable as a constant.
             @jax.jit
-            def step(table, vals, offs, carry):
+            def step(carry, table, vals, offs):
                 i, dep = carry
                 vv = vals + bump_from(dep)
                 out = embedding_lookup_csr(
                     table, vv, offs, mode=CombineMode.SUM,
                     backend=backend, tiered_cfg=cfg_b,
                 )
-                return (i + 1, out)
-            return lambda carry: step(table, vals, offs, carry)
+                return (i + 1, carry_probe(out))
+            return step
 
         # parity: tiered vs plain XLA on the measured batch
         if tiered is not None:
@@ -227,8 +229,9 @@ def main():
             [("tiered", tiered)] if tiered is not None else []
         ) + [("xla", None)]:
             csr_step = make_csr_step(backend, cfg_b)
-            st = chain_time(
-                csr_step, full_carry_x0(csr_step),
+            st = robust_chain_time(
+                csr_step, (jnp.int32(0), jnp.float32(0)),
+                operands=(table, vals, offs),
                 k_lo=1, k_hi=4, repeats=3, return_stats=True,
             )
             results[backend] = st["min"]
@@ -342,7 +345,7 @@ def main():
             from cuembed_tpu.ops.quant import int8_serving_lookup
 
             @jax.jit
-            def step_full(q_data, idx_sets, carry):
+            def step_full(carry, q_data, idx_sets):
                 from cuembed_tpu.ops.quant import QuantizedHead
 
                 i, dep = carry
@@ -350,36 +353,36 @@ def main():
                 out = int8_serving_lookup(
                     QuantizedHead(q_data), idx, mode=CombineMode.SUM
                 )
-                return (i + 1, out)
+                return (i + 1, carry_probe(out))
 
-            return lambda carry: step_full(q_full.data, sets, carry)
+            return step_full, (q_full.data, sets)
 
         if backend == "tiered-int8":
             from cuembed_tpu.ops.tiered import tiered_forward
 
             @jax.jit
-            def step_int8(table, q_head, idx_sets, carry):
+            def step_int8(carry, table, q_head, idx_sets):
                 i, dep = carry
                 idx = idx_sets + bump_from(dep)
                 out = tiered_forward(
                     table, idx, mode=CombineMode.SUM, cfg=q_cfg,
                     q_head=q_head,
                 )
-                return (i + 1, out)
+                return (i + 1, carry_probe(out))
 
-            return lambda carry: step_int8(table, q_head, sets, carry)
+            return step_int8, (table, q_head, sets)
 
         @jax.jit
-        def step_impl(table, idx_sets, carry):
+        def step_impl(carry, table, idx_sets):
             i, dep = carry
             idx = idx_sets + bump_from(dep)
             out = embedding_lookup(
                 table, idx, mode=CombineMode.SUM, backend=backend,
                 tiered_cfg=tiered,
             )
-            return (i + 1, out)
+            return (i + 1, carry_probe(out))
 
-        return lambda carry: step_impl(table, sets, carry)
+        return step_impl, (table, sets)
 
     backends = (
         ["auto", "xla"] if args.backend == "best" else [args.backend]
@@ -387,9 +390,11 @@ def main():
     results, medians = {}, {}
     for backend in backends:
         try:
-            bstep = make_step(backend)
-            st = chain_time(bstep, full_carry_x0(bstep),
-                            k_lo=1, k_hi=4, repeats=3, return_stats=True)
+            bstep, ops = make_step(backend)
+            st = robust_chain_time(bstep, (jnp.int32(0), jnp.float32(0)),
+                                   operands=ops,
+                                   k_lo=1, k_hi=4, repeats=3,
+                                   return_stats=True)
             results[backend] = st["min"]
             medians[backend] = st["median"]
         except Exception as e:  # pragma: no cover

@@ -53,7 +53,7 @@ def main():
         chain_time,
         detect_hbm_peak_gbps,
         forward_app_bytes,
-        full_carry_x0,
+        carry_probe,
     )
     from cuembed_tpu.utils.calibration import calibrate_powerlaw_workload
     from cuembed_tpu.utils.frequency import calibrate_capacities
@@ -97,7 +97,7 @@ def main():
     peak = detect_hbm_peak_gbps()
 
     def time_cfg(cfg, q_head):
-        # Full output in the carry (benchmarking.bump_from): a scalar
+        # Output pinned via optimization_barrier (benchmarking.carry_probe): a bare scalar
         # probe is DCE-able and would flatter the measurement.
         @jax.jit
         def step(table, idx, carry):
@@ -107,11 +107,11 @@ def main():
                 table, ii, None, None, mode=CombineMode.SUM, cfg=cfg,
                 q_head=q_head,
             )
-            return (i + 1, out)
+            return (i + 1, carry_probe(out))
 
         wrapped = lambda c: step(table, idx, c)
         st = chain_time(
-            wrapped, full_carry_x0(wrapped),
+            wrapped, (jnp.int32(0), jnp.float32(0)),
             k_lo=max(1, args.iters // 4), k_hi=args.iters, repeats=2,
             return_stats=True,
         )

@@ -328,6 +328,42 @@ def bump_from(dep: jax.Array) -> jax.Array:
     return opaque_bump(jnp.ravel(dep)[0].astype(jnp.float32))
 
 
+def carry_probe(out) -> jax.Array:
+    """DCE-safe scalar chain dependency from a step's full output.
+
+    Carrying the FULL output array as loop state defeats dead-code
+    elimination but holds the array as live loop memory — at the sweep's
+    biggest backward point that is a 512 MB grad table carried across
+    the chain, which OOM'd the device (round 4, V=1M W=128 B=131072
+    H=64). The scalar must depend on EVERY output element through a
+    reduction no simplifier can rewrite away:
+
+    * a first-element probe is narrowable (slice(gather) → one-row
+      gather — the original DCE defect);
+    * ``lax.optimization_barrier`` is NOT a fence here: XLA's
+      OptimizationBarrierExpander removes it late in the pipeline and a
+      subsequent simplifier pass narrowed the gather anyway (measured on
+      the CPU backend: 0.009 ms/step for a 128 MB gather, k-independent);
+    * a LINEAR reduce (``sum``) is safe for gather/scatter today but
+      algebraically rewritable over matmul outputs
+      (``sum(A@B) = colsum(A) · rowsum(B)``) — a hazard for the tiered
+      engine's one-hot MXU combines.
+
+    Sum of SQUARES is nonlinear in the output, so no such identity
+    exists for gather, scatter, or dot; it fuses into the producing
+    kernel. Values stay far below the 3e38 ``opaque_bump`` threshold
+    (~1e8 for N(0,1) outputs at the sweep's largest shapes), so the
+    derived perturbation remains runtime-zero; a NaN probe also bumps 0
+    (``NaN > 3e38`` is false). Pinned by ``tests/test_timing.py``
+    against the full-carry reference.
+    """
+    acc = jnp.float32(0)
+    for leaf in jax.tree_util.tree_leaves(out):
+        x = jnp.asarray(leaf).astype(jnp.float32)
+        acc = acc + jnp.sum(x * x, dtype=jnp.float32)
+    return acc
+
+
 def full_carry_x0(step: Callable, *operands) -> tuple:
     """Initial ``(0, zeros)`` carry for a full-output-carrying step.
 

@@ -25,6 +25,7 @@ import pytest
 
 from cuembed_tpu.utils.benchmarking import (
     bump_from,
+    carry_probe,
     chain_time,
     fori_chain_time,
     full_carry_x0,
@@ -65,7 +66,10 @@ def test_fori_chain_time_positive_and_operandized():
     st = fori_chain_time(step, x0, operands=(table, idx), k_lo=2, k_hi=8,
                          repeats=2, return_stats=True)
     assert set(st) == {"min", "median", "max"}
-    assert st["min"] <= st["median"] <= st["max"]
+    # min<=median<=max is NOT guaranteed for degenerate (sub-µs) steps:
+    # each slope is clamped at 1e-9 independently, so a noise-negative
+    # median can clamp below the min. Positivity is the contract.
+    assert all(v > 0 for v in st.values())
 
 
 def test_fori_chain_time_requires_float_leaf():
@@ -139,6 +143,44 @@ def test_full_carry_defeats_dce():
     )
     # DCE'd probe collapses to ~0; the honest step moves >=128 MB.
     assert t_full > 5 * t_probe, (t_probe, t_full)
+
+    # carry_probe (sum-of-squares reduction) must behave like the full
+    # carry — every element feeds the probe, so the gather cannot be
+    # narrowed — while keeping the carried state scalar (the full carry
+    # OOM'd 512 MB backward points on-chip). The reduce may add
+    # overhead (unfused on CPU) but can never be faster than half the
+    # honest step.
+    def sos_probed(c, table, idx):
+        i, dep = c
+        out = table[idx + bump_from(dep)]
+        return (i + 1, carry_probe(out))
+
+    t_sos = fori_chain_time(
+        sos_probed, (jnp.int32(0), jnp.float32(0)),
+        operands=(table, idx), k_lo=2, k_hi=16, repeats=2,
+    )
+    assert t_sos > 5 * t_probe, (t_probe, t_sos)
+    assert t_sos > 0.5 * t_full, (t_full, t_sos)
+
+
+def test_carry_probe_scatter_not_eliminated():
+    """reduce(scatter) must not degrade to reduce(updates): sum of
+    SQUARES over a colliding scatter-add differs from the sum over its
+    updates (cross terms), so no rewrite exists — and the probe value
+    itself witnesses the collisions."""
+    upd = jnp.ones((6, 4), jnp.float32)
+    rows = jnp.asarray([0, 0, 1, 2, 2, 2], jnp.int32)
+    g = jnp.zeros((4, 4), jnp.float32).at[rows].add(upd)
+    # rows 0,1,2 get 2,1,3 hits -> sum of squares = 4*(4+1+9) = 56
+    assert float(carry_probe(g)) == 56.0
+
+
+def test_carry_probe_scalar_and_pytree():
+    out = jnp.ones((8, 16), jnp.bfloat16)
+    p = carry_probe(out)
+    assert p.shape == () and p.dtype == jnp.float32 and float(p) == 128.0
+    p2 = carry_probe((jnp.full((4,), 7, jnp.int32), jnp.ones((2,))))
+    assert float(p2) == 4 * 49 + 2
 
 
 def test_stream_rate_runs():
