@@ -84,7 +84,7 @@ def main():
         embedding_backward_compressed_xla,
     )
     from cuembed_tpu.ops.narrow import narrow_lookup, pack_narrow
-    from cuembed_tpu.ops.tiered import auto_config
+    from cuembed_tpu.ops.tiered import auto_config, tiering_profitable
     from cuembed_tpu.ops.transforms import (
         extract_row_ids_from_fixed,
         transpose as transpose_op,
@@ -381,9 +381,13 @@ def main():
                         nnz_live = int(offs_np[-1])
                         vals_np[:nnz_live] = dense[mask]
                         tiered = None
-                        if use_tier and alpha > 0:
+                        avg_hot = max(1, nnz_live // B)
+                        if (
+                            use_tier
+                            and alpha > 0
+                            and tiering_profitable(nnz_live, avg_hot)
+                        ):
                             vals_np[:nnz_live] = remap[vals_np[:nnz_live]]
-                            avg_hot = max(1, nnz_live // B)
                             cfg0 = auto_config(V, W, elem, avg_hot)
                             if cfg0 is not None:
                                 tiered = refine_tiered_config(
@@ -555,7 +559,15 @@ def main():
                         t0 = time.time()
                         idx_np = gen_batch(V, H, alpha, B, 7, permutation)
                         tiered = (
-                            tier_cfg.get(H) if (use_tier_base and alpha > 0)
+                            tier_cfg.get(H)
+                            if (
+                                use_tier_base
+                                and alpha > 0
+                                # production auto-dispatch gate: tiering
+                                # only wins inside the measured region
+                                # (tiered.tiering_profitable).
+                                and tiering_profitable(nnz, H)
+                            )
                             else None
                         )
                         if tiered is not None:
@@ -565,15 +577,9 @@ def main():
 
                         # ---------------- forward ----------------
                         if narrow:
-                            # tiering amortizes its per-chunk sort only
-                            # past ~64K lookups; small batches take the
-                            # plain packed gather.
-                            tiered_n = (
-                                tiered if nnz >= 65536 else None
-                            )
                             dt, fl = timed(
                                 lambda c, t, i: nfwd_step(
-                                    t, i, c, V=V, W=W, tiered=tiered_n
+                                    t, i, c, V=V, W=W, tiered=tiered
                                 ),
                                 table, idx,
                             )

@@ -160,6 +160,19 @@ class EmbeddingBag:
         tiered_cfg=None,
     ) -> jax.Array:
         if self._packed:
+            from cuembed_tpu.ops.tiered import tiering_profitable
+
+            # auto = fastest: the packed gather beats line-tiering outside
+            # the measured profitable batch-shape region
+            # (tiered.tiering_profitable); backend="tiered" forces it.
+            if (
+                backend == "auto"
+                and tiered_cfg is not None
+                and offsets is None
+                and indices.ndim == 2
+                and not tiering_profitable(indices.size, indices.shape[1])
+            ):
+                tiered_cfg = None
             return narrow_lookup(
                 table, self.num_categories, self.width, indices,
                 weights, offsets, mode=self.mode, tiered_cfg=tiered_cfg,

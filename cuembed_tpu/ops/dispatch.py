@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 
 from cuembed_tpu.ops import lookup_xla
-from cuembed_tpu.ops.tiered import TieredConfig, auto_config, tiered_forward
+from cuembed_tpu.ops.tiered import (
+    TieredConfig,
+    auto_config,
+    tiered_forward,
+    tiering_profitable,
+)
 from cuembed_tpu.types import CombineMode
 
 # One-time hint when auto-dispatch serves a >VMEM-budget table through the
@@ -42,6 +47,22 @@ def _on_tpu() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover - no backend at all
         return False
+
+
+def _call_profitable(indices, offsets) -> bool:
+    """Batch-shape side of the tiering decision (tiered.tiering_profitable).
+
+    Fixed-hotness reads the shape directly; CSR uses the static value
+    capacity and its implied average hotness (an upper bound — padded
+    batches overestimate, which only risks tiering a call the gate would
+    otherwise skip, never skipping a profitable one).
+    """
+    if offsets is None:
+        batch, hotness = indices.shape
+        return tiering_profitable(batch * hotness, hotness)
+    nnz = indices.shape[0]
+    batch = max(1, offsets.shape[0] - 1)
+    return tiering_profitable(nnz, nnz / batch)
 
 
 def pallas_forward_supported(table, indices, offsets, weights, mode) -> bool:
@@ -128,6 +149,14 @@ def forward(
             cfg_n = tiered_cfg
             if backend == "tiered" and cfg_n is None:
                 cfg_n = tiered_auto_config(table, indices, offsets, mode)
+            # auto = fastest: the packed gather beats line-tiering outside
+            # the measured profitable region (tiered.tiering_profitable).
+            if (
+                backend == "auto"
+                and cfg_n is not None
+                and not _call_profitable(indices, offsets)
+            ):
+                cfg_n = None
             packed = narrow_mod.pack_narrow(table)
             return narrow_mod.narrow_lookup(
                 packed, table.shape[0], w, indices, weights, offsets,
@@ -152,6 +181,11 @@ def forward(
         and tiered_cfg is not None
         and _on_tpu()
         and mode != CombineMode.CONCAT
+        # auto = fastest: outside the measured profitable batch-shape
+        # region the plain gather wins (up to 9x at hotness 1) — the
+        # calibrated layout stays valid, the call just routes around the
+        # chunk machinery. backend="tiered" remains an explicit override.
+        and _call_profitable(indices, offsets)
     ):
         cfg = tiered_cfg or tiered_auto_config(table, indices, offsets, mode)
         if cfg is not None:

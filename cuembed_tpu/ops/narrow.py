@@ -100,11 +100,10 @@ def narrow_lookup(
     ):
         from cuembed_tpu.ops.tiered import tiered_forward
 
-        out = tiered_forward(
+        return tiered_forward(
             packed, indices, None, weights, mode=mode, cfg=tiered_cfg,
             low_precision_math=low_precision_math, pack_k=k,
         )
-        return out
     acc_dt = accumulation_dtype(packed.dtype, low_precision_math)
 
     # Weight / MEAN coefficients come from the shared helper

@@ -128,6 +128,25 @@ class TieredConfig:
     csr_chunk_samples: int = 0
 
 
+def tiering_profitable(positions: int, avg_hotness: float) -> bool:
+    """Measured batch-shape law: does tiering beat the plain XLA gather?
+
+    The chunked sort + one-hot MXU combine carries fixed per-chunk costs
+    that only amortize with enough total positions, and its one-hot
+    combine only pays when several positions share a sample (hotness).
+    Over the full round-4 on-chip sweep (``benchmarks/results_v5e_r4.csv``,
+    108 points, both widths/vocabularies) the tiered engine wins 1.7-3.6x
+    whenever ``avg_hotness >= 4`` **and** ``positions >= 32768``, and
+    loses everywhere outside that region — up to 9x at hotness 1 /
+    width 32 (the per-chunk one-hot degenerates toward a square
+    [chunk, group] matmul) and ~1.2-2.1x at 16K-position batches where
+    the per-chunk machinery dominates. Auto-dispatch uses this gate;
+    ``backend="tiered"`` remains an explicit override. Re-derive per
+    chip generation from the sweep.
+    """
+    return avg_hotness >= 4 and positions >= 32768
+
+
 def _capacity(chunk_elems: int, p: float) -> int:
     """Static slot count for a binomial(chunk_elems, p) load, mean + 6σ."""
     p = min(max(p, 1e-3), 1.0)

@@ -467,9 +467,21 @@ class EmbeddingTable:
         )
         if self._pack_k > 1:
             from cuembed_tpu.ops.narrow import narrow_lookup
+            from cuembed_tpu.ops.tiered import tiering_profitable
 
             if remap_dev is not None:
                 indices = jnp.take(remap_dev, jnp.asarray(indices), axis=0)
+            # Line-tiering loses to the plain packed gather outside the
+            # measured profitable batch-shape region (up to 9x at
+            # hotness 1 / width 32 — tiered.tiering_profitable); the
+            # packed layout stays valid either way.
+            if (
+                tiered is not None
+                and offsets is None
+                and indices.ndim == 2
+                and not tiering_profitable(indices.size, indices.shape[1])
+            ):
+                tiered = None
             return narrow_lookup(
                 self.table, self._num_categories, self._width,
                 indices, weights, offsets, mode=self.mode,

@@ -404,3 +404,70 @@ def test_calibrate_capacity_factor():
     with pytest.raises(ValueError, match="counts"):
         calibrate_capacity_factor(np.zeros(10), 8, 64, 4)
     assert calibrate_capacity_factor(uniform, 1, 64, 4) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# tiering_profitable: the measured batch-shape gate (round-4 sweep law)
+# ---------------------------------------------------------------------------
+
+
+def test_tiering_profitable_law():
+    from cuembed_tpu.ops.tiered import tiering_profitable
+
+    # Winners in benchmarks/results_v5e_r4.csv (tiered 1.7-3.6x faster):
+    assert tiering_profitable(32768 * 16, 16)
+    assert tiering_profitable(1024 * 64, 64)
+    assert tiering_profitable(131072 * 16, 16)
+    # Losers (plain gather faster, up to 9x at hotness 1):
+    assert not tiering_profitable(131072 * 1, 1)     # H=1: no combine reuse
+    assert not tiering_profitable(1024 * 16, 16)     # 16K positions: chunk
+    assert not tiering_profitable(1024 * 1, 1)       # machinery dominates
+
+
+def test_auto_dispatch_gates_unprofitable_tiering(monkeypatch):
+    """backend='auto' + tiered_cfg must route around the tiered engine
+    outside the profitable region (and through it inside), while
+    backend='tiered' stays an explicit override."""
+    import jax
+
+    from cuembed_tpu.ops import dispatch
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+    calls = []
+    real = dispatch.tiered_forward
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dispatch, "tiered_forward", spy)
+
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.standard_normal((512, 128)), jnp.float32)
+    cfg = TieredConfig(
+        hot_rows=64, chunk_elems=64, cold_slots=64,
+        mxu_head_rows=16, mid_slots=64,
+    )
+
+    # Unprofitable shape (hotness 1): auto takes the XLA path.
+    idx1 = jnp.asarray(rng.integers(0, 512, (64, 1)).astype(np.int32))
+    dispatch.forward(
+        table, idx1, None, None, mode=CombineMode.SUM,
+        backend="auto", tiered_cfg=cfg,
+    )
+    assert not calls
+
+    # Same shape, explicit backend='tiered': forced through the engine.
+    dispatch.forward(
+        table, idx1, None, None, mode=CombineMode.SUM,
+        backend="tiered", tiered_cfg=cfg,
+    )
+    assert len(calls) == 1
+
+    # Profitable shape (>= 32768 positions, hotness >= 4): auto tiers.
+    idx2 = jnp.asarray(rng.integers(0, 512, (4096, 8)).astype(np.int32))
+    dispatch.forward(
+        table, idx2, None, None, mode=CombineMode.SUM,
+        backend="auto", tiered_cfg=cfg,
+    )
+    assert len(calls) == 2
