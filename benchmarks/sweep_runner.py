@@ -84,7 +84,11 @@ def main():
         embedding_backward_compressed_xla,
     )
     from cuembed_tpu.ops.narrow import narrow_lookup, pack_narrow
-    from cuembed_tpu.ops.tiered import auto_config, tiering_profitable
+    from cuembed_tpu.ops.tiered import (
+        auto_config,
+        csr_combine_config,
+        tiering_profitable,
+    )
     from cuembed_tpu.ops.transforms import (
         extract_row_ids_from_fixed,
         transpose as transpose_op,
@@ -96,11 +100,16 @@ def main():
         forward_app_bytes,
         bump_from,
         carry_probe,
+        measure_until_plausible,
+        plausible_floor_s,
         robust_chain_time,
         stream_rate_gbps,
         transpose_app_bytes,
     )
-    from cuembed_tpu.utils.calibration import refine_tiered_config
+    from cuembed_tpu.utils.calibration import (
+        calibrate_csr_fields,
+        refine_tiered_config,
+    )
     from cuembed_tpu.utils.datagen import PowerLawGenerator
     from cuembed_tpu.utils.frequency import count_frequencies, frequency_order
 
@@ -170,31 +179,47 @@ def main():
             out = embedding_backward_compressed_xla(g, t_i, t_s, None)
         return (i + 1, carry_probe((out.rows, out.num_unique)))
 
-    def timed(step, *operands):
-        """min(rpc, fori) timing + outlier policy (shared by the fixed
-        and CSR slices). ``step(carry, *operands)``; all device arrays
-        the step reads MUST be operands (a closure capture bakes them
-        into the fori executable as constants). robust_chain_time takes
-        the min of per-RPC and on-device-fori chains — both upper
-        bounds; fori resolves the sub-ms points the ~1 ms/dispatch RPC
-        overhead used to inflate up to 10x (the round-2 width-32
-        defect). A point whose spread (max/min) exceeds 2x is
-        re-measured once and flagged '!' if still unstable."""
+    hbm_peak = detect_hbm_peak_gbps()
+
+    def timed(step, *operands, app_bytes=0):
+        """min(rpc, fori) timing + outlier + plausibility policy (shared
+        by the fixed and CSR slices). ``step(carry, *operands)``; all
+        device arrays the step reads MUST be operands (a closure capture
+        bakes them into the fori executable as constants).
+        robust_chain_time takes the min of per-RPC and on-device-fori
+        chains — both upper bounds; fori resolves the sub-ms points the
+        ~1 ms/dispatch RPC overhead used to inflate up to 10x (the
+        round-2 width-32 defect). A point whose spread (max/min) exceeds
+        2x is re-measured once and flagged '!' if still unstable.
+
+        Plausibility gate (round-5 policy): a median faster than
+        ``app_bytes / (1.25 * HBM peak)`` is physically impossible — a
+        noise spike ate the chain slope (round 4 committed 0.00 ms /
+        262,144 GB/s rows this way). Such a point is re-measured up to
+        twice and, if still impossible, flagged '!impossible' so no
+        consumer can mistake it for a measurement
+        (tests/test_sweep_emitter.py pins the policy)."""
         x0 = (jnp.int32(0), jnp.float32(0))
 
-        def once(lo, hi):
+        def once():
             return robust_chain_time(
                 step, x0, operands=operands,
-                k_lo=lo, k_hi=hi, repeats=3, return_stats=True,
+                k_lo=1, k_hi=max(2, args.iters), repeats=3,
+                return_stats=True,
             )
 
-        st = once(1, max(2, args.iters))
+        floor = plausible_floor_s(app_bytes, hbm_peak)
+        st = measure_until_plausible(once, floor)
         flag = ""
+        if st["implausible"]:
+            log(f"IMPOSSIBLE point (median {st['median'] * 1e3:.4f} ms < "
+                f"floor {floor * 1e3:.4f} ms) after retries — flagging")
+            return st["median"], "!impossible"
         spread = st["max"] / max(st["min"], 1e-9)
         if spread > 2.0:
-            st2 = once(1, max(2, args.iters))
+            st2 = measure_until_plausible(once, floor)
             s2 = st2["max"] / max(st2["min"], 1e-9)
-            if s2 < spread:
+            if not st2["implausible"] and s2 < spread:
                 st, spread = st2, s2
             if spread > 2.0:
                 flag = "!"
@@ -230,7 +255,17 @@ def main():
                 int(row["hotness"]), float(row["alpha"]),
                 int(row["embed_width"]), int(row["is_csr"]),
             )
-            stages_of.setdefault(ck, set()).add(row["name"].rstrip("!"))
+            # '!impossible' rows (and legacy 0.00-ms rows) never count as
+            # done — the whole config re-measures under the gate.
+            name = row["name"].split("!")[0]
+            bad = (
+                "impossible" in row["name"]
+                or float(row["avg_time_ms"]) <= 0.0
+            )
+            if not bad:
+                stages_of.setdefault(ck, set()).add(name)
+            else:
+                stages_of.setdefault(ck, set())
             row_keys.append((ck, line))
         complete = {
             ck for ck, st in stages_of.items()
@@ -261,10 +296,12 @@ def main():
         csv_f.write(CSV_HEADER + "\n")
 
     def emit(V, B, H, alpha, W, name, ms, bw_l2, bw_dram, flag=""):
+        # 4-decimal ms (0.1 us resolution): the reference grid's fastest
+        # points are ~5 us and the round-4 2-decimal format zeroed them.
         csv_f.write(
             f"{V},{B},{H},{alpha},{W},kSum,0,0,1,1,{name}{flag},"
             f"{args.iters},"
-            f"{ms * args.iters:.2f},{ms:.2f},{bw_l2:.2f},{bw_dram:.2f}\n"
+            f"{ms * args.iters:.4f},{ms:.4f},{bw_l2:.2f},{bw_dram:.2f}\n"
         )
 
     def log(msg):
@@ -382,18 +419,28 @@ def main():
                         vals_np[:nnz_live] = dense[mask]
                         tiered = None
                         avg_hot = max(1, nnz_live // B)
-                        if (
-                            use_tier
-                            and alpha > 0
-                            and tiering_profitable(nnz_live, avg_hot)
-                        ):
-                            vals_np[:nnz_live] = remap[vals_np[:nnz_live]]
-                            cfg0 = auto_config(V, W, elem, avg_hot)
-                            if cfg0 is not None:
-                                tiered = refine_tiered_config(
-                                    cfg0, vals_np[:nnz_live],
-                                    capacity_margin=1.12,
+                        if tiering_profitable(nnz_live, avg_hot):
+                            if use_tier and alpha > 0:
+                                vals_np[:nnz_live] = (
+                                    remap[vals_np[:nnz_live]]
                                 )
+                                cfg0 = auto_config(V, W, elem, avg_hot)
+                                if cfg0 is not None:
+                                    tiered = refine_tiered_config(
+                                        cfg0, vals_np[:nnz_live],
+                                        capacity_margin=1.12,
+                                        calib_offsets=offs_np,
+                                        value_capacity=cap,
+                                    )
+                            else:
+                                # alpha=0 / unordered: combine-only CSR
+                                # engine (live slice + scatter-free
+                                # combine, no frequency order needed)
+                                cfg0 = csr_combine_config(V, avg_hot)
+                                if cfg0 is not None:
+                                    tiered = calibrate_csr_fields(
+                                        cfg0, offs_np, cap, margin=1.12
+                                    )
                         vals = jnp.asarray(vals_np)
                         offs = jnp.asarray(offs_np.astype(np.int32))
                         backend = "tiered" if tiered is not None else "auto"
@@ -402,16 +449,10 @@ def main():
                             csv_f.write(
                                 f"{V},{B},{H},{alpha},{W},kSum,1,0,1,1,"
                                 f"{name}{flag},{args.iters},"
-                                f"{ms * args.iters:.2f},{ms:.2f},"
+                                f"{ms * args.iters:.4f},{ms:.4f},"
                                 f"{bw_l2:.2f},{bw_dram:.2f}\n"
                             )
 
-                        dt, fl = timed(
-                            lambda c, t, v, o: cfwd_step(
-                                t, v, o, c, backend=backend, tiered=tiered
-                            ),
-                            table, vals, offs,
-                        )
                         # app bytes over LIVE entries (the reference's
                         # CSR accounting uses hotness/2 on average —
                         # manual_benchmark.cu:250-261); use the actual
@@ -420,16 +461,22 @@ def main():
                             batch=B, hotness=nnz_live / B, width=W,
                             elem_bytes=elem, mode=CombineMode.SUM,
                         )
+                        dt, fl = timed(
+                            lambda c, t, v, o: cfwd_step(
+                                t, v, o, c, backend=backend, tiered=tiered
+                            ),
+                            table, vals, offs, app_bytes=fb,
+                        )
                         emit_csr("forward", dt * 1e3, fb / dt / 1e9, 0.0,
                                  fl)
 
-                        dt_t, fl = timed(
-                            lambda c, v, o: ctrans_step(v, o, c),
-                            vals, offs,
-                        )
                         tb = transpose_app_bytes(
                             nnz=cap, index_bytes=4, batch=B,
                             compressed=True,
+                        )
+                        dt_t, fl = timed(
+                            lambda c, v, o: ctrans_step(v, o, c),
+                            vals, offs, app_bytes=tb,
                         )
                         emit_csr("transpose", dt_t * 1e3,
                                  tb / dt_t / 1e9, tb / dt_t / 1e9, fl)
@@ -449,10 +496,6 @@ def main():
                             np.random.default_rng(3)
                             .integers(-10, 11, (B, W)).astype(np.float32)
                         )
-                        dt_b, fl = timed(
-                            lambda c, g, ti, ts: cbwd_step(g, ti, ts, c),
-                            gy, t_i, t_s,
-                        )
                         bd = backward_app_bytes(
                             nnz=nnz_live, batch=B, width=W,
                             num_unique=n_unique, elem_bytes=elem,
@@ -463,6 +506,10 @@ def main():
                             num_unique=n_unique, elem_bytes=elem,
                             index_bytes=4, mode=CombineMode.SUM,
                             l2_variant=True,
+                        )
+                        dt_b, fl = timed(
+                            lambda c, g, ti, ts: cbwd_step(g, ti, ts, c),
+                            gy, t_i, t_s, app_bytes=bd,
                         )
                         emit_csr("backward", dt_b * 1e3, bl / dt_b / 1e9,
                                  bd / dt_b / 1e9, fl)
@@ -576,36 +623,36 @@ def main():
                         backend = "tiered" if tiered is not None else "auto"
 
                         # ---------------- forward ----------------
+                        fb = forward_app_bytes(
+                            batch=B, hotness=H, width=W, elem_bytes=elem,
+                            mode=CombineMode.SUM,
+                        )
                         if narrow:
                             dt, fl = timed(
                                 lambda c, t, i: nfwd_step(
                                     t, i, c, V=V, W=W, tiered=tiered
                                 ),
-                                table, idx,
+                                table, idx, app_bytes=fb,
                             )
                         else:
                             dt, fl = timed(
                                 lambda c, t, i: fwd_step(
                                     t, i, c, backend=backend, tiered=tiered
                                 ),
-                                table, idx,
+                                table, idx, app_bytes=fb,
                             )
-                        fb = forward_app_bytes(
-                            batch=B, hotness=H, width=W, elem_bytes=elem,
-                            mode=CombineMode.SUM,
-                        )
                         emit(V, B, H, alpha, W, "forward", dt * 1e3,
                              fb / dt / 1e9, 0.0, fl)
 
                         # ---------------- transpose ----------------
                         flat = idx.reshape(-1)
-                        dt_t, fl = timed(
-                            lambda c, f: trans_step(f, c, batch=B, hot=H),
-                            flat,
-                        )
                         tb = transpose_app_bytes(
                             nnz=nnz, index_bytes=4, batch=B,
                             compressed=True,
+                        )
+                        dt_t, fl = timed(
+                            lambda c, f: trans_step(f, c, batch=B, hot=H),
+                            flat, app_bytes=tb,
                         )
                         emit(V, B, H, alpha, W, "transpose", dt_t * 1e3,
                              tb / dt_t / 1e9, tb / dt_t / 1e9, fl)
@@ -635,13 +682,6 @@ def main():
                         u_cap = -(-int(n_unique * 1.3) // 65536) * 65536
                         u_cap = min(u_cap, nnz)
 
-                        dt_b, fl = timed(
-                            lambda c, g, ti, ts, i: bwd_step(
-                                g, ti, ts, i, c, num_categories=V,
-                                tiered=tiered, u_cap=u_cap,
-                            ),
-                            gy, t_i, t_s, idx,
-                        )
                         bd = backward_app_bytes(
                             nnz=nnz, batch=B, width=W, num_unique=n_unique,
                             elem_bytes=elem, index_bytes=4,
@@ -651,6 +691,16 @@ def main():
                             nnz=nnz, batch=B, width=W, num_unique=n_unique,
                             elem_bytes=elem, index_bytes=4,
                             mode=CombineMode.SUM, l2_variant=True,
+                        )
+                        # floor from the DRAM accounting (a true lower
+                        # bound on traffic; the l2 variant counts cached
+                        # re-reads and can exceed physical bytes)
+                        dt_b, fl = timed(
+                            lambda c, g, ti, ts, i: bwd_step(
+                                g, ti, ts, i, c, num_categories=V,
+                                tiered=tiered, u_cap=u_cap,
+                            ),
+                            gy, t_i, t_s, idx, app_bytes=bd,
                         )
                         emit(V, B, H, alpha, W, "backward", dt_b * 1e3,
                              bl / dt_b / 1e9, bd / dt_b / 1e9, fl)

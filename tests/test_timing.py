@@ -65,11 +65,13 @@ def test_fori_chain_time_positive_and_operandized():
 
     st = fori_chain_time(step, x0, operands=(table, idx), k_lo=2, k_hi=8,
                          repeats=2, return_stats=True)
-    assert set(st) == {"min", "median", "max"}
+    assert set(st) == {"min", "median", "max", "degenerate"}
     # min<=median<=max is NOT guaranteed for degenerate (sub-µs) steps:
     # each slope is clamped at 1e-9 independently, so a noise-negative
-    # median can clamp below the min. Positivity is the contract.
-    assert all(v > 0 for v in st.values())
+    # median can clamp below the min. Positivity is the contract; the
+    # 'degenerate' flag (round 5) marks a clamped slope so consumers
+    # re-measure instead of committing garbage.
+    assert all(v > 0 for k, v in st.items() if k != "degenerate")
 
 
 def test_fori_chain_time_requires_float_leaf():
@@ -102,7 +104,11 @@ def test_robust_chain_time_matches_chain_time_contract():
     x0 = (jnp.int32(0), jnp.zeros((64,), jnp.float32))
     r = robust_chain_time(step, x0, operands=(v,), k_lo=1, k_hi=4,
                           repeats=2, return_stats=True)
-    assert r["min"] >= 0 and r["min"] <= r["max"]
+    # min <= max is NOT guaranteed for noise-dominated sub-µs steps (the
+    # reductions are computed independently over noisy lo/hi lists);
+    # positivity and the stats contract are.
+    assert r["min"] > 0 and r["max"] > 0 and r["median"] > 0
+    assert "degenerate" in r
     # scalar form
     s = robust_chain_time(step, x0, operands=(v,), k_lo=1, k_hi=4,
                           repeats=2)
