@@ -189,7 +189,8 @@ def main():
         if cfg0 is not None:
             vals_np[:nnz_live] = remap[vals_np[:nnz_live]]
             tiered = refine_tiered_config(
-                cfg0, vals_np[:nnz_live], capacity_margin=1.1
+                cfg0, vals_np[:nnz_live], capacity_margin=1.1,
+                calib_offsets=offs_np, value_capacity=cap,
             )
         vals = jnp.asarray(vals_np)
         offs = jnp.asarray(offs_np.astype(np.int32))
@@ -296,14 +297,13 @@ def main():
         batch=B, hotness=H, width=W, elem_bytes=elem, mode=CombineMode.SUM
     )
 
-    # --- opt-in int8 head (--backend tiered-int8): quantize ONCE at setup
-    # (a serving cache, like the frequency reorder) and recalibrate the
-    # slot capacities for the ~2x-larger VMEM-served band. Lossy —
-    # documented bound in ops/quant.py — and excluded from "best".
+    # --- int8 serving modes: quantize ONCE at setup (a serving cache,
+    # like the frequency reorder). Lossy — documented bound in
+    # ops/quant.py — so they NEVER compete for the exact headline: under
+    # --backend best they are measured separately and reported as a
+    # clearly-labeled secondary "lossy" row beside the exact number.
     q_head, q_cfg = None, None
-    if args.backend == "tiered-int8":
-        if cfg is None:
-            raise SystemExit("tiered-int8 needs a >VMEM table (no head)")
+    if args.backend in ("tiered-int8", "best") and cfg is not None:
         from dataclasses import replace
 
         from cuembed_tpu.ops.quant import int8_head_rows, quantize_head
@@ -319,12 +319,14 @@ def main():
         q_head = jax.block_until_ready(quantize_head(table[:q_rows]))
         print(f"# int8 head: {q_rows} rows (vs {cfg.hot_rows} exact), "
               f"mid/cold slots {mid_s}/{cold_s}", file=sys.stderr)
+    elif args.backend == "tiered-int8":
+        raise SystemExit("tiered-int8 needs a >VMEM table (no head)")
 
-    # --- opt-in whole-table int8 (--backend int8-full): quantize the
-    # ENTIRE table once at setup — (W+128)/(W*elem) of the exact bytes;
-    # every gather serves from int8. Lossy serving mode like the head.
+    # --- whole-table int8 (int8-full): quantize the ENTIRE table once at
+    # setup — (W+128)/(W*elem) of the exact bytes; every gather serves
+    # from int8. Lossy serving mode like the head.
     q_full = None
-    if args.backend == "int8-full":
+    if args.backend in ("int8-full", "best"):
         from cuembed_tpu.ops.quant import quantize_head
 
         q_full = jax.block_until_ready(quantize_head(table))
@@ -387,8 +389,14 @@ def main():
     backends = (
         ["auto", "xla"] if args.backend == "best" else [args.backend]
     )
+    lossy_backends = []
+    if args.backend == "best":
+        if q_head is not None:
+            lossy_backends.append("tiered-int8")
+        if q_full is not None:
+            lossy_backends.append("int8-full")
     results, medians = {}, {}
-    for backend in backends:
+    for backend in backends + lossy_backends:
         try:
             bstep, ops = make_step(backend)
             st = robust_chain_time(bstep, (jnp.int32(0), jnp.float32(0)),
@@ -402,6 +410,52 @@ def main():
                   file=sys.stderr)
     if not results:
         raise SystemExit("no backend produced a result")
+
+    # Lossy int8 serving modes never take the exact headline: split them
+    # out and report them as a labeled secondary row (VERDICT r4 ask 6).
+    lossy_results = {
+        k: results.pop(k) for k in list(results)
+        if k in ("tiered-int8", "int8-full")
+        and args.backend == "best"
+    }
+    lossy_record = None
+    if lossy_results:
+        lb = min(lossy_results, key=lossy_results.get)
+        ldt = lossy_results[lb]
+        # measured error on the benchmark batch vs the exact path, plus
+        # the analytic per-element bound (ops/quant.py).
+        from cuembed_tpu.ops.quant import QuantizedHead, int8_serving_lookup
+        from cuembed_tpu.ops.tiered import tiered_forward
+
+        exact_ref = embedding_lookup(
+            table, idx_tiered if idx_tiered is not None else idx_sets,
+            mode=CombineMode.SUM, backend="xla",
+        ).astype(jnp.float32)
+        if lb == "tiered-int8":
+            lossy_out = tiered_forward(
+                table, idx_tiered, mode=CombineMode.SUM, cfg=q_cfg,
+                q_head=q_head,
+            ).astype(jnp.float32)
+        else:
+            exact_ref = embedding_lookup(
+                table, idx_sets, mode=CombineMode.SUM, backend="xla",
+            ).astype(jnp.float32)
+            lossy_out = int8_serving_lookup(
+                QuantizedHead(q_full.data), idx_sets, mode=CombineMode.SUM
+            ).astype(jnp.float32)
+        err = float(jnp.max(jnp.abs(lossy_out - exact_ref)))
+        lossy_record = {
+            "backend": lb,
+            "value": round(app_bytes / ldt / 1e9, 2),
+            "unit": "GB/s",
+            "time_ms": round(ldt * 1e3, 3),
+            "all_lossy_ms": {
+                k: round(v * 1e3, 3) for k, v in lossy_results.items()
+            },
+            "max_abs_err_measured": round(err, 4),
+            "err_bound": "<= max|row|/254 per element on int8-served "
+                         "rows (ops/quant.py; exact rows unaffected)",
+        }
 
     best_backend = min(results, key=results.get)
     dt = results[best_backend]
@@ -434,6 +488,8 @@ def main():
         "lookups_per_sec": round(lookups_per_sec(B, H, dt)),
         "hbm_peak_gbps": peak,
     }
+    if lossy_record is not None:
+        record["lossy_int8"] = lossy_record
     print(json.dumps(record))
 
 

@@ -38,8 +38,16 @@ LANES = 128
 # Auto-dispatch packs a raw narrow table inline only below this physical
 # size (lane-padded bytes): an 8 MB relayout costs ~25 us — noise next to
 # any lookup — while a 10M x 32 table costs ~20 ms per call (the round-2
-# sweep defect). Larger tables need caller-owned packed storage.
+# sweep defect). Larger tables need caller-owned packed storage. This is
+# the v5e fallback; the active bound comes from the chip's measured
+# record (cuembed_tpu.utils.chip.chip_constants()).
 NARROW_INLINE_PACK_BYTES = 8 * 1024 * 1024
+
+
+def _narrow_inline_pack_bytes() -> int:
+    from cuembed_tpu.utils.chip import chip_constants
+
+    return chip_constants()["narrow_inline_pack_bytes"]
 
 
 def _on_tpu() -> bool:
@@ -144,7 +152,7 @@ def forward(
         phys_bytes = table.shape[0] * LANES * table.dtype.itemsize
         if backend == "narrow" or (
             backend in ("auto", "tiered")
-            and phys_bytes <= NARROW_INLINE_PACK_BYTES
+            and phys_bytes <= _narrow_inline_pack_bytes()
         ):
             cfg_n = tiered_cfg
             if backend == "tiered" and cfg_n is None:

@@ -74,11 +74,22 @@ from cuembed_tpu.types import CombineMode, accumulation_dtype
 # Default VMEM budget for the hot head. v5e/v5p have 128 MiB of VMEM; the
 # VMEM-rate gather held to 112 MB operands in measurement (gather_rates.py:
 # 296-322 M rows/s bf16 at 96-112 MB), so keep a small headroom under that.
+# These module constants are the v5e fallback; the ACTIVE values come from
+# cuembed_tpu.utils.chip.chip_constants(), which re-derives them from a
+# committed on-chip measurement record (benchmarks/calibrate_chip.py) for
+# the attached device kind — the TPU analog of the reference querying its
+# device instead of hardcoding (embedding_lookup.cuh:356-363).
 DEFAULT_HOT_BYTES = 108 * 1024 * 1024
 
 # Tables at or below this size are served entirely by the fast in-VMEM
 # gather — the tiered split would only add overhead.
 VMEM_TABLE_BYTES = 108 * 1024 * 1024
+
+
+def _chip():
+    from cuembed_tpu.utils.chip import chip_constants
+
+    return chip_constants()
 
 
 @dataclass(frozen=True)
@@ -122,10 +133,25 @@ class TieredConfig:
     # CSR scatter-free combine: static bound on the number of samples a
     # chunk's positions may span. When 0 < csr_chunk_samples, the CSR
     # forward combines per chunk with a local-sample one-hot matmul and
-    # one small merge scatter instead of a full-position segment-sum.
-    # auto_config engages it at avg hotness >= ~10 with default chunking
-    # (the matmul cost scales with the sample capacity — see the gate).
+    # one small merge scatter instead of a full-position segment-sum
+    # (measured 1.19 ms vs 2.36 ms at 262K live positions, GS=320 —
+    # benchmarks/profile_csr.py). The matmul cost scales with this
+    # capacity, so auto_config engages it when the balanced span bound
+    # (2*chunk/hotness + 64) stays under ~chunk/3 — avg hotness >= ~8
+    # with default chunking; calibration measures the real spans.
     csr_chunk_samples: int = 0
+    # CSR live-position capacity: a static bound on ``offsets[-1]``.
+    # CSR callers pass a value buffer at worst-case capacity (batch *
+    # max_hotness) while the live prefix is typically ~half of it; every
+    # per-position cost (gathers, combines, scatters) then runs at 2x.
+    # The live prefix is CONTIGUOUS (CSR padding sits at the tail), so a
+    # calibrated capacity turns into a free static slice — measured 7.64
+    # -> 3.17 ms on the capacity-bound full gather alone
+    # (benchmarks/profile_csr.py). A batch with offsets[-1] >
+    # csr_live_cap falls back to the exact full-capacity path via the
+    # same ``lax.cond`` that guards the slot capacities. 0 = serve the
+    # full buffer (always exact).
+    csr_live_cap: int = 0
 
 
 def tiering_profitable(positions: int, avg_hotness: float) -> bool:
@@ -141,10 +167,15 @@ def tiering_profitable(positions: int, avg_hotness: float) -> bool:
     width 32 (the per-chunk one-hot degenerates toward a square
     [chunk, group] matmul) and ~1.2-2.1x at 16K-position batches where
     the per-chunk machinery dominates. Auto-dispatch uses this gate;
-    ``backend="tiered"`` remains an explicit override. Re-derive per
-    chip generation from the sweep.
+    ``backend="tiered"`` remains an explicit override. The thresholds
+    re-derive per chip from the committed measurement record
+    (``cuembed_tpu.utils.chip``); the v5e law is the fallback.
     """
-    return avg_hotness >= 4 and positions >= 32768
+    c = _chip()
+    return (
+        avg_hotness >= c["tiering_min_hotness"]
+        and positions >= c["tiering_min_positions"]
+    )
 
 
 def _capacity(chunk_elems: int, p: float) -> int:
@@ -163,8 +194,8 @@ def auto_config(
     *,
     cold_fraction: float = 0.25,
     head_fraction: float = 0.45,
-    hot_bytes: int = DEFAULT_HOT_BYTES,
-    vmem_table_bytes: int = VMEM_TABLE_BYTES,
+    hot_bytes: Optional[int] = None,
+    vmem_table_bytes: Optional[int] = None,
 ) -> Optional[TieredConfig]:
     """Pick a tiered config, or None when the whole table is VMEM-served.
 
@@ -172,8 +203,14 @@ def auto_config(
     lookups missing the hot head / hitting the MXU head rows; they only
     size the static capacities (correctness never depends on them thanks
     to the overflow fallback). Calibrate with
-    :func:`cuembed_tpu.utils.frequency.tier_fractions`.
+    :func:`cuembed_tpu.utils.frequency.tier_fractions`. ``hot_bytes`` /
+    ``vmem_table_bytes`` default to the attached chip's measured record
+    (``cuembed_tpu.utils.chip``).
     """
+    if hot_bytes is None:
+        hot_bytes = _chip()["hot_bytes"]
+    if vmem_table_bytes is None:
+        vmem_table_bytes = _chip()["vmem_table_bytes"]
     table_bytes = num_categories * width * itemsize
     if table_bytes <= vmem_table_bytes:
         return None
@@ -188,13 +225,12 @@ def auto_config(
     chunk_elems = group * hotness
     mid_fraction = max(0.02, 1.0 - cold_fraction - head_fraction)
     # CSR scatter-free combine: capacity = 2x the balanced per-chunk
-    # sample share + slack. The combine's one-hot matmul cost scales
-    # with this capacity, so the gate below (capacity <= chunk/4)
-    # engages it only when chunks span few samples — with the default
-    # 2048-element chunks that is avg hotness >= ~10. Lower hotness
-    # (where the capacity would approach the chunk size and the matmul
-    # would dwarf the scatter it replaces) takes the exact 2-tier
-    # segment-sum path; re-evaluate the threshold per chip generation.
+    # sample share + slack. The combine's one-hot matmul + merge cost
+    # scales with this capacity; measured on v5e it beats the live
+    # segment-sum (2.36 ms at 262K positions) up to GS ~ chunk/3
+    # (GS=576: 1.85 ms f32 / combine-only break-even near GS~700 —
+    # benchmarks/profile_csr.py). Below the bound the exact segment-sum
+    # path serves; re-derive the threshold per chip generation.
     csr_samples = min(chunk_elems, 2 * chunk_elems // hotness + 64)
     return TieredConfig(
         hot_rows=int(hot_rows),
@@ -203,8 +239,49 @@ def auto_config(
         mxu_head_rows=min(128, int(hot_rows)),
         mid_slots=_capacity(chunk_elems, mid_fraction),
         csr_chunk_samples=(
-            csr_samples if csr_samples <= chunk_elems // 4 else 0
+            csr_samples
+            if csr_samples <= max(256, chunk_elems // 3)
+            else 0
         ),
+    )
+
+
+def csr_combine_config(
+    num_categories: int,
+    avg_hotness: float,
+    *,
+    chunk_elems: int = 2048,
+    live_cap: int = 0,
+) -> Optional[TieredConfig]:
+    """Combine-only CSR config: no frequency ordering required.
+
+    With ``hot_rows >= num_categories`` the engine skips the hot/cold
+    classing sort entirely (one full-table gather serves every slot) and
+    keeps the scatter-free per-chunk combine + live-capacity slice —
+    the two CSR costs that dominate regardless of the traffic
+    distribution (``benchmarks/profile_csr.py``: the live segment-sum
+    alone is 2.36 ms where the combine is 1.19 ms at 262K positions).
+    This is the right config for uniform (alpha=0) traffic and for
+    tables without a calibrated frequency order. Returns None when the
+    combine would not pay (low average hotness — the one-hot capacity
+    approaches the chunk size).
+    """
+    hotness = max(1, int(avg_hotness))
+    csr_samples = min(chunk_elems, 2 * chunk_elems // hotness + 64)
+    if csr_samples > max(256, chunk_elems // 3) and live_cap <= 0:
+        return None
+    return TieredConfig(
+        hot_rows=int(num_categories),
+        chunk_elems=chunk_elems,
+        cold_slots=0,
+        mxu_head_rows=0,
+        mid_slots=0,
+        csr_chunk_samples=(
+            csr_samples
+            if csr_samples <= max(256, chunk_elems // 3)
+            else 0
+        ),
+        csr_live_cap=int(live_cap),
     )
 
 
@@ -249,8 +326,10 @@ def tiered_forward(
     pipeline (MXU head / compacted VMEM mid / compacted HBM cold) when
     ``cfg.mxu_head_rows > 0``, else by the 2-tier path. CSR: flat
     ``indices [capacity]`` + ``offsets [batch+1]`` (positions >=
-    ``offsets[-1]`` are padding); always 2-tier — its scatter-based
-    combine would cancel the mid-tier win.
+    ``offsets[-1]`` are padding); served by the live-sliced scatter-free
+    combine engine when ``cfg.csr_chunk_samples > 0``
+    (:func:`_forward_csr_combine`) and by the live-sliced hot/cold
+    segment-sum otherwise.
 
     ``pack_k > 1``: the table is a *line-packed narrow* table
     (:func:`cuembed_tpu.ops.narrow.pack_narrow` — ``[ceil(V/k), k*W]``
@@ -325,7 +404,11 @@ def tiered_forward(
         and 0 < cfg.csr_chunk_samples <= cfg.chunk_elems
         and table.shape[0] < (1 << 30)  # key packing headroom
     ):
-        return _forward_csr_3tier(
+        return _forward_csr_combine(
+            table, indices, offsets, coeff, cfg, acc_dt, uniform2
+        )
+    if offsets is not None:
+        return _forward_csr_segsum(
             table, indices, offsets, coeff, cfg, acc_dt, uniform2
         )
     return _forward_2tier(
@@ -572,85 +655,121 @@ def _forward_fixed_3tier(table, indices, coeff, cfg, acc_dt, uniform=None,
     return out.astype(table.dtype)
 
 
-def _forward_csr_3tier(table, indices, offsets, coeff, cfg, acc_dt,
-                       uniform=None):
-    """CSR forward with scatter-free per-chunk combines.
+def _forward_csr_combine(table, indices, offsets, coeff, cfg, acc_dt,
+                         uniform=None):
+    """CSR forward with live-capacity slicing + scatter-free combines.
 
-    The 2-tier CSR path's dominant cost is the full-position
-    ``segment_sum`` (a row scatter over every nonzero, ~80-90 M rows/s).
-    CSR positions are sample-sorted, so a chunk of ``E`` consecutive
-    positions spans at most ``csr_chunk_samples`` samples (capacity,
-    calibrated ~2x the balanced share): the combine becomes a per-chunk
-    local-sample one-hot matmul — like the fixed-hotness path but with
-    a *local sample* payload riding the sort — plus one merge scatter
-    of ``[chunks, csr_chunk_samples]`` pooled partials at global sample
-    offsets (chunk-boundary samples accumulate across both chunks).
+    Three measured CSR costs drive this design (all numbers from
+    ``benchmarks/profile_csr.py`` at the round-4 gap point — V=1M,
+    W=128, B=32768, avg hotness 8, 262K live of 524K capacity):
 
-    Tiers: hot (``idx < hot_rows``) sorts to the front and gathers from
-    the VMEM head slice; cold compacts to the back and gathers from the
-    full table. Chunks that span more than ``csr_chunk_samples`` samples
-    or overflow ``cold_slots`` fall back to the exact 2-tier path.
+    1. **Live slicing.** CSR callers pass value buffers at worst-case
+       capacity; the live prefix is contiguous, so a calibrated
+       ``cfg.csr_live_cap`` becomes a free static slice that halves
+       every per-position cost (full-capacity gather 7.64 ms -> live
+       3.17 ms).
+    2. **Scatter-free combine.** CSR positions are sample-sorted, so a
+       chunk of ``E`` positions spans at most ``csr_chunk_samples``
+       samples (calibrated): the combine is a per-chunk local-sample
+       one-hot matmul (bf16 one-hot when unweighted — {0,1} values are
+       exact) plus ONE merge scatter of ``[chunks * GS]`` pooled rows —
+       1.19 ms where the full-position segment-sum costs 2.36 ms.
+    3. **Optional hot/cold classing.** With a frequency-ordered table
+       (``hot_rows < num_categories``) one cheap per-chunk sort
+       (0.1-0.4 ms) compacts cold positions to a static back slice;
+       the front gathers from the VMEM head slice at ~3.3 ns/row vs
+       ~12 ns from HBM (0.87 vs 3.17 ms here). With ``hot_rows >=
+       num_categories`` (``csr_combine_config``) the sort is skipped
+       entirely and one full-table gather serves every slot — the
+       right mode for uniform traffic or unordered tables.
+
+    Any capacity violation (live overflow, chunk span > GS, cold count
+    > cold_slots) falls back to the exact full-capacity segment-sum via
+    one ``lax.cond``.
     """
     width = table.shape[1]
-    C = cfg.hot_rows
+    V = table.shape[0]
+    C = min(cfg.hot_rows, V)
+    classed = C < V
     E = cfg.chunk_elems
-    S_c = min(cfg.cold_slots, E)
+    S_c = min(cfg.cold_slots, E) if classed else 0
     GS = min(cfg.csr_chunk_samples, E)
 
     batch = offsets.shape[0] - 1
-    nmax = indices.shape[0]
-    pos = jnp.arange(nmax, dtype=jnp.int32)
-    live = pos < offsets[-1]
-    flat_idx = jnp.where(live, indices.astype(jnp.int32), 0)
-    flat_coeff = (
-        None if uniform is not None
-        else jnp.where(live, coeff, 0.0)
+    cap = indices.shape[0]
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    live_f = pos < offsets[-1]
+    idx_f = jnp.where(live_f, indices.astype(jnp.int32), 0)
+    coeff_f = (
+        None if uniform is not None else jnp.where(live_f, coeff, 0.0)
     )
-    sample_of_pos = extract_row_ids_from_csr(offsets, indices).astype(
-        jnp.int32
-    )
+    sm_f = extract_row_ids_from_csr(offsets, indices).astype(jnp.int32)
 
-    padded = -(-nmax // E) * E
-    if padded != nmax:
-        pad = padded - nmax
-        flat_idx = jnp.pad(flat_idx, (0, pad))
-        live = jnp.pad(live, (0, pad))
-        if flat_coeff is not None:
-            flat_coeff = jnp.pad(flat_coeff, (0, pad))
-        sample_of_pos = jnp.pad(
-            sample_of_pos, (0, pad), mode="edge"
-        )
+    # ---- static live capacity -> slice length n (chunk-aligned) --------
+    n = cap
+    if 0 < cfg.csr_live_cap < cap:
+        n = min(cap, -(-cfg.csr_live_cap // E) * E)
+    padded = -(-n // E) * E
     G = padded // E
 
-    xi = flat_idx.reshape(G, E)
-    sm = sample_of_pos.reshape(G, E)
-    lv = live.reshape(G, E)
+    def view(x, fill):
+        x = x[:n]
+        if padded != n:
+            x = jnp.pad(x, (0, padded - n), constant_values=fill)
+        return x.reshape(G, E)
+
+    xi = view(idx_f, 0)
+    lv = view(live_f, False)
+    sm = view(sm_f, 0)
+    wi = None if coeff_f is None else view(coeff_f, 0)
     first_sample = sm[:, :1]  # [G, 1]
-    local = sm - first_sample
-    # dead positions -> local sample GS (one-hot miss)
-    local = jnp.where(lv, local, GS)
+    # dead positions -> local sample GS (one-hot miss); clamp keeps the
+    # tail-pad chunks (sm fill 0 < first) in packing range.
+    local = jnp.clip(jnp.where(lv, sm - first_sample, GS), 0, GS)
 
-    cnt_cold = jnp.sum((xi >= C).astype(jnp.int32), axis=1)
+    live_ok = (
+        jnp.bool_(True) if n >= cap else offsets[-1] <= n
+    )
     span_ok = jnp.max(jnp.where(lv, local, 0)) < GS
-    overflow = jnp.any(cnt_cold > S_c) | ~span_ok
+    overflow = ~live_ok | ~span_ok
+    if classed:
+        cnt_cold = jnp.sum((lv & (xi >= C)).astype(jnp.int32), axis=1)
+        overflow = overflow | jnp.any(cnt_cold > S_c)
 
-    key = jnp.where(xi < C, 0, 1)
-    if flat_coeff is None:
-        comp, l_s = jax.lax.sort(
-            [(key << 30) | xi, local], dimension=1, num_keys=1
-        )
-        w_s = None
+    if classed:
+        # Sort each chunk hot | cold. Operand-minimized like the fixed
+        # path: unweighted packs (tier, idx, local) into ONE int32 key
+        # when the bits fit; otherwise local rides as a payload.
+        key = (xi >= C).astype(jnp.int32)
+        idx_bits = max(1, (V - 1).bit_length())
+        gs_bits = max(1, GS.bit_length())
+        if wi is None and 1 + idx_bits + gs_bits <= 31:
+            comp = (((key << idx_bits) | xi) << gs_bits) | local
+            (comp,) = jax.lax.sort([comp], dimension=1, num_keys=1)
+            l_s = comp & ((1 << gs_bits) - 1)
+            x_s = (comp >> gs_bits) & ((1 << idx_bits) - 1)
+        elif wi is None:
+            comp, l_s = jax.lax.sort(
+                [(key << 30) | xi, local], dimension=1, num_keys=1
+            )
+            x_s = comp & ((1 << 30) - 1)
+        else:
+            comp, w_sorted, l_s = jax.lax.sort(
+                [(key << 30) | xi, wi, local], dimension=1, num_keys=1
+            )
+            x_s = comp & ((1 << 30) - 1)
+        w_s = None if wi is None else w_sorted
     else:
-        comp, w_s, l_s = jax.lax.sort(
-            [(key << 30) | xi, flat_coeff.reshape(G, E), local],
-            dimension=1, num_keys=1,
-        )
-    x_s = comp & ((1 << 30) - 1)
+        x_s, l_s, w_s = xi, local, wi
+
+    # bf16 one-hots are exact for {0,1} and feed the MXU natively;
+    # weighted combines carry the f32 coefficient on the one-hot.
+    oh_dt = jnp.bfloat16 if w_s is None else acc_dt
 
     def combine(rows, locals_, slot_coeff=None):
         onehot = (
             locals_[..., None] == jnp.arange(GS, dtype=jnp.int32)
-        ).astype(acc_dt)
+        ).astype(oh_dt)
         if slot_coeff is not None:
             onehot = onehot * slot_coeff[..., None]
         return jax.lax.dot_general(
@@ -661,25 +780,26 @@ def _forward_csr_3tier(table, indices, offsets, coeff, cfg, acc_dt,
         )  # [G, GS, W]
 
     def fast(_):
-        # hot region: front slice is the whole row minus the cold back —
-        # gather every slot from the VMEM head slice (dead/cold slots
-        # have local == GS, a one-hot miss; index clipped into range).
-        h_idx = jnp.where(x_s < C, x_s, 0)
-        h_loc = jnp.where(x_s < C, l_s, GS)
-        h_rows = jnp.take(table[:C], h_idx.reshape(-1), axis=0)
+        F = E - S_c  # front slots (all-hot under the capacity guard)
+        f_idx = jnp.clip(x_s[:, :F], 0, C - 1)
+        f_rows = table[:C].at[f_idx.reshape(-1)].get(
+            mode="promise_in_bounds"
+        )
         part = combine(
-            h_rows.reshape(G, E, width), h_loc,
-            None if w_s is None else w_s,
+            f_rows.reshape(G, F, width), l_s[:, :F],
+            None if w_s is None else w_s[:, :F],
         )
-        # cold region: static back slice, gather from the full table.
-        c_idx = x_s[:, E - S_c:]
-        c_loc = jnp.where(c_idx >= C, l_s[:, E - S_c:], GS)
-        c_idx = jnp.where(c_idx >= C, c_idx, 0)
-        c_rows = jnp.take(table, c_idx.reshape(-1), axis=0)
-        part = part + combine(
-            c_rows.reshape(G, S_c, width), c_loc,
-            None if w_s is None else w_s[:, E - S_c:],
-        )
+        if S_c > 0:
+            # back slice: trailing hot + all cold — gather from the full
+            # table (correct for both; the handful of hot slots here pay
+            # HBM rate, bounded by cold_slots).
+            b_rows = table.at[x_s[:, F:].reshape(-1)].get(
+                mode="promise_in_bounds"
+            )
+            part = part + combine(
+                b_rows.reshape(G, S_c, width), l_s[:, F:],
+                None if w_s is None else w_s[:, F:],
+            )
         # merge: chunk g's local sample u is global sample first[g] + u;
         # boundary samples receive adds from both neighbouring chunks.
         tgt = (first_sample + jnp.arange(GS, dtype=jnp.int32)[None, :])
@@ -690,52 +810,153 @@ def _forward_csr_3tier(table, indices, offsets, coeff, cfg, acc_dt,
 
     def exact(_):
         cf = (
-            jnp.where(live, acc_dt(uniform), 0.0)[:nmax]
-            if flat_coeff is None
-            else flat_coeff.reshape(-1)[:nmax]
+            jnp.where(live_f, acc_dt(uniform), 0.0)
+            if coeff_f is None
+            else coeff_f
         )
-        rows = jnp.take(table, flat_idx.reshape(-1)[:nmax], axis=0)
+        rows = jnp.take(table, idx_f, axis=0)
         rows = rows.astype(acc_dt) * cf[:, None]
         return jax.ops.segment_sum(
-            rows, sample_of_pos[:nmax], num_segments=batch,
-            indices_are_sorted=True,
+            rows, sm_f, num_segments=batch, indices_are_sorted=True,
         )
 
     out = jax.lax.cond(overflow, exact, fast, 0)
     return out.astype(table.dtype)
 
 
+def _forward_csr_segsum(table, indices, offsets, coeff, cfg, acc_dt,
+                        uniform=None):
+    """CSR forward via hot gather + sorted segment-sum, live-sliced.
+
+    Serves CSR workloads whose average hotness is too low for the
+    scatter-free combine (``csr_chunk_samples == 0`` — the one-hot
+    capacity would approach the chunk size). Structure: every live
+    position gathers from the VMEM hot head (cold positions clipped to
+    an inert row-0/coeff-0 read) and pools through one sorted
+    ``segment_sum``; cold positions compact per chunk to a static back
+    slice, gather from the full table, and scatter-add on top. All of
+    it runs on the live prefix (``cfg.csr_live_cap``) — the dominant
+    costs here are per-position, and CSR buffers are typically ~2x
+    padded (measured: 7.64 -> 3.17 ms on the gather alone,
+    ``benchmarks/profile_csr.py``).
+    """
+    width = table.shape[1]
+    V = table.shape[0]
+    C = min(cfg.hot_rows, V)
+    classed = C < V
+    E = cfg.chunk_elems
+    S = min(cfg.cold_slots, E) if classed else 0
+
+    batch = offsets.shape[0] - 1
+    cap = indices.shape[0]
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    live_f = pos < offsets[-1]
+    idx_f = jnp.where(live_f, indices.astype(jnp.int32), 0)
+    coeff_f = (
+        jnp.where(live_f, acc_dt(uniform), 0.0)
+        if uniform is not None
+        else jnp.where(live_f, coeff, 0.0)
+    )
+    sm_f = extract_row_ids_from_csr(offsets, indices).astype(jnp.int32)
+
+    n = cap
+    if 0 < cfg.csr_live_cap < cap:
+        n = min(cap, -(-cfg.csr_live_cap // E) * E)
+    padded = -(-n // E) * E
+    G = padded // E
+
+    def view(x, fill):
+        x = x[:n]
+        if padded != n:
+            x = jnp.pad(x, (0, padded - n), constant_values=fill)
+        return x.reshape(G, E)
+
+    xi = view(idx_f, 0)
+    lv = view(live_f, False)
+    sm = view(sm_f, 0)
+    wi = view(coeff_f, 0)
+
+    live_ok = jnp.bool_(True) if n >= cap else offsets[-1] <= n
+    overflow = ~live_ok
+    if classed:
+        is_cold = lv & (xi >= C)
+        counts = jnp.sum(is_cold.astype(jnp.int32), axis=1)
+        overflow = overflow | jnp.any(counts > S)
+
+    def fast(_):
+        # hot tier: dense gather of every live slot from the VMEM head
+        # (cold slots clipped to an inert row-0 / coeff-0 read), pooled
+        # by ONE sorted segment-sum over the live prefix.
+        hot_sel = lv if not classed else (lv & (xi < C))
+        h_idx = jnp.where(hot_sel, xi, 0).reshape(-1)
+        h_cf = jnp.where(hot_sel, wi, 0.0).reshape(-1)
+        hrows = table[:C].at[h_idx].get(mode="promise_in_bounds")
+        hrows = hrows.astype(acc_dt) * h_cf[:, None]
+        out = jax.ops.segment_sum(
+            hrows, sm.reshape(-1), num_segments=batch,
+            indices_are_sorted=True,
+        )
+        if not classed:
+            return out
+        # cold tier: compact per chunk (cold sorts first), gather the
+        # static front slice from the full table, scatter-add by sample.
+        key = jnp.where(is_cold, 0, 1)
+        if V <= (1 << 28) - 1:
+            comp, w_s, s_s = jax.lax.sort(
+                [(key << 28) | xi, wi, sm], dimension=1, num_keys=1
+            )
+            x_s = comp & ((1 << 28) - 1)
+        else:
+            _, x_s, w_s, s_s = jax.lax.sort(
+                [key, xi, wi, sm], dimension=1, num_keys=1
+            )
+        slot_live = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+            < counts[:, None]
+        )
+        c_idx = jnp.where(slot_live, x_s[:, :S], 0)
+        c_cf = jnp.where(slot_live, w_s[:, :S], 0.0)
+        c_sm = jnp.where(slot_live, s_s[:, :S], 0)
+        crows = table.at[c_idx.reshape(-1)].get(
+            mode="promise_in_bounds"
+        ).astype(acc_dt)
+        crows = crows * c_cf.reshape(-1)[:, None]
+        return out.at[c_sm.reshape(-1)].add(crows, mode="drop")
+
+    def exact(_):
+        rows = jnp.take(table, idx_f, axis=0).astype(acc_dt)
+        rows = rows * coeff_f[:, None]
+        return jax.ops.segment_sum(
+            rows, sm_f, num_segments=batch, indices_are_sorted=True,
+        )
+
+    if not classed and n >= cap:
+        out = exact(0)  # nothing to guard; identical work
+    else:
+        out = jax.lax.cond(overflow, exact, fast, 0)
+    return out.astype(table.dtype)
+
+
 def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt,
                    uniform=None):
     """Hot/cold forward: full-batch gather from the VMEM hot head plus a
-    per-chunk compacted cold gather. Serves CSR (scatter combine) and
-    fixed-hotness with the MXU head disabled."""
+    per-chunk compacted cold gather. Serves fixed-hotness lookups with
+    the MXU head disabled (CSR routes to :func:`_forward_csr_combine` /
+    :func:`_forward_csr_segsum`)."""
+    del offsets  # fixed-hotness only
     width = table.shape[1]
     C = cfg.hot_rows
     E = cfg.chunk_elems
     S = min(cfg.cold_slots, E)
 
-    if offsets is None:
-        batch, hotness = indices.shape
-        flat_idx = indices.reshape(-1).astype(jnp.int32)
-        flat_coeff = coeff.reshape(-1)
-        nmax = batch * hotness
-        sample_of_pos = None  # derived from position
-        if E % hotness != 0:
-            raise ValueError(
-                f"chunk_elems ({E}) must be a multiple of hotness "
-                f"({hotness}); use auto_config(..., hotness=...)"
-            )
-    else:
-        batch = offsets.shape[0] - 1
-        nmax = indices.shape[0]
-        hotness = None
-        pos = jnp.arange(nmax, dtype=jnp.int32)
-        live = pos < offsets[-1]
-        flat_idx = jnp.where(live, indices.astype(jnp.int32), 0)
-        flat_coeff = jnp.where(live, coeff, 0.0)
-        sample_of_pos = extract_row_ids_from_csr(offsets, indices).astype(
-            jnp.int32
+    batch, hotness = indices.shape
+    flat_idx = indices.reshape(-1).astype(jnp.int32)
+    flat_coeff = coeff.reshape(-1)
+    nmax = batch * hotness
+    if E % hotness != 0:
+        raise ValueError(
+            f"chunk_elems ({E}) must be a multiple of hotness "
+            f"({hotness}); use auto_config(..., hotness=...)"
         )
 
     # --- pad the flat stream to a whole number of chunks -----------------
@@ -744,8 +965,6 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt,
         pad = padded - nmax
         flat_idx = jnp.pad(flat_idx, (0, pad))          # idx 0 => hot
         flat_coeff = jnp.pad(flat_coeff, (0, pad))      # coeff 0 => inert
-        if sample_of_pos is not None:
-            sample_of_pos = jnp.pad(sample_of_pos, (0, pad))
     G = padded // E
 
     is_cold = flat_idx >= C
@@ -755,31 +974,22 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt,
     hot_coeff = jnp.where(is_cold, 0.0, flat_coeff)
     hrows = jnp.take(table[:C], hot_idx, axis=0).astype(acc_dt)
     hrows = hrows * hot_coeff[:, None]
-    if offsets is None:
-        out = jnp.sum(hrows[:nmax].reshape(batch, hotness, width), axis=1)
-    else:
-        out = jax.ops.segment_sum(
-            hrows[:nmax], sample_of_pos[:nmax], num_segments=batch,
-            indices_are_sorted=True,
-        )
+    out = jnp.sum(hrows[:nmax].reshape(batch, hotness, width), axis=1)
 
     # --- cold tier: compact -> gather -> combine --------------------------
     xi = flat_idx.reshape(G, E)
     ci = is_cold.reshape(G, E)
     wi = flat_coeff.reshape(G, E)
-    if offsets is None:
-        sm = (
-            jax.lax.broadcasted_iota(jnp.int32, (G, E), 0) * (E // hotness)
-            + jax.lax.broadcasted_iota(jnp.int32, (G, E), 1) // hotness
-        )
-    else:
-        sm = sample_of_pos.reshape(G, E)
+    sm = (
+        jax.lax.broadcasted_iota(jnp.int32, (G, E), 0) * (E // hotness)
+        + jax.lax.broadcasted_iota(jnp.int32, (G, E), 1) // hotness
+    )
 
     counts = jnp.sum(ci.astype(jnp.int32), axis=1)
     overflow = jnp.any(counts > S)
 
     key = jnp.where(ci, 0, 1).astype(jnp.int32)  # cold sorts first
-    # Dead CSR padding (coeff 0) carries index 0 => hot key, so it never
+    # Tail padding (coeff 0) carries index 0 => hot key, so it never
     # reaches the cold slices; with a uniform coefficient the sort can
     # therefore skip the coefficient payload (slot coeff = live * scale).
     if table.shape[0] <= (1 << 28) - 1:
@@ -812,39 +1022,28 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt,
     def cold_fast(_):
         crows = jnp.take(table, cold_idx.reshape(-1), axis=0)
         crows = crows.reshape(G, S, width)
-        if offsets is None:
-            gs = E // hotness  # samples per chunk
-            if cold_coeff is None:
-                # Liveness via an out-of-range local sample (one-hot
-                # miss); uniform coefficient applied once at the end.
-                sm_l = jnp.where(slot_live, s_s[:, :S] % gs, gs)
-                onehot = (
-                    sm_l[..., None] == jnp.arange(gs, dtype=jnp.int32)
-                ).astype(acc_dt)
-            else:
-                onehot = (
-                    cold_sm[..., None] % gs
-                    == jnp.arange(gs, dtype=jnp.int32)
-                ).astype(acc_dt) * cold_coeff[..., None]
-            part = jax.lax.dot_general(
-                onehot,
-                crows,  # storage dtype; mixed dot, see 3-tier combine
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=acc_dt,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            out_c = part.reshape(G * gs, width)[:batch]
-            return out_c * acc_dt(uniform) if cold_coeff is None else out_c
-        cc = (
-            slot_live.astype(acc_dt) * acc_dt(uniform)
-            if cold_coeff is None
-            else cold_coeff
+        gs = E // hotness  # samples per chunk
+        if cold_coeff is None:
+            # Liveness via an out-of-range local sample (one-hot
+            # miss); uniform coefficient applied once at the end.
+            sm_l = jnp.where(slot_live, s_s[:, :S] % gs, gs)
+            onehot = (
+                sm_l[..., None] == jnp.arange(gs, dtype=jnp.int32)
+            ).astype(acc_dt)
+        else:
+            onehot = (
+                cold_sm[..., None] % gs
+                == jnp.arange(gs, dtype=jnp.int32)
+            ).astype(acc_dt) * cold_coeff[..., None]
+        part = jax.lax.dot_general(
+            onehot,
+            crows,  # storage dtype; mixed dot, see 3-tier combine
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc_dt,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        crows = crows.astype(acc_dt) * cc[..., None]
-        flat_rows = crows.reshape(G * S, width)
-        return jnp.zeros((batch, width), acc_dt).at[
-            cold_sm.reshape(-1)
-        ].add(flat_rows, mode="drop")
+        out_c = part.reshape(G * gs, width)[:batch]
+        return out_c * acc_dt(uniform) if cold_coeff is None else out_c
 
     def cold_exact(_):
         # Rare overflow path: serve every cold position straight from HBM.
@@ -852,12 +1051,7 @@ def _forward_2tier(table, indices, offsets, coeff, mode, cfg, acc_dt,
         c_coeff = jnp.where(is_cold, flat_coeff, 0.0)
         rows = jnp.take(table, c_idx[:nmax], axis=0).astype(acc_dt)
         rows = rows * c_coeff[:nmax, None]
-        if offsets is None:
-            return jnp.sum(rows.reshape(batch, hotness, width), axis=1)
-        return jax.ops.segment_sum(
-            rows, sample_of_pos[:nmax], num_segments=batch,
-            indices_are_sorted=True,
-        )
+        return jnp.sum(rows.reshape(batch, hotness, width), axis=1)
 
     out = out + jax.lax.cond(overflow, cold_exact, cold_fast, 0)
     return out.astype(table.dtype)

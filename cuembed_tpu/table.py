@@ -244,8 +244,17 @@ class EmbeddingTable:
                 **ac_kw,
             )
             # One refinement pass sets slot capacities AND the backward
-            # bounds (non-head fraction, MXU segment prefix).
-            cfg = refine_tiered_config(cfg, remap[ci.reshape(1, -1)])
+            # bounds (non-head fraction, MXU segment prefix); CSR
+            # calibration additionally bounds the live prefix and the
+            # per-chunk sample span (csr_live_cap / csr_chunk_samples).
+            cfg = refine_tiered_config(
+                cfg, remap[ci.reshape(1, -1)],
+                calib_offsets=calibration_offsets,
+                value_capacity=(
+                    0 if calibration_offsets is None
+                    else int(np.asarray(calibration_indices).size)
+                ),
+            )
         self.tiered_cfg = cfg
 
     def use_natural_order(
@@ -314,7 +323,14 @@ class EmbeddingTable:
                 head_fraction=head_f,
                 **ac_kw,
             )
-            cfg = refine_tiered_config(cfg, ci.reshape(1, -1))
+            cfg = refine_tiered_config(
+                cfg, ci.reshape(1, -1),
+                calib_offsets=calibration_offsets,
+                value_capacity=(
+                    0 if calibration_offsets is None
+                    else int(np.asarray(calibration_indices).size)
+                ),
+            )
         self.tiered_cfg = cfg
         self._natural_order = True
 

@@ -87,11 +87,59 @@ def calibrate_powerlaw_workload(
     return cfg, remap[idx_np], remap
 
 
+def calibrate_csr_fields(
+    cfg: TieredConfig,
+    calib_offsets,
+    value_capacity: int,
+    *,
+    margin: float = 1.15,
+) -> TieredConfig:
+    """Calibrate the CSR-specific capacities from observed offsets.
+
+    Sets ``csr_live_cap`` (static bound on ``offsets[-1]``, the free
+    live-prefix slice) and ``csr_chunk_samples`` (max samples any
+    ``chunk_elems``-position window spans) from one or more offset
+    arrays, each ``[batch + 1]``. A batch violating either capacity at
+    runtime falls back to the exact path via ``lax.cond`` — calibration
+    only buys speed, never correctness.
+    """
+    offs_list = (
+        [np.asarray(calib_offsets)]
+        if np.asarray(calib_offsets[0]).ndim == 0
+        else [np.asarray(o) for o in calib_offsets]
+    )
+    E = cfg.chunk_elems
+    live_max = 0
+    span_max = 1
+    for offs in offs_list:
+        live = int(offs[-1])
+        live_max = max(live_max, live)
+        if live <= 0:
+            continue
+        per = np.diff(offs)
+        sm = np.repeat(np.arange(offs.shape[0] - 1, dtype=np.int64), per)
+        n_chunks = -(-live // E)
+        for g in range(n_chunks):
+            lo, hi = g * E, min((g + 1) * E, live)
+            span_max = max(span_max, int(sm[hi - 1] - sm[lo] + 1))
+    live_cap = min(value_capacity, -(-int(live_max * margin) // E) * E)
+    gs = -(-int(span_max * margin + 1) // 8) * 8
+    # Same profitability bound as auto_config: past ~chunk/3 the one-hot
+    # matmul costs more than the segment-sum it replaces (measured,
+    # benchmarks/profile_csr.py) — disable the combine, keep the slice.
+    if gs > max(256, E // 3):
+        gs = 0
+    return replace(cfg, csr_live_cap=int(live_cap),
+                   csr_chunk_samples=int(min(gs, E)))
+
+
 def refine_tiered_config(
     cfg: TieredConfig,
     calib_remapped: np.ndarray,
     *,
     capacity_margin: float = 1.15,
+    calib_offsets=None,
+    value_capacity: int = 0,
 ) -> TieredConfig:
     """Refine every workload-dependent capacity from observed draws.
 
@@ -101,6 +149,11 @@ def refine_tiered_config(
     Sets the forward slot capacities (observed per-chunk maxima +
     margin), the backward non-head scatter bound, and the backward MXU
     segment-reduce prefix.
+
+    ``calib_offsets`` (CSR callers): one or more ``[batch + 1]`` offset
+    arrays; with ``value_capacity`` (the static value-buffer length)
+    this additionally calibrates ``csr_live_cap`` and
+    ``csr_chunk_samples`` (:func:`calibrate_csr_fields`).
     """
     arr = np.asarray(calib_remapped)
     flat = arr.reshape(-1)
@@ -162,4 +215,8 @@ def refine_tiered_config(
                 bwd_seg_slots=u_target,
                 bwd_run_frac=k_pref * chunkb / max(n_pos, 1),
             )
+    if calib_offsets is not None and value_capacity > 0:
+        cfg = calibrate_csr_fields(
+            cfg, calib_offsets, value_capacity, margin=capacity_margin
+        )
     return cfg

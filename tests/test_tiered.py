@@ -471,3 +471,201 @@ def test_auto_dispatch_gates_unprofitable_tiering(monkeypatch):
         backend="auto", tiered_cfg=cfg,
     )
     assert len(calls) == 2
+
+
+# ---------------------------------------------------------------------------
+# Round-5 CSR engine: live-capacity slicing + combine-only mode
+# ---------------------------------------------------------------------------
+
+
+def _csr_problem(rng, V, C, batch, max_hot, cap_slack, cold_p=0.4):
+    hots = rng.integers(0, max_hot + 1, batch)
+    offsets = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    nnz = int(offsets[-1])
+    cap = nnz + cap_slack
+    flat = _mixed_indices(rng, 1, cap, C, V, cold_p=cold_p).reshape(-1)
+    return flat, offsets, nnz, cap
+
+
+@pytest.mark.parametrize("mode", [CombineMode.SUM, CombineMode.MEAN])
+@pytest.mark.parametrize("weighted", [False, True])
+@pytest.mark.parametrize("combine", [True, False])
+def test_csr_live_cap_fast_path(mode, weighted, combine):
+    """csr_live_cap well above offsets[-1]: the sliced fast path serves
+    the batch exactly, for both the scatter-free combine and the
+    segment-sum engines."""
+    if weighted and mode != CombineMode.SUM:
+        pytest.skip("weights only with SUM")
+    rng = np.random.default_rng(31)
+    V, W, C, batch = 400, 32, 80, 61
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    flat, offsets, nnz, cap = _csr_problem(rng, V, C, batch, 8, 257)
+    w = rng.standard_normal((cap,)).astype(np.float32) if weighted else None
+
+    ref = embedding_forward_ref(
+        table, flat[:nnz], offsets=offsets,
+        weights=None if w is None else w[:nnz], mode=mode,
+    )
+    live_cap = -(-int(nnz * 1.1) // 64) * 64
+    assert live_cap < cap, "test needs real slicing to exercise the path"
+    cfg = TieredConfig(
+        hot_rows=C, chunk_elems=64, cold_slots=48,
+        csr_chunk_samples=24 if combine else 0,
+        csr_live_cap=live_cap,
+    )
+    out = tiered_forward(
+        jnp.asarray(table), jnp.asarray(flat), jnp.asarray(offsets),
+        None if w is None else jnp.asarray(w), mode=mode, cfg=cfg,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("combine", [True, False])
+def test_csr_live_cap_overflow_falls_back(combine):
+    """offsets[-1] past csr_live_cap: the lax.cond exact path serves the
+    batch (a sliced fast path would silently drop tail positions)."""
+    rng = np.random.default_rng(37)
+    V, W, C, batch = 400, 32, 80, 61
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    flat, offsets, nnz, cap = _csr_problem(rng, V, C, batch, 8, 3)
+    assert nnz > 128
+
+    ref = embedding_forward_ref(
+        table, flat[:nnz], offsets=offsets, mode=CombineMode.SUM
+    )
+    cfg = TieredConfig(
+        hot_rows=C, chunk_elems=64, cold_slots=48,
+        csr_chunk_samples=24 if combine else 0,
+        csr_live_cap=64,  # far below nnz -> must fall back
+    )
+    out = tiered_forward(
+        jnp.asarray(table), jnp.asarray(flat), jnp.asarray(offsets),
+        mode=CombineMode.SUM, cfg=cfg,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_csr_combine_only_no_classing(weighted):
+    """csr_combine_config (hot_rows >= V): no sort, no frequency order —
+    one full-table gather + the per-chunk combine. Exact for any id
+    distribution."""
+    from cuembed_tpu.ops.tiered import csr_combine_config
+
+    rng = np.random.default_rng(41)
+    V, W, batch = 500, 16, 57
+    table = rng.standard_normal((V, W)).astype(np.float32)
+    hots = rng.integers(0, 13, batch)
+    offsets = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    nnz = int(offsets[-1])
+    cap = nnz + 31
+    flat = rng.integers(0, V, cap).astype(np.int32)
+    w = rng.standard_normal((cap,)).astype(np.float32) if weighted else None
+
+    cfg = csr_combine_config(V, 6, chunk_elems=64, live_cap=nnz + 8)
+    assert cfg is not None and cfg.hot_rows >= V
+    ref = embedding_forward_ref(
+        table, flat[:nnz], offsets=offsets,
+        weights=None if w is None else w[:nnz], mode=CombineMode.SUM,
+    )
+    out = tiered_forward(
+        jnp.asarray(table), jnp.asarray(flat), jnp.asarray(offsets),
+        None if w is None else jnp.asarray(w),
+        mode=CombineMode.SUM, cfg=cfg,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_csr_combine_only_bitwise_integer():
+    """Integer-exact data through the combine-only engine is bitwise:
+    the bf16 one-hot carries only {0, 1} (exact) and accumulation is
+    f32 via the MXU."""
+    from cuembed_tpu.ops.tiered import csr_combine_config
+
+    rng = np.random.default_rng(43)
+    V, W, batch = 300, 16, 41
+    table = rng.integers(-8, 9, (V, W)).astype(np.float32)
+    hots = rng.integers(0, 7, batch)
+    offsets = np.concatenate([[0], np.cumsum(hots)]).astype(np.int32)
+    nnz = int(offsets[-1])
+    flat = rng.integers(0, V, max(nnz, 1) + 5).astype(np.int32)
+
+    cfg = csr_combine_config(V, 3, chunk_elems=32)
+    assert cfg is not None and cfg.csr_chunk_samples > 0
+    ref = embedding_forward_ref(
+        table, flat[:nnz], offsets=offsets, mode=CombineMode.SUM
+    )
+    out = tiered_forward(
+        jnp.asarray(table), jnp.asarray(flat), jnp.asarray(offsets),
+        mode=CombineMode.SUM, cfg=cfg,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_csr_unpacked_sort_path():
+    """Large-V unweighted CSR (1 + idx_bits + gs_bits > 31): the classed
+    combine falls back to the 2-operand sort and still matches."""
+    rng = np.random.default_rng(47)
+    V, W, C, batch = 1 << 22, 4, 1 << 21, 61
+    table = rng.standard_normal((2048, W)).astype(np.float32)
+    # logical table is huge; back it by tiling a small physical block
+    full = jnp.asarray(np.tile(table, (V // 2048, 1)))
+    flat, offsets, nnz, cap = _csr_problem(rng, V, C, batch, 8, 65)
+
+    gs = 512  # 1 + 22 + 10 bits > 31 -> unpacked path
+    cfg = TieredConfig(
+        hot_rows=C, chunk_elems=64, cold_slots=64, csr_chunk_samples=gs
+    )
+    ref = embedding_forward_ref(
+        np.asarray(full), flat[:nnz], offsets=offsets, mode=CombineMode.SUM
+    )
+    out = tiered_forward(
+        full, jnp.asarray(flat), jnp.asarray(offsets),
+        mode=CombineMode.SUM, cfg=cfg,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_calibrate_csr_fields():
+    from cuembed_tpu.utils.calibration import calibrate_csr_fields
+
+    cfg = TieredConfig(hot_rows=100, chunk_elems=64)
+    rng = np.random.default_rng(53)
+    offs = []
+    for seed in range(3):
+        hots = np.random.default_rng(seed).integers(0, 9, 200)
+        offs.append(np.concatenate([[0], np.cumsum(hots)]).astype(np.int32))
+    cap = 200 * 8
+    out = calibrate_csr_fields(cfg, offs, cap, margin=1.1)
+    live_max = max(int(o[-1]) for o in offs)
+    # live cap: covers the max observed live count + margin, chunk-aligned
+    assert out.csr_live_cap >= live_max
+    assert out.csr_live_cap % 64 == 0 or out.csr_live_cap == cap
+    assert out.csr_live_cap <= cap
+    # span: with ~4 avg hotness a 64-position chunk spans ~16-40 samples
+    assert 0 < out.csr_chunk_samples <= 64
+    # a runtime batch within the calibrated capacities takes the fast path
+    # and matches (full pipeline check)
+    V, W = 400, 16
+    table = np.random.default_rng(5).standard_normal((V, W)).astype(np.float32)
+    o = offs[0]
+    nnz = int(o[-1])
+    flat = np.random.default_rng(6).integers(0, V, cap).astype(np.int32)
+    ref = embedding_forward_ref(
+        table, flat[:nnz], offsets=o, mode=CombineMode.SUM
+    )
+    res = tiered_forward(
+        jnp.asarray(table), jnp.asarray(flat), jnp.asarray(o),
+        mode=CombineMode.SUM, cfg=out,
+    )
+    np.testing.assert_allclose(np.asarray(res), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_csr_combine_config_gates_low_hotness():
+    from cuembed_tpu.ops.tiered import csr_combine_config
+
+    # avg hotness 1: the one-hot capacity approaches the chunk size —
+    # no combine config (the segment-sum path is faster).
+    assert csr_combine_config(10_000, 1) is None
+    cfg = csr_combine_config(10_000, 16)
+    assert cfg is not None and cfg.csr_chunk_samples > 0
