@@ -80,7 +80,10 @@ def pallas_forward_supported(table, indices, offsets, weights, mode) -> bool:
         return False
     if table.shape[1] % LANES != 0:
         return False
-    if table.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+    if table.dtype not in (jnp.float32, jnp.bfloat16):
+        # fp16 is rejected by the Mosaic dialect itself on current TPUs
+        # ("Unsupported type in mosaic dialect: 'f16'", measured on
+        # v5e); fp16 tables take the XLA path (identical semantics).
         return False
     return True
 
@@ -283,6 +286,7 @@ def backward(
     *,
     nnz: Optional[jax.Array] = None,
     backend: str = "auto",
+    live_cap: Optional[int] = None,
 ) -> jax.Array:
     """Route the COO backward to the best available implementation.
 
@@ -309,4 +313,5 @@ def backward(
         transpose_sample_ids,
         transpose_weights,
         nnz=nnz,
+        live_cap=live_cap,
     )

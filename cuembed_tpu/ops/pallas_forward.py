@@ -59,19 +59,29 @@ def _make_fwd_kernel(
     acc_dtype,
     has_coeff: bool,
     post_scale: Optional[float],
+    stage_out: bool = False,
 ):
     """Build the gather-reduce kernel body.
 
     Ref layout: idx_ref SMEM [bs, hot]; (coeff_ref SMEM [bs, hot] if
     has_coeff); table_ref ANY [rows, wtiles, 128]; out VMEM [bs, wtiles*128];
-    scratch buf VMEM [NBUF, hot, wtiles, 128] + DMA sems [NBUF, hot].
+    scratch buf VMEM [NBUF, hot, wtiles, 128] + DMA sems [NBUF, hot];
+    (acc_ref VMEM [bs, wtiles*128] acc dtype if stage_out).
 
     Coefficients are read as SMEM scalars and applied as scalar-broadcast
     FMAs — Mosaic has no layout for a [hot, 1, 1] vector broadcast, and a
     VMEM-resident coeff row would need exactly that.
+
+    ``stage_out``: 16-bit outputs cannot take the per-sample dynamic
+    single-row vector store (Mosaic cannot prove the offset a multiple
+    of the 16-bit sublane tile); samples stage into a 32-bit accumulator
+    block instead and ONE static full-block store converts at the end.
     """
 
     def kernel(idx_ref, *rest):
+        acc_out_ref = None
+        if stage_out:
+            *rest, acc_out_ref = rest
         if has_coeff:
             coeff_ref, table_ref, out_ref, buf_ref, sem_ref = rest
         else:
@@ -123,12 +133,16 @@ def _make_fwd_kernel(
                 acc = jnp.sum(rows, axis=0)
                 if post_scale is not None:
                     acc = acc * acc_dtype(post_scale)
-            out_ref[pl.ds(s, 1), :] = acc.reshape(1, wtiles * LANES).astype(
-                out_ref.dtype
-            )
+            row = acc.reshape(1, wtiles * LANES)
+            if stage_out:
+                acc_out_ref[pl.ds(s, 1), :] = row.astype(acc_out_ref.dtype)
+            else:
+                out_ref[pl.ds(s, 1), :] = row.astype(out_ref.dtype)
             return 0
 
         jax.lax.fori_loop(0, block_samples, body, 0)
+        if stage_out:
+            out_ref[...] = acc_out_ref[...].astype(out_ref.dtype)
 
     return kernel
 
@@ -204,8 +218,10 @@ def embedding_forward_pallas(
     if mode == CombineMode.MEAN and coeff is None:
         post_scale = 1.0 / hotness
 
+    stage_out = jnp.dtype(table.dtype).itemsize < 4
     kernel = _make_fwd_kernel(
-        bs, hotness, wtiles, acc_dt, coeff is not None, post_scale
+        bs, hotness, wtiles, acc_dt, coeff is not None, post_scale,
+        stage_out=stage_out,
     )
     # 3D view: single-row slices of a 2D (8,128)-tiled HBM array are illegal
     # for width > 128; with the row dim untiled in 3D they are always legal.
@@ -219,6 +235,11 @@ def embedding_forward_pallas(
         pltpu.VMEM((NBUF, hotness, wtiles, LANES), table.dtype),
         pltpu.SemaphoreType.DMA((NBUF, hotness)),
     ]
+    if stage_out:
+        # 32-bit staging block for 16-bit outputs (see _make_fwd_kernel);
+        # always f32 — under low_precision_math acc_dt itself is 16-bit
+        # and would hit the same store-alignment limit.
+        scratch_shapes.append(pltpu.VMEM((bs, width), jnp.float32))
 
     if coeff is not None:
         coeff_spec = pl.BlockSpec(
