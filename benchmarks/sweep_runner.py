@@ -83,7 +83,7 @@ def main():
         embedding_backward_compressed_tiered,
         embedding_backward_compressed_xla,
     )
-    from cuembed_tpu.ops.narrow import narrow_lookup, pack_narrow
+    from cuembed_tpu.ops.narrow import narrow_lookup
     from cuembed_tpu.ops.tiered import (
         auto_config,
         csr_combine_config,
@@ -366,11 +366,13 @@ def main():
             t_i, t_s, _ = transpose_op(sids, masked, None)
             return (i + 1, carry_probe((t_i, t_s)))
 
-        @jax.jit
-        def cbwd_step(gy, t_i, t_s, carry):
+        @functools.partial(jax.jit, static_argnames=("live_cap",))
+        def cbwd_step(gy, t_i, t_s, carry, *, live_cap=None):
             i, dep = carry
             g = gy + _bump_of(dep).astype(gy.dtype)
-            out = embedding_backward_compressed_xla(g, t_i, t_s, None)
+            out = embedding_backward_compressed_xla(
+                g, t_i, t_s, None, live_cap=live_cap
+            )
             return (i + 1, carry_probe((out.rows, out.num_unique)))
 
         gate()
@@ -507,8 +509,14 @@ def main():
                             index_bytes=4, mode=CombineMode.SUM,
                             l2_variant=True,
                         )
+                        # live-cap: sentinels sort last, so the
+                        # descriptor-bound backward runs on the live
+                        # prefix (same calibration as the forward).
+                        lc = min(cap, -(-int(nnz_live * 1.05) // 8) * 8)
                         dt_b, fl = timed(
-                            lambda c, g, ti, ts: cbwd_step(g, ti, ts, c),
+                            lambda c, g, ti, ts: cbwd_step(
+                                g, ti, ts, c, live_cap=lc
+                            ),
                             gy, t_i, t_s, app_bytes=bd,
                         )
                         emit_csr("backward", dt_b * 1e3, bl / dt_b / 1e9,

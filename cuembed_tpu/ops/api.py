@@ -34,6 +34,7 @@ from cuembed_tpu.ops.tiered import TieredConfig
 from cuembed_tpu.ops.transforms import (
     extract_row_ids_from_csr,
     transpose,
+    transpose_masked_compact,
 )
 from cuembed_tpu.types import (
     CombineMode,
@@ -249,7 +250,15 @@ def _lookup_bwd(cfg, residuals, grad_y):
         gy = grad_rows_in.astype(acc_dt)
         sentinel = jnp.iinfo(jnp.int32).max
         rest_idx = jnp.where(flat_idx < head_rows, sentinel, flat_idx)
-        t_idx, t_sid, t_coeff = transpose(sample_ids, rest_idx, coeff)
+        # Compacted masked transpose: only the calibrated non-head
+        # fraction rides the global sort (measured 1.31x at the
+        # flagship, PERF_NOTES §masked-transpose; lax.cond falls back
+        # to the full sort on overflow).
+        t_idx, t_sid, t_coeff = transpose_masked_compact(
+            sample_ids, rest_idx, coeff,
+            chunk_elems=tiered.chunk_elems,
+            nonhead_slots=tiered.mid_slots + tiered.cold_slots,
+        )
         coeff2d = None if coeff is None else coeff.reshape(indices.shape)
         grad_table = tiered_backward_coo(
             gy, num_categories, indices, coeff2d,
@@ -258,6 +267,15 @@ def _lookup_bwd(cfg, residuals, grad_y):
     else:
         # --- Transpose (sort by index) + deterministic segment backward --
         t_idx, t_sid, t_coeff = transpose(sample_ids, flat_idx, coeff)
+        # CSR: sentinels sort last, so a calibrated live capacity
+        # (cfg.tiered_cfg.csr_live_cap) bounds the descriptor-bound
+        # gather/scatter at the live prefix (lax.cond fallback inside).
+        live_cap = (
+            tiered.csr_live_cap
+            if (tiered is not None and offsets is not None
+                and tiered.csr_live_cap > 0)
+            else None
+        )
         grad_table = dispatch.backward(
             grad_rows_in.astype(acc_dt),
             num_categories,
@@ -266,6 +284,7 @@ def _lookup_bwd(cfg, residuals, grad_y):
             t_coeff,
             nnz=nnz,
             backend=cfg.backend,
+            live_cap=live_cap,
         ).astype(table.dtype)
 
     # --- Gradient w.r.t. weights (extension beyond the reference) --------

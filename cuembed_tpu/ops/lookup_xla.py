@@ -142,7 +142,7 @@ class CompressedGrad(NamedTuple):
     num_unique: jax.Array  # scalar int32
 
 
-@partial(jax.jit, static_argnames=("num_categories",))
+@partial(jax.jit, static_argnames=("num_categories", "live_cap"))
 def embedding_backward_xla(
     grad_y: jax.Array,
     num_categories: int,
@@ -152,6 +152,7 @@ def embedding_backward_xla(
     *,
     nnz: Optional[jax.Array] = None,
     initial_grad: Optional[jax.Array] = None,
+    live_cap: Optional[int] = None,
 ) -> jax.Array:
     """Full (dense-table-shaped) gradient from index-sorted COO.
 
@@ -170,6 +171,12 @@ def embedding_backward_xla(
         ``skip_grad_init=true`` calling convention
         (``embedding_lookup.cuh:455-461``: caller owns a pre-initialized
         gradient and the kernel only adds).
+      live_cap: static calibrated bound on the live entries. A sorted
+        COO keeps its padding (int32-max sentinels) at the tail, so the
+        gather+scatter run over ``[:live_cap]`` — CSR buffers are
+        typically ~2x padded and every per-position cost here is
+        descriptor-bound. A batch with more live entries falls back to
+        the full capacity via ``lax.cond`` (requires ``nnz``).
 
     Returns:
       ``[num_categories, width]`` gradient.
@@ -185,8 +192,33 @@ def embedding_backward_xla(
         out = embedding_backward_xla(
             gy_p, num_categories, transpose_indices, transpose_sample_ids,
             transpose_weights, nnz=nnz, initial_grad=init_p,
+            live_cap=live_cap,
         )
         return out[:, :w_orig]
+
+    cap_full = transpose_indices.shape[0]
+    if live_cap is not None and 0 < live_cap < cap_full:
+        k = -(-live_cap // 8) * 8
+        live_n = (
+            nnz if nnz is not None
+            else jnp.sum(
+                (transpose_indices != jnp.iinfo(jnp.int32).max)
+                .astype(jnp.int32)
+            )
+        )
+
+        def sliced(c):
+            return embedding_backward_xla(
+                grad_y, num_categories, transpose_indices[:c],
+                transpose_sample_ids[:c],
+                None if transpose_weights is None
+                else transpose_weights[:c],
+                nnz=nnz, initial_grad=initial_grad,
+            )
+
+        return jax.lax.cond(
+            live_n <= k, lambda _: sliced(k), lambda _: sliced(cap_full), 0
+        )
 
     # One direct scatter-add with sorted target indices. Measured on v5e
     # this beats the segment_sum -> compact -> scatter chain (XLA's
@@ -214,7 +246,7 @@ def embedding_backward_xla(
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("live_cap",))
 def embedding_backward_compressed_xla(
     grad_y: jax.Array,
     transpose_indices: jax.Array,
@@ -222,27 +254,54 @@ def embedding_backward_compressed_xla(
     transpose_weights: Optional[jax.Array] = None,
     *,
     nnz: Optional[jax.Array] = None,
+    live_cap: Optional[int] = None,
 ) -> CompressedGrad:
     """Compressed gradient: one row per unique lookup index.
 
     Mirrors the reference's ``compressed_grad`` path (remapped indices +
     inverse mapping, ``embedding_lookup.cuh:439-452``).
+
+    ``live_cap``: static calibrated bound on the live entries — a sorted
+    COO keeps its sentinel padding at the tail, so the descriptor-bound
+    gather/scatters run over ``[:live_cap]`` (CSR buffers are typically
+    ~2x padded). Output buffers keep the full capacity; a batch with
+    more live entries computes at full width via ``lax.cond``.
     """
     gy_p, w_orig = _pad_gy_to_lanes(grad_y)
     if gy_p is not grad_y:
         out = embedding_backward_compressed_xla(
             gy_p, transpose_indices, transpose_sample_ids,
-            transpose_weights, nnz=nnz,
+            transpose_weights, nnz=nnz, live_cap=live_cap,
         )
         return CompressedGrad(
             rows=out.rows[:, :w_orig],
             unique_indices=out.unique_indices,
             num_unique=out.num_unique,
         )
-    rows, unique_idx, num_unique = _segment_partials(
-        grad_y, transpose_indices, transpose_sample_ids, transpose_weights, nnz,
-        sentinel_for_pad=False,
-    )
+    cap = transpose_indices.shape[0]
+
+    def go(c):
+        rows, unique_idx, num_unique = _segment_partials(
+            grad_y, transpose_indices[:c], transpose_sample_ids[:c],
+            None if transpose_weights is None else transpose_weights[:c],
+            nnz, sentinel_for_pad=False, out_cap=cap,
+        )
+        return rows, unique_idx, num_unique
+
+    if live_cap is not None and 0 < live_cap < cap:
+        k = -(-live_cap // 8) * 8
+        live_n = (
+            nnz if nnz is not None
+            else jnp.sum(
+                (transpose_indices != jnp.iinfo(jnp.int32).max)
+                .astype(jnp.int32)
+            )
+        )
+        rows, unique_idx, num_unique = jax.lax.cond(
+            live_n <= k, lambda _: go(k), lambda _: go(cap), 0
+        )
+    else:
+        rows, unique_idx, num_unique = go(cap)
     return CompressedGrad(rows=rows, unique_indices=unique_idx, num_unique=num_unique)
 
 
@@ -513,15 +572,17 @@ def _segment_partials(
     t_w: Optional[jax.Array],
     nnz: Optional[jax.Array],
     sentinel_for_pad: bool = True,
+    out_cap: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Shared core: per-unique-index gradient partial sums.
 
-    Returns ``(rows [cap, D], unique_indices [cap], num_unique)`` where
-    ``rows[r]`` is the summed gradient of the r-th unique index. Padded
-    row slots are zero; padded unique_indices are a sentinel (int32 max,
-    guaranteed out of range) when ``sentinel_for_pad`` else 0.
+    Returns ``(rows [out_cap, D], unique_indices [out_cap], num_unique)``
+    where ``rows[r]`` is the summed gradient of the r-th unique index
+    (``out_cap`` defaults to the COO length). Padded row slots are zero;
+    padded unique_indices are a sentinel (int32 max, guaranteed out of
+    range) when ``sentinel_for_pad`` else 0.
     """
-    cap = t_idx.shape[0]
+    cap = out_cap if out_cap is not None else t_idx.shape[0]
     sentinel = jnp.iinfo(jnp.int32).max
     pad_value = sentinel if sentinel_for_pad else 0
     return _compressed_scatter(

@@ -81,6 +81,99 @@ def transpose(
     return t_idx, t_sid, t_w
 
 
+@partial(jax.jit, static_argnames=("chunk_elems", "nonhead_slots"))
+def transpose_masked_compact(
+    sample_ids: jax.Array,
+    masked_idx: jax.Array,
+    weights: Optional[jax.Array] = None,
+    *,
+    chunk_elems: int = 2048,
+    nonhead_slots: int = 0,
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """Index-sort a sentinel-masked COO, compacting non-head first.
+
+    The tiered backward masks MXU-head positions to an int32-max
+    sentinel before the transpose, so typically only ~40-65% of
+    positions (the calibrated non-head fraction) actually need
+    grouping — yet the global ``lax.sort`` still pays for all of them
+    (~7.7 ms for 4.2M keys at the flagship, the round-4 verdict's
+    slowest un-attacked stage). Here the stream is first compacted with
+    one cheap per-chunk row-wise sort (~1 ms for the same volume,
+    docs/PERF_NOTES.md §pitfalls): non-head positions sort to a static
+    front slice of ``nonhead_slots`` per ``chunk_elems`` chunk, and only
+    the compacted ~nonhead fraction rides the global sort. A chunk
+    whose non-head count exceeds the calibrated slots falls back to the
+    plain full transpose via ``lax.cond`` — always exact.
+
+    Output contract: identical static shapes and identical
+    (index-sorted, stable) content as ``transpose(sample_ids,
+    masked_idx, weights)`` for every non-sentinel entry; sentinel
+    entries sort last as usual but their sample ids / weights are
+    UNSPECIFIED (zeros on the fast path). Callers already never read
+    them: sentinel targets are dropped by the backward scatters.
+
+    Use ``nonhead_slots = cfg.mid_slots + cfg.cold_slots`` (the
+    calibrated per-chunk non-head capacity). ``nonhead_slots = 0`` or a
+    capacity that would not compress (> 3/4 of the chunk) or a stream
+    too short to amortize the chunk machinery degrades to the plain
+    transpose.
+
+    Assumes ``sample_ids`` are non-decreasing in position (true for
+    every COO this library builds: fixed-hotness ``pos // hotness`` and
+    CSR row-ids) — that makes the stable single-key sorts here
+    tie-break identically to ``transpose``'s (index, sample) two-key
+    sort.
+    """
+    n = masked_idx.shape[0]
+    E = chunk_elems
+    S = min(int(nonhead_slots), E)
+    if S <= 0 or S > (3 * E) // 4 or n < 4 * E:
+        return transpose(sample_ids, masked_idx, weights)
+
+    sentinel = jnp.iinfo(jnp.int32).max
+    padded = -(-n // E) * E
+    G = padded // E
+
+    def pad(x, fill):
+        if padded != n:
+            x = jnp.pad(x, (0, padded - n), constant_values=fill)
+        return x.reshape(G, E)
+
+    xi = pad(masked_idx.astype(jnp.int32), sentinel)
+    si = pad(sample_ids.astype(jnp.int32), 0)
+    wi = None if weights is None else pad(weights, 0)
+
+    cnt = jnp.sum((xi != sentinel).astype(jnp.int32), axis=1)
+    ok = jnp.all(cnt <= S)
+
+    k = G * S  # compacted length (< n by the S <= 3E/4 gate)
+    tail = n - k
+
+    def fast(_):
+        ops = [xi, si] + ([] if wi is None else [wi])
+        srt = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=True)
+        front = [o[:, :S].reshape(-1) for o in srt]
+        t = jax.lax.sort(front, num_keys=1, is_stable=True)
+        t_i = jnp.concatenate([t[0], jnp.full((tail,), sentinel,
+                                              jnp.int32)])
+        t_s = jnp.concatenate([t[1], jnp.zeros((tail,), jnp.int32)])
+        if wi is None:
+            return t_i, t_s, jnp.zeros((0,), jnp.float32)
+        t_w = jnp.concatenate(
+            [t[2], jnp.zeros((tail,), weights.dtype)]
+        )
+        return t_i, t_s, t_w
+
+    def slow(_):
+        t_i, t_s, t_w = transpose(sample_ids, masked_idx, weights)
+        if t_w is None:
+            t_w = jnp.zeros((0,), jnp.float32)
+        return t_i, t_s, t_w
+
+    t_i, t_s, t_w = jax.lax.cond(ok, fast, slow, 0)
+    return t_i, t_s, (None if weights is None else t_w)
+
+
 @jax.jit
 def compute_compressed_grad_indices(sorted_indices: jax.Array) -> jax.Array:
     """Dense 0..num_unique-1 ids over a sorted index array.

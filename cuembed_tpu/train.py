@@ -34,7 +34,11 @@ import jax.numpy as jnp
 from cuembed_tpu.ops.head import head_grad, nonhead_capacity
 from cuembed_tpu.ops.lookup_xla import _segment_partials
 from cuembed_tpu.ops.tiered import TieredConfig
-from cuembed_tpu.ops.transforms import extract_row_ids_from_csr, transpose
+from cuembed_tpu.ops.transforms import (
+    extract_row_ids_from_csr,
+    transpose,
+    transpose_masked_compact,
+)
 from cuembed_tpu.types import CombineMode, accumulation_dtype
 
 
@@ -146,7 +150,16 @@ def sgd_sparse_update(
         sentinel = jnp.iinfo(jnp.int32).max
         flat_idx = jnp.where(flat_idx < head, sentinel, flat_idx)
 
-    t_idx, t_sid, t_coeff = transpose(sample_ids, flat_idx, coeff)
+    if head > 0 and tiered_cfg is not None:
+        # Only the calibrated non-head fraction rides the global sort
+        # (per-chunk compaction; lax.cond full-sort fallback on overflow).
+        t_idx, t_sid, t_coeff = transpose_masked_compact(
+            sample_ids, flat_idx, coeff,
+            chunk_elems=tiered_cfg.chunk_elems,
+            nonhead_slots=tiered_cfg.mid_slots + tiered_cfg.cold_slots,
+        )
+    else:
+        t_idx, t_sid, t_coeff = transpose(sample_ids, flat_idx, coeff)
 
     def scatter(k):
         g = gy.at[t_sid[:k]].get(mode="promise_in_bounds")
@@ -248,7 +261,11 @@ def rowwise_adagrad_sparse_update(
         )
 
         masked = jnp.where(live_idx < head, sentinel, live_idx)
-        t_idx, t_sid, t_coeff = transpose(sample_ids, masked, coeff)
+        t_idx, t_sid, t_coeff = transpose_masked_compact(
+            sample_ids, masked, coeff,
+            chunk_elems=tiered_cfg.chunk_elems,
+            nonhead_slots=tiered_cfg.mid_slots + tiered_cfg.cold_slots,
+        )
         coeff2d = None if coeff is None else coeff.reshape(indices.shape)
         cg = embedding_backward_compressed_tiered(
             gy, table.shape[0], indices, coeff2d,

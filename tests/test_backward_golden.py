@@ -142,3 +142,93 @@ def test_backward_empty():
     )
     assert int(got.num_unique) == 0
     np.testing.assert_array_equal(np.asarray(got.rows), np.zeros((4, 4), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Round-5: live-capacity bounded backward (sentinels sort last)
+# ---------------------------------------------------------------------------
+
+
+def _sorted_coo_with_padding(rng, nnz_live, cap, V, batch):
+    import numpy as np
+
+    sentinel = np.iinfo(np.int32).max
+    idx = np.full(cap, sentinel, np.int32)
+    idx[:nnz_live] = rng.integers(0, V, nnz_live)
+    sid = np.zeros(cap, np.int32)
+    sid[:nnz_live] = rng.integers(0, batch, nnz_live)
+    order = np.argsort(idx, kind="stable")
+    return idx[order], sid[order]
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_backward_xla_live_cap_matches(weighted):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cuembed_tpu.ops.lookup_xla import embedding_backward_xla
+
+    rng = np.random.default_rng(83)
+    V, W, batch, nnz_live, cap = 300, 16, 32, 200, 512
+    t_i, t_s = _sorted_coo_with_padding(rng, nnz_live, cap, V, batch)
+    w = None
+    if weighted:
+        w = np.zeros(cap, np.float32)
+        w[t_i != np.iinfo(np.int32).max] = rng.standard_normal(nnz_live)
+    gy = rng.standard_normal((batch, W)).astype(np.float32)
+
+    ref = embedding_backward_xla(
+        jnp.asarray(gy), V, jnp.asarray(t_i), jnp.asarray(t_s),
+        None if w is None else jnp.asarray(w), nnz=jnp.int32(nnz_live),
+    )
+    # fast path: live_cap above the live count
+    fast = embedding_backward_xla(
+        jnp.asarray(gy), V, jnp.asarray(t_i), jnp.asarray(t_s),
+        None if w is None else jnp.asarray(w), nnz=jnp.int32(nnz_live),
+        live_cap=256,
+    )
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # overflow: live_cap below the live count -> cond to full width
+    over = embedding_backward_xla(
+        jnp.asarray(gy), V, jnp.asarray(t_i), jnp.asarray(t_s),
+        None if w is None else jnp.asarray(w), nnz=jnp.int32(nnz_live),
+        live_cap=64,
+    )
+    np.testing.assert_allclose(np.asarray(over), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_backward_compressed_live_cap_matches():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cuembed_tpu.ops.lookup_xla import (
+        embedding_backward_compressed_xla,
+    )
+
+    rng = np.random.default_rng(89)
+    V, W, batch, nnz_live, cap = 300, 16, 32, 200, 512
+    t_i, t_s = _sorted_coo_with_padding(rng, nnz_live, cap, V, batch)
+    gy = rng.standard_normal((batch, W)).astype(np.float32)
+
+    ref = embedding_backward_compressed_xla(
+        jnp.asarray(gy), jnp.asarray(t_i), jnp.asarray(t_s), None,
+        nnz=jnp.int32(nnz_live),
+    )
+    for lc in (256, 64):  # fast path / overflow fallback
+        got = embedding_backward_compressed_xla(
+            jnp.asarray(gy), jnp.asarray(t_i), jnp.asarray(t_s), None,
+            nnz=jnp.int32(nnz_live), live_cap=lc,
+        )
+        assert got.rows.shape == ref.rows.shape  # capacity preserved
+        assert int(got.num_unique) == int(ref.num_unique)
+        nu = int(ref.num_unique)
+        np.testing.assert_allclose(
+            np.asarray(got.rows)[:nu], np.asarray(ref.rows)[:nu],
+            rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.unique_indices)[:nu],
+            np.asarray(ref.unique_indices)[:nu],
+        )

@@ -7,6 +7,9 @@ compressed-index and inverse-mapping fixtures from
 """
 
 import numpy as np
+import pytest
+
+import jax.numpy as jnp
 
 from cuembed_tpu import (
     compact_sparse_indices,
@@ -119,3 +122,138 @@ def test_transpose_random_parity():
             zip(np.asarray(j_sid)[m].tolist(), np.asarray(j_w)[m].tolist())
         )
         assert ref_pairs == got_pairs
+
+
+# ---------------------------------------------------------------------------
+# Round-5: compacted masked transpose (the backward's sort diet)
+# ---------------------------------------------------------------------------
+
+
+def _masked_coo(rng, n, head, V, hotness=8):
+    import numpy as np
+
+    idx = rng.integers(0, V, n).astype(np.int32)
+    sentinel = np.iinfo(np.int32).max
+    masked = np.where(idx < head, sentinel, idx)
+    sids = (np.arange(n, dtype=np.int32) // hotness)
+    return masked, sids
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_transpose_masked_compact_matches_plain(weighted):
+    import numpy as np
+
+    from cuembed_tpu.ops.transforms import (
+        transpose,
+        transpose_masked_compact,
+    )
+
+    rng = np.random.default_rng(61)
+    n, head, V, E = 1024, 40, 400, 64
+    masked, sids = _masked_coo(rng, n, head, V)
+    w = rng.standard_normal(n).astype(np.float32) if weighted else None
+    slots = 56  # comfortably above the ~nonhead count per 64-chunk
+
+    ref = transpose(jnp.asarray(sids), jnp.asarray(masked),
+                    None if w is None else jnp.asarray(w))
+    out = transpose_masked_compact(
+        jnp.asarray(sids), jnp.asarray(masked),
+        None if w is None else jnp.asarray(w),
+        chunk_elems=E, nonhead_slots=slots,
+    )
+    sentinel = np.iinfo(np.int32).max
+    live = np.asarray(ref[0]) != sentinel
+    k = int(live.sum())
+    # identical content for every non-sentinel entry; sentinel entries'
+    # payloads are unspecified by contract
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(
+        np.asarray(out[1])[:k], np.asarray(ref[1])[:k]
+    )
+    if weighted:
+        np.testing.assert_array_equal(
+            np.asarray(out[2])[:k], np.asarray(ref[2])[:k]
+        )
+
+
+def test_transpose_masked_compact_overflow_falls_back():
+    import numpy as np
+
+    from cuembed_tpu.ops.transforms import (
+        transpose,
+        transpose_masked_compact,
+    )
+
+    rng = np.random.default_rng(67)
+    n, head, V, E = 1024, 2, 400, 64  # nearly everything non-head
+    masked, sids = _masked_coo(rng, n, head, V)
+    ref = transpose(jnp.asarray(sids), jnp.asarray(masked), None)
+    out = transpose_masked_compact(
+        jnp.asarray(sids), jnp.asarray(masked), None,
+        chunk_elems=E, nonhead_slots=16,  # every chunk overflows
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+
+
+def test_transpose_masked_compact_degenerate_gates():
+    import numpy as np
+
+    from cuembed_tpu.ops.transforms import (
+        transpose,
+        transpose_masked_compact,
+    )
+
+    rng = np.random.default_rng(71)
+    masked, sids = _masked_coo(rng, 100, 10, 200)  # n < 4 * chunk
+    ref = transpose(jnp.asarray(sids), jnp.asarray(masked), None)
+    for slots in (0, 63):  # disabled / would-not-compress
+        out = transpose_masked_compact(
+            jnp.asarray(sids), jnp.asarray(masked), None,
+            chunk_elems=64, nonhead_slots=slots,
+        )
+        np.testing.assert_array_equal(np.asarray(out[0]),
+                                      np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(out[1]),
+                                      np.asarray(ref[1]))
+
+
+def test_sgd_tiered_uses_compact_transpose_exactly():
+    """End-to-end: the tiered sparse SGD step through the compacted
+    transpose equals the dense-gradient step at a size that takes the
+    fast path (n >= 4 * chunk)."""
+    import numpy as np
+
+    from cuembed_tpu.ops.tiered import TieredConfig
+    from cuembed_tpu.train import sgd_sparse_update
+    from cuembed_tpu.types import CombineMode
+
+    rng = np.random.default_rng(73)
+    V, W, B, H = 500, 16, 64, 8  # nnz = 512 = 8 chunks of 64
+    table = jnp.asarray(rng.standard_normal((V, W)), jnp.float32)
+    idx = jnp.asarray(
+        np.where(
+            rng.random((B, H)) < 0.5,
+            rng.integers(0, 32, (B, H)),
+            rng.integers(32, V, (B, H)),
+        ).astype(np.int32)
+    )
+    gy = jnp.asarray(rng.standard_normal((B, W)), jnp.float32)
+    cfg = TieredConfig(
+        hot_rows=128, chunk_elems=64, cold_slots=24,
+        mxu_head_rows=32, mid_slots=32,
+    )
+    new = sgd_sparse_update(table, idx, gy, lr=0.1, tiered_cfg=cfg)
+
+    # dense reference
+    onehot = (
+        idx.reshape(-1)[:, None] == jnp.arange(V, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    dense_grad = jnp.einsum(
+        "nv,nw->vw", onehot,
+        jnp.repeat(gy, H, axis=0),
+    )
+    ref = table - 0.1 * dense_grad
+    np.testing.assert_allclose(
+        np.asarray(new), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
