@@ -322,16 +322,11 @@ def main():
     elif args.backend == "tiered-int8":
         raise SystemExit("tiered-int8 needs a >VMEM table (no head)")
 
-    # --- whole-table int8 (int8-full): quantize the ENTIRE table once at
-    # setup — (W+128)/(W*elem) of the exact bytes; every gather serves
-    # from int8. Lossy serving mode like the head.
+    # --- whole-table int8 (int8-full): quantized AFTER the exact
+    # measurements (below) — a second 3.6 GB table resident during the
+    # exact chains would perturb or OOM them at flagship scale.
     q_full = None
-    if args.backend in ("int8-full", "best"):
-        from cuembed_tpu.ops.quant import quantize_head
-
-        q_full = jax.block_until_ready(quantize_head(table))
-        print(f"# int8 full table: {q_full.data.nbytes / 2**30:.2f} GiB "
-              f"(vs {table.nbytes / 2**30:.2f})", file=sys.stderr)
+    want_full = args.backend in ("int8-full", "best")
 
     def make_step(backend):
         use_tiered = (
@@ -393,10 +388,16 @@ def main():
     if args.backend == "best":
         if q_head is not None:
             lossy_backends.append("tiered-int8")
-        if q_full is not None:
+        if want_full:
             lossy_backends.append("int8-full")
     results, medians = {}, {}
-    for backend in backends + lossy_backends:
+    bstep = ops = None
+    # int8-full is measured LAST with the exact table released: the mode
+    # exists to serve without the exact bytes resident, and holding both
+    # (4.8 + 3.6 GB at flagship) next to the chain's gather intermediates
+    # exhausts HBM.
+    for backend in [b for b in backends if b != "int8-full"] + [
+            b for b in lossy_backends if b != "int8-full"]:
         try:
             bstep, ops = make_step(backend)
             st = robust_chain_time(bstep, (jnp.int32(0), jnp.float32(0)),
@@ -408,6 +409,64 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"# backend {backend} failed: {str(e).splitlines()[0]}",
                   file=sys.stderr)
+    # Measured error vs the exact path on a 4K-sample probe slice — the
+    # error is per-element bounded (ops/quant.py) so a slice suffices,
+    # and a full-batch exact gather (2.1 GB intermediate) OOMs next to
+    # the resident int8 copy of the whole table. Probed BEFORE the
+    # int8-full measurement because that releases the exact table.
+    if want_full:
+        from cuembed_tpu.ops.quant import quantize_head
+
+        q_full = jax.block_until_ready(quantize_head(table))
+        print(f"# int8 full table: {q_full.data.nbytes / 2**30:.2f} GiB "
+              f"(vs {table.nbytes / 2**30:.2f})", file=sys.stderr)
+
+    lossy_errs = {}
+    if lossy_backends:
+        from cuembed_tpu.ops.quant import QuantizedHead, int8_serving_lookup
+        from cuembed_tpu.ops.tiered import tiered_forward
+
+        probe = min(B, 4096)
+        for lb in lossy_backends:
+            if lb == "tiered-int8":
+                probe_idx = idx_tiered[:probe]
+                lossy_out = tiered_forward(
+                    table, probe_idx, mode=CombineMode.SUM, cfg=q_cfg,
+                    q_head=q_head,
+                ).astype(jnp.float32)
+            else:
+                probe_idx = idx_sets[:probe]
+                lossy_out = int8_serving_lookup(
+                    QuantizedHead(q_full.data), probe_idx,
+                    mode=CombineMode.SUM,
+                ).astype(jnp.float32)
+            exact_ref = embedding_lookup(
+                table, probe_idx, mode=CombineMode.SUM, backend="xla",
+            ).astype(jnp.float32)
+            lossy_errs[lb] = float(
+                jnp.max(jnp.abs(lossy_out - exact_ref))
+            )
+
+    if "int8-full" in lossy_backends or args.backend == "int8-full":
+        bstep_full, ops_full = make_step("int8-full")
+        # release the exact table (the serving mode's whole point): the
+        # loop's last (bstep, ops) pair and make_step's closure all hold
+        # references to it.
+        bstep = ops = None
+        del make_step
+        table = None
+        try:
+            st = robust_chain_time(
+                bstep_full, (jnp.int32(0), jnp.float32(0)),
+                operands=ops_full, k_lo=1, k_hi=4, repeats=3,
+                return_stats=True,
+            )
+            results["int8-full"] = st["min"]
+            medians["int8-full"] = st["median"]
+        except Exception as e:  # pragma: no cover
+            print(f"# backend int8-full failed: "
+                  f"{str(e).splitlines()[0]}", file=sys.stderr)
+
     if not results:
         raise SystemExit("no backend produced a result")
 
@@ -422,28 +481,7 @@ def main():
     if lossy_results:
         lb = min(lossy_results, key=lossy_results.get)
         ldt = lossy_results[lb]
-        # measured error on the benchmark batch vs the exact path, plus
-        # the analytic per-element bound (ops/quant.py).
-        from cuembed_tpu.ops.quant import QuantizedHead, int8_serving_lookup
-        from cuembed_tpu.ops.tiered import tiered_forward
-
-        exact_ref = embedding_lookup(
-            table, idx_tiered if idx_tiered is not None else idx_sets,
-            mode=CombineMode.SUM, backend="xla",
-        ).astype(jnp.float32)
-        if lb == "tiered-int8":
-            lossy_out = tiered_forward(
-                table, idx_tiered, mode=CombineMode.SUM, cfg=q_cfg,
-                q_head=q_head,
-            ).astype(jnp.float32)
-        else:
-            exact_ref = embedding_lookup(
-                table, idx_sets, mode=CombineMode.SUM, backend="xla",
-            ).astype(jnp.float32)
-            lossy_out = int8_serving_lookup(
-                QuantizedHead(q_full.data), idx_sets, mode=CombineMode.SUM
-            ).astype(jnp.float32)
-        err = float(jnp.max(jnp.abs(lossy_out - exact_ref)))
+        err = lossy_errs.get(lb, float("nan"))
         lossy_record = {
             "backend": lb,
             "value": round(app_bytes / ldt / 1e9, 2),

@@ -36,7 +36,6 @@ def main():
 
     from cuembed_tpu.ops.api import embedding_lookup
     from cuembed_tpu.ops.narrow import pack_narrow
-    from cuembed_tpu.ops.tiered import auto_config
     from cuembed_tpu.types import CombineMode
     from cuembed_tpu.utils.benchmarking import (
         bump_from, carry_probe, robust_chain_time,
@@ -84,11 +83,19 @@ def main():
     Vn, Wn = 1 << 20, 32
     raw = jnp.asarray(rng.standard_normal((Vn, Wn)).astype(np.float32))
 
+    # The probe must NOT commute past the relayout: a plain sum of
+    # squares over a pure permutation equals the sum over the input, and
+    # XLA's simplifier takes that rewrite — the first version of this
+    # bench read 2,976 GB/s (4.4x HBM peak). A per-lane positional scale
+    # ties every element to its DESTINATION position, forcing the
+    # permutation to be realized.
+    lane_scale = 1.0 + jnp.arange(128, dtype=jnp.float32)[None, :] / 128.0
+
     @jax.jit
     def pack_step(carry, raw):
         i, dep = carry
         r = raw * (1.0 + bump_from(dep).astype(jnp.float32))
-        return (i + 1, carry_probe(pack_narrow(r)))
+        return (i + 1, carry_probe(pack_narrow(r) * lane_scale))
 
     dt = timed(pack_step, raw)
     phys_bytes = Vn * 128 * 4  # lane-padded source

@@ -119,7 +119,9 @@ def main():
     )
     from cuembed_tpu.train import sgd_sparse_update
     from cuembed_tpu.types import CombineMode
-    from cuembed_tpu.utils.benchmarking import chain_time
+    from cuembed_tpu.utils.benchmarking import (
+        bump_from, carry_probe, robust_chain_time,
+    )
     from cuembed_tpu.utils.datagen import PowerLawGenerator
 
     n = args.n_shards
@@ -129,11 +131,21 @@ def main():
     cost = CostModel()
     rows_out = []
 
-    def time_step(fn, x0):
-        """Per-step ms of a chained x -> x device function."""
-        return 1e3 * chain_time(
-            fn, x0, k_lo=max(1, args.iters // 4), k_hi=args.iters,
-            repeats=2,
+    def time_step(step, x0, *operands):
+        """Per-step ms of a chained device step.
+
+        Round-5 policy (docs/PERF_NOTES.md §timing): tables/grads enter
+        as jit OPERANDS or as carried STATE, never closure captures (the
+        round-4 version baked 2.6 GB of tables into every executable as
+        constants — each compile re-uploaded them through the tunnel);
+        outputs feed carry_probe (full-output sum-of-squares) so nothing
+        is dead-code-eliminated; updated tables ride the carry, which
+        both defeats memoization and measures the production
+        donate-through regime.
+        """
+        return 1e3 * robust_chain_time(
+            step, x0, operands=operands,
+            k_lo=max(1, args.iters // 4), k_hi=args.iters, repeats=2,
         )
 
     scale = 64 if args.mini else 1
@@ -206,23 +218,25 @@ def main():
             table = jax.random.normal(key, (V, W), dt)
             gy = jax.random.normal(key, (B, W), jnp.float32)
 
-            def step_repl(c, table=table, gy=gy):
+            @jax.jit
+            def step_repl(c, t, gy, ixl, ixg):
                 i, d = c
-                ii = idx_l + (d * 0).astype(jnp.int32)
-                out = jax.jit(
-                    lambda t, x: t.at[x].get(
-                        mode="promise_in_bounds"
-                    ).sum(axis=1)
-                )(table, ii)
-                # update sees the ALL-GATHERED global COO
+                ii = ixl + bump_from(d)
+                out = t.at[ii].get(mode="promise_in_bounds").sum(axis=1)
+                # update sees the ALL-GATHERED global COO. The update's
+                # scatter cannot be partially dead-code-eliminated
+                # through a slice probe (its indices are dynamic), so a
+                # 4K-row probe keeps the full update honest without
+                # carrying a second multi-GB table copy.
                 t2 = sgd_sparse_update(
-                    table, idx_g, gy, lr=0.01, mode=CombineMode.SUM
+                    t, ixg + bump_from(d), gy, lr=0.01,
+                    mode=CombineMode.SUM,
                 )
-                return (i + 1, out[0, 0].astype(jnp.float32)
-                        + t2[0, 0].astype(jnp.float32))
+                return (i + 1, carry_probe(out) + carry_probe(t2[:4096]))
 
             placements[REPLICATED] = time_step(
-                jax.jit(step_repl), (jnp.int32(0), jnp.float32(0))
+                step_repl, (jnp.int32(0), jnp.float32(0)),
+                table, gy, idx_l, idx_g,
             )
             del table, gy
 
@@ -232,21 +246,22 @@ def main():
         gy_l = jax.random.normal(key, (B_l, W), jnp.float32)
         idx_shard = jnp.minimum(idx_l, V_l - 1)
 
-        def step_row(c, t_l=t_l, gy_l=gy_l, idx_shard=idx_shard):
+        @jax.jit
+        def step_row(c, t, gy_l_, ix_s):
             i, d = c
-            ii = idx_shard + (d * 0).astype(jnp.int32)
+            ii = ix_s + bump_from(d)
             out = alltoall_row_sharded_lookup(
-                t_l, ii, mesh=mesh1, capacity_factor=cost.capacity_factor,
+                t, ii, mesh=mesh1, capacity_factor=cost.capacity_factor,
             )
             t2 = sharded_sgd_sparse_update(
-                t_l, ii, gy_l, mesh=mesh1, lr=0.01,
+                t, ii, gy_l_, mesh=mesh1, lr=0.01,
                 capacity_factor=cost.capacity_factor,
             )
-            return (i + 1, out[0, 0].astype(jnp.float32)
-                    + t2[0, 0].astype(jnp.float32))
+            return (i + 1, carry_probe(out) + carry_probe(t2[:4096]))
 
         placements[ROW_SHARDED] = time_step(
-            jax.jit(step_row), (jnp.int32(0), jnp.float32(0))
+            step_row, (jnp.int32(0), jnp.float32(0)),
+            t_l, gy_l, idx_shard,
         )
         del t_l, gy_l
 
@@ -259,26 +274,30 @@ def main():
                 tail = jax.random.normal(key, (tail_l, W), dt)
                 gy_l = jax.random.normal(key, (B_l, W), jnp.float32)
 
-                def step_hyb(c, head=head, tail=tail, gy_l=gy_l):
+                @jax.jit
+                def step_hyb(c, hd, tl, gy_l_, ixl):
                     i, d = c
-                    ii = idx_l + (d * 0).astype(jnp.int32)
+                    ii = ixl + bump_from(d)
                     ii = jnp.minimum(ii, hot + tail_l - 1)
                     out = hybrid_tiered_lookup(
-                        head, tail, ii, mesh=mesh1,
+                        hd, tl, ii, mesh=mesh1,
                         capacity_factor=cost.capacity_factor,
                         cold_frac=max(0.05, 1.0 - hit),
                     )
                     h2, t2 = sharded_hybrid_sgd_sparse_update(
-                        head, tail, ii, gy_l, mesh=mesh1, lr=0.01,
+                        hd, tl, ii, gy_l_, mesh=mesh1, lr=0.01,
                         capacity_factor=cost.capacity_factor,
                         cold_frac=max(0.05, 1.0 - hit),
                     )
-                    return (i + 1, out[0, 0].astype(jnp.float32)
-                            + h2[0, 0].astype(jnp.float32)
-                            + t2[0, 0].astype(jnp.float32))
+                    # h2 (dense head math) probes in FULL — a slice
+                    # probe would let XLA narrow the head matmul; t2
+                    # (dynamic scatter) is slice-probe safe.
+                    return (i + 1, carry_probe(out) + carry_probe(h2)
+                            + carry_probe(t2[:4096]))
 
                 placements[HYBRID] = time_step(
-                    jax.jit(step_hyb), (jnp.int32(0), jnp.float32(0))
+                    step_hyb, (jnp.int32(0), jnp.float32(0)),
+                    head, tail, gy_l, idx_l,
                 )
                 del head, tail, gy_l
 
@@ -291,22 +310,23 @@ def main():
             t_c = jax.random.normal(key, (V, W // n), dt)
             gy_g = jax.random.normal(key, (B, W // n), jnp.float32)
 
-            def step_col(c, t_c=t_c, gy_g=gy_g):
+            @jax.jit
+            def step_col(c, t, gy_g_, ixg):
                 i, d = c
-                ii = idx_g + (d * 0).astype(jnp.int32)
+                ii = ixg + bump_from(d)
                 out = column_sharded_lookup(
-                    t_c, ii, mesh=mesh11, model_axis="model",
+                    t, ii, mesh=mesh11, model_axis="model",
                     gather_output=False,
                 )
                 t2 = column_sharded_sgd_sparse_update(
-                    t_c, ii, gy_g, mesh=mesh11, lr=0.01,
+                    t, ii, gy_g_, mesh=mesh11, lr=0.01,
                     model_axis="model",
                 )
-                return (i + 1, out[0, 0].astype(jnp.float32)
-                        + t2[0, 0].astype(jnp.float32))
+                return (i + 1, carry_probe(out) + carry_probe(t2[:4096]))
 
             placements[COLUMN_SHARDED] = time_step(
-                jax.jit(step_col), (jnp.int32(0), jnp.float32(0))
+                step_col, (jnp.int32(0), jnp.float32(0)),
+                t_c, gy_g, idx_g,
             )
             del t_c, gy_g
 
@@ -320,25 +340,26 @@ def main():
             gy_r = jax.random.normal(key, (B_r, W // c_sh), jnp.float32)
             idx_r = jnp.minimum(idx_g[:B_r], V_g - 1)
 
-            def step_grid(c, t_g=t_g, gy_r=gy_r, idx_r=idx_r):
+            @jax.jit
+            def step_grid(c, t, gy_r_, ix_r):
                 i, d = c
-                ii = idx_r + (d * 0).astype(jnp.int32)
+                ii = ix_r + bump_from(d)
                 out = grid_sharded_lookup(
-                    t_g, ii, mesh=mesh11,
+                    t, ii, mesh=mesh11,
                     capacity_factor=cost.capacity_factor,
                     row_axis="model", col_axis="data",
                     gather_output=False,
                 )
                 t2 = grid_sharded_sgd_sparse_update(
-                    t_g, ii, gy_r, mesh=mesh11, lr=0.01,
+                    t, ii, gy_r_, mesh=mesh11, lr=0.01,
                     capacity_factor=cost.capacity_factor,
                     row_axis="model", col_axis="data",
                 )
-                return (i + 1, out[0, 0].astype(jnp.float32)
-                        + t2[0, 0].astype(jnp.float32))
+                return (i + 1, carry_probe(out) + carry_probe(t2[:4096]))
 
             placements[GRID_SHARDED] = time_step(
-                jax.jit(step_grid), (jnp.int32(0), jnp.float32(0))
+                step_grid, (jnp.int32(0), jnp.float32(0)),
+                t_g, gy_r, idx_r,
             )
             del t_g, gy_r
 

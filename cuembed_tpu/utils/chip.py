@@ -84,7 +84,14 @@ def derive_chip_constants(measurements: dict) -> dict:
 
     rate = measurements.get("pack_relayout_gbps")
     if rate:
-        out["narrow_inline_pack_bytes"] = int(rate * 1e9 * 100e-6)
+        # 100 us of relayout is noise next to any real lookup. Clamp to
+        # [1 MiB, 64 MiB]: a relayout "rate" above the streaming
+        # bandwidth means the probe was optimized away (a pure
+        # permutation commutes with plain reductions) and must not widen
+        # the inline-pack window unboundedly.
+        out["narrow_inline_pack_bytes"] = max(
+            1 << 20, min(int(rate * 1e9 * 100e-6), 64 << 20)
+        )
 
     ab = measurements.get("tiering_ab")
     if ab:

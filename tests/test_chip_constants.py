@@ -41,6 +41,15 @@ def test_derive_narrow_pack_bound():
     assert c["narrow_inline_pack_bytes"] == int(320e9 * 100e-6)
 
 
+def test_derive_narrow_pack_bound_clamped():
+    # An impossible "rate" (probe optimized away) must not widen the
+    # inline-pack window past 64 MiB; a tiny rate floors at 1 MiB.
+    hi = derive_chip_constants({"pack_relayout_gbps": 2976.0})
+    assert hi["narrow_inline_pack_bytes"] == 64 << 20
+    lo = derive_chip_constants({"pack_relayout_gbps": 0.001})
+    assert lo["narrow_inline_pack_bytes"] == 1 << 20
+
+
 def test_derive_tiering_law():
     ab = []
     for h in (1, 2, 4, 8):
