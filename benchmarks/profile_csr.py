@@ -26,7 +26,6 @@ import argparse
 import json
 import os
 import sys
-from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -47,7 +46,7 @@ def main():
     import jax.numpy as jnp
 
     from cuembed_tpu.ops.api import embedding_lookup_csr, embedding_lookup
-    from cuembed_tpu.ops.tiered import auto_config, tiered_forward
+    from cuembed_tpu.ops.tiered import auto_config
     from cuembed_tpu.ops.transforms import extract_row_ids_from_csr
     from cuembed_tpu.types import CombineMode
     from cuembed_tpu.utils.benchmarking import (

@@ -18,7 +18,11 @@ from cuembed_tpu.ops.lookup_xla import (
     embedding_backward_xla,
     embedding_forward_xla,
 )
-from cuembed_tpu.ops.tiered import TieredConfig, tiered_forward
+from cuembed_tpu.ops.tiered import (
+    TieredConfig,
+    csr_combine_config,
+    tiered_forward,
+)
 from cuembed_tpu.table import EmbeddingTable, resize_table
 from cuembed_tpu.collection import EmbeddingCollection, TableConfig
 from cuembed_tpu.offload import HostOffloadTable, OffloadBatch
@@ -48,6 +52,7 @@ from cuembed_tpu.ops.transforms import (
     extract_row_ids_from_csr,
     extract_row_ids_from_fixed,
     transpose,
+    transpose_masked_compact,
 )
 
 __version__ = "0.1.0"
@@ -60,6 +65,7 @@ __all__ = [
     "embedding_lookup",
     "embedding_lookup_csr",
     "TieredConfig",
+    "csr_combine_config",
     "tiered_forward",
     "EmbeddingTable",
     "resize_table",
@@ -87,6 +93,7 @@ __all__ = [
     "embedding_backward_compressed_xla",
     "CompressedGrad",
     "transpose",
+    "transpose_masked_compact",
     "extract_row_ids_from_fixed",
     "extract_row_ids_from_csr",
     "extract_row_ids_for_concat",

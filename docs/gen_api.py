@@ -47,6 +47,7 @@ MODULES = [
     ("cuembed_tpu.utils.frequency", "Frequency statistics / tier calibration"),
     ("cuembed_tpu.utils.calibration", "Tiered-config calibration"),
     ("cuembed_tpu.utils.benchmarking", "Timing + bandwidth formulas"),
+    ("cuembed_tpu.utils.chip", "Chip constants (measured dispatch thresholds)"),
     ("cuembed_tpu.utils.pipeline", "Host input pipeline (background remap)"),
     ("cuembed_tpu.native", "C++ host kernels (ctypes, numpy fallback)"),
     ("cuembed_tpu.ref.forward", "Golden model: forward"),
