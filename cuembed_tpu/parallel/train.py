@@ -433,25 +433,50 @@ def _compressed_adagrad_apply(table_l, accum_l, rows, uniq, nu, lr, eps,
     return new_table, new_accum
 
 
+# Head-gradient algorithm switch: the one-hot MXU matmul evaluates a
+# [batch, hotness, head] compare cube and a [batch, head] matrix — the
+# right shape for an MXU-scale head (~128-16K rows), catastrophic for
+# the hybrid layout's VMEM-scale head (~442K rows at 10Mx128 bf16: the
+# planner-validation harness measured the hybrid step at 149 ms where
+# row-sharded took 25, almost all of it this matmul). Past this bound a
+# plain scatter-add of the per-position gradient rows (~11 ns/row) wins
+# by orders of magnitude.
+HEAD_GRAD_MXU_MAX_ROWS = 16384
+
+
 def _hybrid_head_grad(head_grad, idx_l, offs_l, flat, sids, coeff, gy, hot):
     """Global head-rows gradient for the hybrid updates, fixed or CSR.
 
-    Fixed hotness: one [batch_l, hot] one-hot matmul against the local
-    ``grad_y``. Sharded-CSR: position-major — gather each position's
-    sample gradient row, then the same one-hot matmul with positions as
-    samples (dead slots carry coefficient 0; out-of-head rows produce
-    all-zero one-hot rows either way).
+    MXU-scale heads (<= HEAD_GRAD_MXU_MAX_ROWS): one one-hot matmul
+    against the local ``grad_y`` (fixed hotness) or the position-major
+    variant over gathered per-sample gradient rows (sharded-CSR) — dead
+    slots carry coefficient 0, out-of-head rows produce all-zero
+    one-hot rows. VMEM-scale heads: gather each position's gradient
+    row and scatter-add into ``[hot, W]`` (out-of-head positions route
+    to the dropped ``hot`` slot; dead CSR positions carry coefficient
+    0).
     """
-    if offs_l is None:
-        coeff2d = None if coeff is None else coeff.reshape(idx_l.shape)
-        return head_grad(idx_l, coeff2d, gy, hot, jnp.float32)
-    gy_rows = jnp.take(gy, sids, axis=0)  # [cap, W]
-    cpos = (
-        coeff
-        if coeff is not None
-        else jnp.ones((flat.shape[0],), jnp.float32)
+    if hot <= HEAD_GRAD_MXU_MAX_ROWS:
+        if offs_l is None:
+            coeff2d = None if coeff is None else coeff.reshape(idx_l.shape)
+            return head_grad(idx_l, coeff2d, gy, hot, jnp.float32)
+        gy_rows = jnp.take(gy, sids, axis=0)  # [cap, W]
+        cpos = (
+            coeff
+            if coeff is not None
+            else jnp.ones((flat.shape[0],), jnp.float32)
+        )
+        return head_grad(
+            flat[:, None], cpos[:, None], gy_rows, hot, jnp.float32
+        )
+    g = gy.at[sids].get(mode="promise_in_bounds").astype(jnp.float32)
+    if coeff is not None:
+        g = g * coeff[:, None]
+    g = jax.lax.optimization_barrier(g)  # keep gather and scatter split
+    tgt = jnp.where(flat < hot, flat, hot)
+    return jnp.zeros((hot, gy.shape[1]), jnp.float32).at[tgt].add(
+        g, mode="drop"
     )
-    return head_grad(flat[:, None], cpos[:, None], gy_rows, hot, jnp.float32)
 
 
 def sharded_hybrid_sgd_sparse_update(
