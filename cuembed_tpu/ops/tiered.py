@@ -236,7 +236,11 @@ def auto_config(
         hot_rows=int(hot_rows),
         chunk_elems=chunk_elems,
         cold_slots=_capacity(chunk_elems, cold_fraction),
-        mxu_head_rows=min(128, int(hot_rows)),
+        # 256 measured ~5% faster than 128 at the flagship (the bigger
+        # compare-reduce cube costs less than the mid-tier descriptors
+        # it absorbs; 512 is flat vs 256) — benchmarks/retune_headline.py,
+        # committed grid in benchmarks/results_r5/retune_r5.csv.
+        mxu_head_rows=min(256, int(hot_rows)),
         mid_slots=_capacity(chunk_elems, mid_fraction),
         csr_chunk_samples=(
             csr_samples

@@ -135,7 +135,8 @@ def test_auto_config():
     assert cfg.hot_rows * 256 * 2 <= DEFAULT_HOT_BYTES
     assert cfg.chunk_elems % 64 == 0
     assert cfg.cold_slots >= int(0.08 * cfg.chunk_elems)
-    assert 0 < cfg.mxu_head_rows <= 128
+    # 256 measured ~5% faster than 128 at the flagship (retune_r5)
+    assert 0 < cfg.mxu_head_rows <= 256
     assert cfg.mid_slots >= int((1 - 0.08 - 0.45) * cfg.chunk_elems)
     # hotness larger than the nominal chunk width
     cfg2 = auto_config(10_000_000, 256, 2, 4096, cold_fraction=0.1)
