@@ -177,11 +177,21 @@ def main():
         mask = np.arange(H)[None, :] < per[:, None]
         vals_np = np.zeros(cap, np.int32)
         vals_np[:nnz_live] = idx_np[mask]
+        # Calibration draws must live in the SAME permuted id space as
+        # the measured batch: a PowerLawGenerator's permutation derives
+        # from its seed, so 8 permute=True generators with different
+        # seeds produce 8 unrelated id spaces — their aggregated counts
+        # are near-uniform, the frequency remap is garbage, and the
+        # engine classes everything cold (the CSR flagship measured
+        # 36.5 ms this way vs 16.9 with a real remap).
         counts = None
         for i in range(8):
             g = PowerLawGenerator(V - 1, H, alpha, seed=900 + i,
-                                  permute=permute)
-            counts = count_frequencies(g.sample(B), V, counts)
+                                  permute=False)
+            draw = g.sample(B)
+            if permute and gen.permutation is not None:
+                draw = gen.permutation[draw]
+            counts = count_frequencies(draw, V, counts)
         _, remap = frequency_order(counts)
         avg_hot = max(1, nnz_live // B)
         cfg0 = auto_config(V, W, elem, avg_hot)

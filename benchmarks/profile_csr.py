@@ -40,6 +40,11 @@ def main():
     p.add_argument("--cats", type=int, default=1_000_000)
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--paths-only", action="store_true",
+                   help="whole-path A/B only (skip the stage "
+                        "microbenches; needed for >HBM/2 tables)")
     args = p.parse_args()
 
     import jax
@@ -57,7 +62,8 @@ def main():
     from cuembed_tpu.utils.frequency import count_frequencies, frequency_order
 
     V, B, H, W, alpha = args.cats, args.batch, args.hotness, args.width, args.alpha
-    elem = 4
+    dtype = jnp.dtype(args.dtype)
+    elem = dtype.itemsize
     V = V // 8 * 8
 
     # ---- workload: same recipe as sweep_runner's CSR slice -------------
@@ -107,7 +113,7 @@ def main():
     parts = 8
     table = jax.block_until_ready(jnp.concatenate([
         jax.random.uniform(jax.random.key(i), (V // parts, W),
-                           jnp.float32, -1, 1)
+                           jnp.float32, -1, 1).astype(dtype)
         for i in range(parts)
     ], axis=0))
     vals = jnp.asarray(vals_np)
@@ -193,6 +199,14 @@ def main():
 
     if cfg0 is not None:
         bench(f"fixed_twin[{b_twin}x{avg_hot}]", twin_step, table, idx_twin)
+
+    if args.paths_only:
+        print(json.dumps({"point": {"V": V, "B": B, "Hmax": H,
+                                    "alpha": alpha, "live": nnz_live,
+                                    "cap": cap, "W": W,
+                                    "dtype": str(dtype)},
+                          "ms": results}))
+        return
 
     # ---- stages ----------------------------------------------------------
     C = cfg.hot_rows if cfg is not None else min(V, 221184)
